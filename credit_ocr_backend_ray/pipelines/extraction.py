@@ -1,0 +1,125 @@
+"""The flagship pipeline: web pages Parquet -> extraction -> partitioned
+Parquet + lineage.
+
+Ray-Data restatement of the reference's whole Celery chain
+(/root/reference/src/tasks/pipeline_tasks.py:147-166) as ONE lazy Dataset
+plan — the five blob round-trips per document become Arrow columns flowing
+through the streaming executor:
+
+    read_parquet(shards)                      url warc_ts html text lang
+      -> map_batches(prepass)                 n_bytes sha256 size_bucket part_id
+      -> [optional] dedup by url              keep latest warc_ts (stages/dedup)
+      -> map_batches(DocExtractor, pool)      extracted_text fields ... status
+      -> write_parquet(out/group=K/)          + per-partition lineage manifest
+
+Resume: shard-group manifests (state/manifest.py). Skew: oversized payloads
+are flagged by ``size_bucket`` and the extract stage uses a row-count batch
+size small enough that even a block of oversized rows stays within worker
+heap; blocks are further split by Ray's ``target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from credit_ocr_backend_ray.stages.extract import DocExtractor
+from credit_ocr_backend_ray.stages.prepass import DEFAULT_NUM_PARTS, make_prepass
+from credit_ocr_backend_ray.state.manifest import (
+    RunManifest, shard_groups, write_lineage,
+)
+
+
+@dataclass
+class ExtractionConfig:
+    doc_type: str = "credit_request"
+    num_parts: int = DEFAULT_NUM_PARTS
+    batch_size: int = 64          # rows per extract batch (payloads are KB-MB)
+    concurrency: int | None = None  # actor pool size; None = CPUs-2 heuristic
+    dedup: bool = False           # exact dedup by url (keep latest warc_ts)
+    with_result_json: bool = False
+
+
+def _pool_size(requested: int | None) -> int:
+    if requested is not None:
+        return requested
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, cpus - 2)  # leave headroom for read/write tasks
+
+
+def build_extraction_ds(paths: list[str] | str,
+                        cfg: ExtractionConfig | None = None) -> "rd.Dataset":
+    """The lazy extraction plan (no sink) — shared by entry(), queries(),
+    tests and the writer below."""
+    cfg = cfg or ExtractionConfig()
+    ds = rd.read_parquet(paths)
+    ds = ds.map_batches(make_prepass(cfg.num_parts), batch_format="pyarrow")
+    if cfg.dedup:
+        from credit_ocr_backend_ray.stages.dedup import dedup_latest
+        ds = dedup_latest(ds, key="url", order_col="warc_ts")
+    ds = ds.map_batches(
+        DocExtractor,
+        fn_constructor_kwargs={
+            "doc_type": cfg.doc_type,
+            "with_result_json": cfg.with_result_json,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=_pool_size(cfg.concurrency),
+        num_cpus=1,
+    )
+    return ds
+
+
+def run_extraction(input_paths: list[str] | str, out_dir: str,
+                   cfg: ExtractionConfig | None = None,
+                   n_groups: int = 1) -> dict:
+    """Execute with shard-group checkpointing; returns a run summary."""
+    cfg = cfg or ExtractionConfig()
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            files = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
+        else:
+            files = [input_paths]
+    else:
+        files = list(input_paths)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = RunManifest(out_dir)
+    summary = {"groups_total": 0, "groups_skipped": 0, "groups_run": 0,
+               "rows": 0, "wall_s": 0.0}
+
+    for k, group in enumerate(shard_groups(files, n_groups)):
+        key = f"{k:05d}"
+        summary["groups_total"] += 1
+        if manifest.is_complete(key):
+            summary["groups_skipped"] += 1
+            summary["rows"] += manifest.entries[key]["rows"]
+            continue
+        manifest.reset_incomplete(key)
+
+        t0 = time.perf_counter()
+        ds = build_extraction_ds(group, cfg)
+        gdir = manifest.group_dir(key)
+        ds.write_parquet(gdir)
+        lineage_dir = write_lineage(gdir)
+        wall = time.perf_counter() - t0
+
+        import pyarrow.dataset as pads
+        rows = pads.dataset(glob.glob(os.path.join(gdir, "*.parquet"))).count_rows()
+        manifest.mark_complete(key, {
+            "files": group, "rows": rows, "wall_s": wall,
+            "lineage": lineage_dir,
+        })
+        summary["groups_run"] += 1
+        summary["rows"] += rows
+        summary["wall_s"] += wall
+
+    return summary

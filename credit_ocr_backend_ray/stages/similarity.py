@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k — numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, read per actor), per-batch
+  partial top-k, tiny driver-side merge. No shuffle; scales linearly with
+  corpus blocks.
+- ``knn_lsh``: random-hyperplane LSH bucketing (the scale path): vectors are
+  bucketed by sign pattern once; a query probes only its bucket ring, i.e.
+  touches ~corpus/2^bits of the data. Recall < 1 by design.
+- ``embedding_near_dup``: pairs of near-identical vectors (cosine >=
+  threshold) via the same bucketing.
+
+The brute-force result is SQL-pinned against DuckDB's
+``list_cosine_similarity`` (cosines rounded to 5 decimals to absorb
+float-summation order).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+_LSH_SEED = 0xA11CE
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    pylist = col.to_pylist()
+    return np.asarray(pylist, dtype=np.float64)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_bruteforce(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_to: int | None = 5) -> pd.DataFrame:
+    """Exact top-k by cosine for each query row; returns
+    (query_id, vec_id, cos) sorted by (query_id, -cos, vec_id)."""
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = vecs @ qm.T  # (n, nq)
+        out_q, out_id, out_cos = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_cos.extend(col[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "cos": pa.array(out_cos, pa.float64()),
+        })
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        top = heapq.nsmallest(
+            k, grp.itertuples(index=False),
+            key=lambda r: (-r.cos, getattr(r, id_col)))
+        rows.extend(top)
+    out = pd.DataFrame(rows, columns=["query_id", id_col, "cos"])
+    if round_to is not None:
+        out["cos"] = out["cos"].round(round_to)
+    return (out.sort_values(["query_id", "cos", id_col],
+                            ascending=[True, False, True])
+               .reset_index(drop=True))
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_ids(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (vecs @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return signs.astype(np.int64) @ weights
+
+
+def knn_lsh(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            bits: int = 6, probe_hamming: int = 1) -> pd.DataFrame:
+    """Approximate top-k: probe only buckets within ``probe_hamming`` bit
+    flips of the query's bucket (multi-probe LSH)."""
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    planes = _hyperplanes(q.shape[1], bits)
+    qbuckets = lsh_bucket_ids(q, planes)
+
+    probe: set[int] = set()
+    for b in qbuckets.tolist():
+        probe.add(b)
+        if probe_hamming >= 1:
+            for f in range(bits):
+                probe.add(b ^ (1 << f))
+    pref = ray.put((q, planes, probe))
+
+    def bucketed_topk(batch: pa.Table) -> pa.Table:
+        qm, pl, pr = ray.get(pref)
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        buckets = lsh_bucket_ids(vecs, pl)
+        mask = np.isin(buckets, list(pr))
+        vecs, ids = vecs[mask], ids[mask]
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sims = vecs @ qm.T
+        out_q, out_id, out_cos = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_cos.extend(col[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+    cand = ds.map_batches(bucketed_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        rows.extend(heapq.nsmallest(
+            k, grp.itertuples(index=False),
+            key=lambda r: (-r.cos, getattr(r, id_col))))
+    return (pd.DataFrame(rows, columns=["query_id", id_col, "cos"])
+              .sort_values(["query_id", "cos", id_col],
+                           ascending=[True, False, True])
+              .reset_index(drop=True))
+
+
+def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       bits: int = 6) -> pd.DataFrame:
+    """Near-identical vector pairs via LSH buckets + in-bucket exact check."""
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        if "p" not in planes_holder:
+            planes_holder["p"] = _hyperplanes(vecs.shape[1], bits)
+        buckets = lsh_bucket_ids(vecs, planes_holder["p"])
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "bucket": pa.array(buckets, pa.int64()),
+        })
+
+    def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        vecs = _norm_rows(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        sims = vecs @ vecs.T
+        a, b, c = [], [], []
+        n = min(len(ids), 500)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    a.append(int(ids[i])); b.append(int(ids[j]))
+                    c.append(float(sims[i, j]))
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64"),
+                             "cos": pd.Series(c, dtype="float64")})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        in_bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pairs
+    return (pairs.sort_values(["id_a", "id_b"])
+                 .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True))

@@ -1,0 +1,89 @@
+"""Checkpoint / resume bookkeeping: shard-group manifests + per-partition
+lineage.
+
+The reference checkpoints implicitly — every stage persists one blob per
+document and re-runs are guarded by ``blob_exists``
+(/root/reference/src/creditsystem/storage.py:177-194). The Parquet analogue
+at 100 TB: the input file list is split into shard groups; each group is one
+streaming Dataset execution writing ``out/group=K/``; a group's manifest
+entry is written only after its write completes, so a restarted job skips
+complete groups and wipes+redoes incomplete ones (atomic at group
+granularity). Inside each group the output carries the canonical url-hash
+``part_id``, and a ``groupby(part_id).aggregate(...)`` over the (cheap,
+column-pruned) read-back produces the per-partition lineage metrics the
+north rule requires: row counts, payload bytes, error counts, field counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+def shard_groups(files: list[str], n_groups: int) -> list[list[str]]:
+    files = sorted(files)
+    n_groups = max(1, min(n_groups, len(files)))
+    return [files[k::n_groups] for k in range(n_groups)]
+
+
+class RunManifest:
+    """JSON manifest at ``<out_dir>/manifest.json`` mapping group key ->
+    completion record. Written atomically (tmp + rename)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "manifest.json")
+        self.entries: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path, encoding="utf-8") as f:
+                self.entries = json.load(f)
+
+    def group_dir(self, key: str) -> str:
+        # no "key=value" dir name: parquet readers would infer a hive
+        # partition column from it
+        return os.path.join(self.out_dir, f"group-{key}")
+
+    def is_complete(self, key: str) -> bool:
+        return key in self.entries
+
+    def reset_incomplete(self, key: str) -> None:
+        """Wipe a partially-written group dir so its rerun starts clean."""
+        if not self.is_complete(key):
+            shutil.rmtree(self.group_dir(key), ignore_errors=True)
+
+    def mark_complete(self, key: str, record: dict) -> None:
+        self.entries[key] = {**record, "completed_at": time.time()}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self.entries, f, indent=2)
+        os.replace(tmp, self.path)
+
+
+def write_lineage(group_dir: str) -> str:
+    """Per-partition lineage over a completed group's output: read back only
+    the light columns and groupby-aggregate by ``part_id``."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    light = rd.read_parquet(
+        group_dir, columns=["part_id", "n_bytes", "n_lines", "status"])
+    light = light.map_batches(_lineage_flags, batch_format="pyarrow")
+    agg = light.groupby("part_id").aggregate(
+        Count(alias_name="rows"),
+        Sum("n_bytes", alias_name="payload_bytes"),
+        Sum("n_lines", alias_name="lines"),
+        Sum("is_error", alias_name="errors"),
+        Max("n_bytes", alias_name="max_payload_bytes"),
+    )
+    lineage_dir = os.path.join(group_dir, "_lineage")
+    agg.write_parquet(lineage_dir)
+    return lineage_dir
+
+
+def _lineage_flags(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    flag = pc.cast(pc.equal(batch["status"], "Fehlerhaft"), pa.int64())
+    return batch.append_column("is_error", flag)
