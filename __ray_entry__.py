@@ -1,44 +1,530 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship extraction pipeline at sf0.001 scale (synthesized
+  Common-Crawl-style pages table — the engine's input contract — cached
+  under /tmp).
+- ``queries()``: one callable per implemented operator family from
+  SURVEY.md §2 (+ the training-data-pipeline additions); each takes a
+  testdata ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query;
+  non-SQL ops (extraction, near-dup, LSH, lang-id) are rows-only checked.
+
+Column-name and rounding discipline: every aggregate/computed column is
+aliased identically in the Ray code and the SQL; money sums (exact
+2-decimal inputs) round to 2, discounted-revenue sums (4-decimal) to 4,
+random-real sums to 4, cosines to 5.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+# ----------------------------------------------------------------- helpers
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _flagship_input(sf_dir: str, cap: int = 2000) -> str:
+    """Synthesize (cached) the web-pages table sized to the sf level."""
+    from credit_ocr_backend_ray.sources.synth import rows_for_sf, synthesize_pages
+    n = min(rows_for_sf(_sf_of(sf_dir)), cap)
+    return synthesize_pages(n)
+
+
+def _flagship_output(sf_dir: str, cap: int = 2000) -> list[str]:
+    """Run (or resume — several queries share one extraction via the
+    shard-group manifest) the flagship pipeline; return output files."""
+    from credit_ocr_backend_ray.pipelines.extraction import run_extraction
+
+    inp = _flagship_input(sf_dir, cap)
+    out = inp.replace("/webpages/", "/webpages_out/")
+    run_extraction(inp, out, n_groups=1)
+    return sorted(glob.glob(os.path.join(out, "group-*", "*.parquet")))
+
+
+# ----------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesized pages at sf0.001 scale -> full extraction."""
+    from credit_ocr_backend_ray.pipelines.extraction import build_extraction_ds
+    from credit_ocr_backend_ray.sources.synth import synthesize_pages
+
+    inp = synthesize_pages(500)
+    ds = build_extraction_ds(inp)
+    return ds.select_columns([
+        "url", "warc_ts", "lang", "n_bytes", "content_sha256",
+        "extracted_text", "n_lines", "n_pairs", "status", "error",
+    ])
+
+
+# ----------------------------------------------------------------- queries
+
+def _q_agg_pricing(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    out = grouped_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "l_quantity": "sum_qty",
+        "l_extendedprice": "sum_base",
+        "disc_price": "sum_disc_price",
+    })
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_qty"] = b["sum_qty"].round(2)
+        b["sum_base"] = b["sum_base"].round(2)
+        b["sum_disc_price"] = b["sum_disc_price"].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_filter_revenue(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cutoff = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        # NB: unrounded — the elementwise product is IEEE-deterministic and
+        # bit-identical across engines; pc.round differs from DuckDB/numpy
+        # rounding by 1 ulp on ~5% of values (measured), so never round
+        # oracle-matched columns with pyarrow.compute
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_shipdate"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import latest_per_key
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=[
+        "user_id", "event_id", "ts", "event_type", "value"])
+    return latest_per_key(ds, "user_id", ["ts", "event_id"])
+
+
+def _q_newest_orders(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return ds.sort(["o_orderdate", "o_orderkey"],
+                   descending=[True, False]).limit(100)
+
+
+def _q_customer_nation(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import broadcast_join
+
+    nation = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "n_name", "r_name"]].rename(
+        columns={"n_nationkey": "c_nationkey"})
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    out = broadcast_join(ds, dim, on="c_nationkey")
+    return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
+
+
+def _q_top_brands_revenue(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import broadcast_join, grouped_agg
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_partkey", "l_extendedprice", "l_discount"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b
+
+    joined = broadcast_join(ds.map_batches(derive, batch_format="pandas"),
+                            part, on="l_partkey")
+    out = grouped_agg(joined, ["p_brand"], {"disc_price": "revenue"},
+                      count_alias="n")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["revenue"].round(4)
+        return b
+
+    return (out.map_batches(fin, batch_format="pandas")
+               .sort(["revenue", "p_brand"], descending=[True, False])
+               .limit(5))
+
+
+def _q_dedup_exact_documents(sf_dir: str):
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import dedup_exact
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+             for x in t["text"].to_pylist()]
+        return t.append_column("text_hash", pa.array(h, pa.string()))
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = dedup_exact(ds, hash_col="text_hash", tie_col="doc_id")
+    return out.select_columns(["text_hash", "doc_id"])
+
+
+def _q_doc_text_stats(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import text_stats_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens", "n_digits"])
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import fingerprint_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_lang_counts(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    return grouped_agg(ds, ["lang"], {"n_chars": "sum_chars"},
+                       count_alias="n_docs")
+
+
+def _q_events_daily_window(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import windowed_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+    out = windowedagg = windowed_agg(ds, "ts", ["event_type"], "D",
+                                     {"value": "sum_value"})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(4)
+        b["window_start"] = b["window_start"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _knn_queries(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(_t(sf_dir, "embeddings")).to_pandas()
+    t = t.sort_values("vec_id").head(3)
+    return np.asarray(t["embedding"].tolist(), dtype=np.float64)
+
+
+def _q_knn_cosine(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import knn_bruteforce
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, _knn_queries(sf_dir), k=10)
+
+
+def _q_media_features(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import MediaFeatureExtractor
+
+    def to_media(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "media_id": pa.array([str(i) for i in t["doc_id"].to_pylist()],
+                                 pa.string()),
+            "media_type": pa.array(["image"] * len(texts), pa.string()),
+            "payload": pa.array([(x or "").encode("utf-8") for x in texts],
+                                pa.binary()),
+            "meta": pa.array(["{}"] * len(texts), pa.string()),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                            batch_size=64, concurrency=2)
+    return out.select_columns(["media_id", "sha256", "n_bytes"])
+
+
+# --------- non-SQL (rows-only) queries
+
+def _q_extract_flagship(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(_flagship_output(sf_dir))
+    return ds.select_columns([
+        "url", "content_sha256", "extracted_text", "n_lines", "n_pairs",
+        "status"])
+
+
+def _q_extract_fields_long(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(_flagship_output(sf_dir))
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, names, values, confs, valids = [], [], [], [], []
+        for url, fields in zip(t["url"].to_pylist(), t["fields"].to_pylist()):
+            for f in fields or []:
+                urls.append(url)
+                names.append(f["name"])
+                values.append(f["value"])
+                confs.append(f["confidence"])
+                valids.append(f["is_valid"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "confidence": pa.array(confs, pa.float64()),
+            "is_valid": pa.array(valids, pa.bool_()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_annotation_plans(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import PageAnnotator
+
+    ds = rd.read_parquet(_flagship_output(sf_dir),
+                         columns=["url", "fields"])
+    return ds.map_batches(PageAnnotator, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import lang_id_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "pred_lang"])
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import quality_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch,
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "quality"])
+
+
+def _planted_docs(sf_dir: str):
+    """documents + near-dup copies (doc_id+1e6, last two tokens dropped)
+    for every doc_id % 10 == 0 — deterministic recall fixture."""
+    import ray.data as rd
+
+    base = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).to_pandas()
+    mod = base[base["doc_id"] % 10 == 0].copy()
+    mod["doc_id"] = mod["doc_id"] + 1_000_000
+    mod["text"] = mod["text"].map(lambda t: " ".join(t.split()[:-2]))
+    return rd.from_pandas(pd.concat([base, mod], ignore_index=True))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from credit_ocr_backend_ray.stages.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(_planted_docs(sf_dir), threshold=0.8)
+    pairs["jaccard"] = pairs["jaccard"].round(4)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from credit_ocr_backend_ray.stages.dedup import simhash_candidates
+
+    return simhash_candidates(_planted_docs(sf_dir), max_hamming=3)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import embedding_near_dup
+
+    base = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).to_pandas()
+    mod = base[base["vec_id"] % 50 == 0].copy()
+    mod["vec_id"] = mod["vec_id"] + 1_000_000
+    mod["embedding"] = mod["embedding"].map(
+        lambda v: (np.asarray(v, dtype=np.float32) + 1e-3).tolist())
+    ds = rd.from_pandas(pd.concat([base, mod], ignore_index=True))
+    pairs = embedding_near_dup(ds, threshold=0.98)
+    if not pairs.empty:
+        pairs["cos"] = pairs["cos"].round(4)
+    return pairs
+
+
+def _q_knn_lsh(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import knn_lsh
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return knn_lsh(ds, _knn_queries(sf_dir), k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agg_pricing": _q_agg_pricing,
+        "filter_revenue": _q_filter_revenue,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "newest_orders": _q_newest_orders,
+        "customer_nation": _q_customer_nation,
+        "top_brands_revenue": _q_top_brands_revenue,
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "doc_text_stats": _q_doc_text_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lang_counts": _q_lang_counts,
+        "events_daily_window": _q_events_daily_window,
+        "knn_cosine": _q_knn_cosine,
+        "media_features": _q_media_features,
+        "extract_flagship": _q_extract_flagship,
+        "extract_fields_long": _q_extract_fields_long,
+        "annotation_plans": _q_annotation_plans,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "knn_lsh": _q_knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                FROM events) WHERE rn = 1
+        """,
+        "newest_orders": """
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+            FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100
+        """,
+        "customer_nation": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "top_brands_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 5
+        """,
+        "dedup_exact_documents": """
+            SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY sha256(text)
+        """,
+        "doc_text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fingerprint
+            FROM documents
+        """,
+        "lang_counts": """
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "events_daily_window": """
+            SELECT date_trunc('day', ts) AS window_start, event_type,
+                   round(sum(value), 4) AS sum_value, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT query_id, vec_id, cos FROM (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
+                               e.vec_id ASC) AS rn
+                FROM embeddings e CROSS JOIN q)
+            WHERE rn <= 10
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   sha256(text) AS sha256,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+    }

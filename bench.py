@@ -1,0 +1,141 @@
+"""Benchmark driver: headline extraction pipeline + operator queries.
+
+Plain run: one fresh Ray session at $RAY_GRAFT_CPUS (default 32) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1); prints ONE JSON line (last
+line of stdout):
+
+    {"metric": "e2e_extraction", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": N,
+     "docs": n, "docs_per_s": ..., "mb_per_s": ...}
+
+--scaling: runs the plain bench twice in fresh processes (num_cpus=8 then
+32) on the same input and prints both + efficiency = (T8/T32)/4; also
+appends the result to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import glob
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from credit_ocr_backend_ray.pipelines.extraction import (
+        ExtractionConfig, run_extraction)
+    from credit_ocr_backend_ray.sources.synth import rows_for_sf, synthesize_pages
+
+    sf = _sf_of(sf_dir)
+    n_rows = rows_for_sf(sf)
+    inp = synthesize_pages(n_rows)  # cached across runs; untimed
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.dataset as pads
+    files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
+    pads.dataset(files).count_rows()
+    in_bytes = sum(os.path.getsize(f) for f in files)
+
+    out_dir = f"/tmp/bench_out_c{num_cpus}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    summary = run_extraction(inp, out_dir, ExtractionConfig(), n_groups=1)
+    headline = time.perf_counter() - t0
+
+    queries = {}
+    import __ray_entry__ as e
+    import ray.data as rd
+    q = e.queries()
+    for name in ("agg_pricing", "latest_event_per_user",
+                 "dedup_exact_documents", "doc_text_stats", "knn_cosine",
+                 "dedup_minhash"):
+        try:
+            t = time.perf_counter()
+            res = q[name](sf_dir)
+            if isinstance(res, rd.Dataset):
+                res.count()  # consume the lazy plan
+            queries[name] = round(time.perf_counter() - t, 3)
+        except Exception as exc:  # keep the bench alive
+            queries[name] = f"error: {type(exc).__name__}"
+
+    ray.shutdown()
+    return {
+        "metric": "e2e_extraction",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs": summary["rows"],
+        "input_mb": round(in_bytes / 1e6, 1),
+        "docs_per_s": round(summary["rows"] / headline, 1),
+        "mb_per_s": round(in_bytes / 1e6 / headline, 2),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = sub(lo)
+    r_hi = sub(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "metric": "scaling",
+        "sf": r_lo["sf"],
+        "docs": r_lo["docs"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_s_{lo}": r_lo["docs_per_s"],
+        f"docs_per_s_{hi}": r_hi["docs_per_s"],
+        f"mb_per_s_{lo}": r_lo["mb_per_s"],
+        f"mb_per_s_{hi}": r_hi["mb_per_s"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open("BENCH/BASELINE.md", "a", encoding="utf-8") as f:
+        f.write(
+            f"\n## Scaling run {stamp} (sf={result['sf']}, "
+            f"{result['docs']} docs)\n\n"
+            f"| num_cpus | wall s | docs/s | MB/s |\n|---|---|---|---|\n"
+            f"| {lo} | {r_lo['value']} | {r_lo['docs_per_s']} | "
+            f"{r_lo['mb_per_s']} |\n"
+            f"| {hi} | {r_hi['value']} | {r_hi['docs_per_s']} | "
+            f"{r_hi['mb_per_s']} |\n\n"
+            f"Scaling efficiency (T{lo}/T{hi})/{hi // lo} = "
+            f"**{result['scaling_efficiency']}** (target >= 0.8)\n")
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -78,7 +78,8 @@ def simhash64(text: str) -> int:
         return 0
     hashes = np.array([_hash64(t) for t in toks], dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = bits.sum(axis=0) * 2 - len(toks)
+    # signed arithmetic: uint64 subtraction would wrap below zero
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
     out = np.uint64(0)
     for k in range(64):
         if votes[k] > 0:

@@ -72,10 +72,13 @@ def dedup_exact(ds: "rd.Dataset", hash_col: str,
 
 # ---------------------------------------------------------------- minhash
 
+_BAND_SHARDS = 64  # shuffle granularity: bands x shards parallel units
+
+
 def add_minhash(batch: pa.Table, text_col: str = "text",
                 id_col: str = "doc_id", bands: int = 16) -> pa.Table:
-    """(id, band_id, band_key) exploded rows — bands*n output rows of three
-    small columns; the LSH shuffle moves only these."""
+    """(id, band_id, band_key, shard) exploded rows — bands*n output rows of
+    small columns; the LSH shuffle moves only these, never text."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     out_id, out_band, out_key = [], [], []
@@ -85,26 +88,32 @@ def add_minhash(batch: pa.Table, text_col: str = "text",
             out_id.append(i)
             out_band.append(b)
             out_key.append(bk)
+    key_arr = np.array(out_key, dtype=np.uint64)
     return pa.table({
         id_col: pa.array(out_id, pa.int64()),
         "band_id": pa.array(out_band, pa.int32()),
-        "band_key": pa.array(out_key, pa.uint64()),
+        "band_key": pa.array(key_arr, pa.uint64()),
+        "shard": pa.array((key_arr % _BAND_SHARDS).astype(np.int32), pa.int32()),
     })
 
 
-def _bucket_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    ids = sorted(set(g[id_col].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64")})
-    a, b = [], []
-    # buckets are tiny by construction; cap blowup from a degenerate hot
-    # bucket (salting alternative documented in SURVEY §2.7)
-    for i in range(min(len(ids), 200)):
-        for j in range(i + 1, min(len(ids), 200)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
+def _shard_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All in-bucket pairs for one (band_id, shard) group — pandas groupby
+    over band_key inside, so Ray sees few coarse groups instead of millions
+    of tiny ones (map_groups-per-bucket measured 20x slower)."""
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for _, bucket in g.groupby("band_key", sort=False):
+        ids = sorted(set(bucket[id_col].tolist()))
+        # cap blowup from a degenerate hot bucket (salt in a later pass if
+        # a real corpus ever hits this)
+        ids = ids[:200]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                         "id_b": pd.Series(b_out, dtype="int64")})
 
 
 def minhash_candidate_pairs(ds: "rd.Dataset", text_col: str = "text",
@@ -112,10 +121,21 @@ def minhash_candidate_pairs(ds: "rd.Dataset", text_col: str = "text",
     sig = ds.map_batches(
         lambda b: add_minhash(b, text_col=text_col, id_col=id_col, bands=bands),
         batch_format="pyarrow")
-    pairs = sig.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = sig.groupby(["band_id", "shard"]).map_groups(
+        lambda g: _shard_pairs(g, id_col), batch_format="pandas")
+
+    # dedup cross-band duplicates: one more COARSE shuffle (256 pair-shards),
+    # drop_duplicates vectorized inside each
+    def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b["pair_shard"] = ((b["id_a"] * 31 + b["id_b"]) % 256).astype("int32")
+        return b
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    return (pairs.map_batches(add_pair_shard, batch_format="pandas")
+                 .groupby("pair_shard")
+                 .map_groups(dedup_pairs, batch_format="pandas"))
 
 
 def minhash_dedup_pairs(ds: "rd.Dataset", text_col: str = "text",
@@ -167,36 +187,57 @@ def add_simhash(batch: pa.Table, text_col: str = "text",
     ids = batch[id_col]
     sh = [simhash64(t or "") for t in batch[text_col].to_pylist()]
     arr = np.array(sh, dtype=np.uint64)
-    tbl = {id_col: ids, "simhash": pa.array(arr, pa.uint64())}
-    # 4x16-bit chunks: two docs within hamming distance 3 share >=1 chunk
-    for c in range(4):
-        chunk = (arr >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-        tbl[f"sim_chunk{c}"] = pa.array(chunk.astype(np.int64), pa.int64())
-    return pa.table(tbl)
+    return pa.table({id_col: ids, "simhash": pa.array(arr, pa.uint64())})
 
 
 def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits: explode each signature
+    into its 4 16-bit chunk keys (two signatures within distance 3 share at
+    least one chunk), ONE coarse shuffle over (chunk_id, shard), vectorized
+    in-bucket verification."""
     sigs = ds.map_batches(
         lambda b: add_simhash(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow")
-    frames = []
-    for c in range(4):
-        def chunk_pairs(g: pd.DataFrame, c=c) -> pd.DataFrame:
-            rows = sorted(zip(g[id_col], g["simhash"]))
-            a, b, h = [], [], []
-            for i in range(min(len(rows), 200)):
-                for j in range(i + 1, min(len(rows), 200)):
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        sh = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        out_id, out_sh, out_chunk, out_key = [], [], [], []
+        for c in range(4):
+            key = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_id.append(ids)
+            out_sh.append(sh)
+            out_chunk.append(np.full(len(ids), c, dtype=np.int32))
+            out_key.append(key)
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "simhash": pa.array(np.concatenate(out_sh), pa.uint64()),
+            "chunk_id": pa.array(np.concatenate(out_chunk), pa.int32()),
+            "chunk_key": pa.array(np.concatenate(out_key), pa.int64()),
+            "shard": pa.array(np.concatenate(out_key) % _BAND_SHARDS,
+                              pa.int32()),
+        })
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, h = [], [], []
+        for _, bucket in g.groupby("chunk_key", sort=False):
+            rows = sorted(set(zip(bucket[id_col].astype("int64"),
+                                  bucket["simhash"].astype("uint64"))))
+            rows = rows[:200]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
                     d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
                     if d <= max_hamming:
                         a.append(rows[i][0]); b.append(rows[j][0]); h.append(d)
-            return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                                 "id_b": pd.Series(b, dtype="int64"),
-                                 "hamming": pd.Series(h, dtype="int64")})
-        frames.append(
-            sigs.groupby(f"sim_chunk{c}")
-                .map_groups(chunk_pairs, batch_format="pandas").to_pandas())
-    allp = pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(h, dtype="int64")})
+
+    allp = (sigs.map_batches(explode_chunks, batch_format="pyarrow")
+                .groupby(["chunk_id", "shard"])
+                .map_groups(shard_pairs, batch_format="pandas")
+                .to_pandas())
     if allp.empty:
         return allp
     return (allp.sort_values(["id_a", "id_b"])

@@ -1,0 +1,193 @@
+"""Ray-level tests: E2E extraction byte-identity, resume, dedup, joins,
+similarity. One shared Ray session (conftest)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+N_PAGES = 120
+PAGES_BASE = "/tmp/test_webpages"
+
+
+@pytest.fixture(scope="session")
+def pages_dir(ray_session):
+    from credit_ocr_backend_ray.sources.synth import synthesize_pages
+    return synthesize_pages(N_PAGES, base=PAGES_BASE)
+
+
+def test_extraction_matches_oracle_byte_identical(ray_session, pages_dir):
+    from credit_ocr_backend_ray.pipelines.extraction import build_extraction_ds
+    from credit_ocr_backend_ray.pipelines.oracle import oracle_extract
+
+    df = build_extraction_ds(pages_dir).to_pandas()
+    oracle = oracle_extract(pages_dir)
+    assert len(df) == N_PAGES
+    for _, row in df.iterrows():
+        o = oracle[row["url"]]
+        assert row["extracted_text"] == o["extracted_text"]  # byte identity
+        got = [(f["name"], f["value"], f["confidence"], f["is_valid"],
+                tuple(f["errors"] if f["errors"] is not None else []))
+               for f in row["fields"]]
+        want = [(f["name"], f["value"], f["confidence"], f["is_valid"],
+                 tuple(f["errors"] if f["errors"] is not None else []))
+                for f in o["fields"]]
+        assert got == want
+        assert list(row["missing_fields"]) == o["missing_fields"]
+
+
+def test_article_pages_all_fields_missing(ray_session, pages_dir):
+    from credit_ocr_backend_ray.pipelines.extraction import build_extraction_ds
+
+    df = build_extraction_ds(pages_dir).to_pandas()
+    articles = df[df["url"].str.endswith("/artikel")]
+    assert len(articles) > 0
+    assert (articles["missing_fields"].map(len) == 22).all()
+    forms = df[df["url"].str.endswith("/antrag")]
+    assert (forms["missing_fields"].map(len) == 0).all()
+
+
+def test_run_extraction_resume_and_lineage(ray_session, pages_dir, tmp_path):
+    from credit_ocr_backend_ray.pipelines.extraction import run_extraction
+
+    out = str(tmp_path / "out")
+    s1 = run_extraction(pages_dir, out, n_groups=1)
+    assert s1["rows"] == N_PAGES and s1["groups_run"] == 1
+    s2 = run_extraction(pages_dir, out, n_groups=1)
+    assert s2["groups_skipped"] == 1 and s2["groups_run"] == 0
+
+    import pyarrow.dataset as pads
+    lineage = pads.dataset(
+        glob.glob(os.path.join(out, "group-*/_lineage/*.parquet"))
+    ).to_table().to_pandas()
+    assert lineage["rows"].sum() == N_PAGES
+    assert set(lineage.columns) >= {"part_id", "rows", "payload_bytes",
+                                    "lines", "errors", "max_payload_bytes"}
+
+
+def test_incomplete_group_is_wiped_and_redone(ray_session, pages_dir, tmp_path):
+    from credit_ocr_backend_ray.pipelines.extraction import run_extraction
+    from credit_ocr_backend_ray.state.manifest import RunManifest
+
+    out = str(tmp_path / "out2")
+    run_extraction(pages_dir, out, n_groups=1)
+    # simulate a crash: group dir exists but manifest lost its entry
+    m = RunManifest(out)
+    key = next(iter(m.entries))
+    gdir = m.group_dir(key)
+    os.remove(m.path)
+    assert os.path.exists(gdir)
+    s = run_extraction(pages_dir, out, n_groups=1)
+    assert s["groups_run"] == 1  # redone from scratch
+    assert s["rows"] == N_PAGES
+
+
+def test_dedup_latest(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import dedup_latest
+
+    df = pd.DataFrame({
+        "url": ["a", "a", "b", "b", "b", "c"],
+        "warc_ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-03", "2024-01-02", "2024-01-05",
+             "2024-01-04", "2024-01-01"]),
+        "payload": list("123456"),
+    })
+    for strict in (False, True):
+        out = dedup_latest(rd.from_pandas(df), key="url",
+                           order_col="warc_ts", strict=strict).to_pandas()
+        got = dict(zip(out["url"], out["payload"]))
+        assert got == {"a": "2", "b": "4", "c": "6"}, f"strict={strict}"
+
+
+def test_grouped_agg_matches_pandas(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 1000),
+                       "v": rng.random(1000)})
+    out = grouped_agg(rd.from_pandas(df).repartition(8), ["k"],
+                      {"v": "sum_v"}).to_pandas().sort_values("k")
+    want = df.groupby("k", as_index=False).agg(
+        sum_v=("v", "sum"), n=("v", "size")).sort_values("k")
+    assert np.allclose(out["sum_v"].values, want["sum_v"].values)
+    assert (out["n"].values == want["n"].values).all()
+
+
+def test_latest_per_key_tie_break(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import latest_per_key
+
+    df = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02"]),
+        "id": [5, 9, 1],
+    })
+    out = latest_per_key(rd.from_pandas(df), "k",
+                         ["ts", "id"]).to_pandas().sort_values("k")
+    assert out["id"].tolist() == [9, 1]  # tie on ts -> larger id wins
+
+
+def test_knn_bruteforce_exact(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": [v.tolist() for v in vecs]})
+    q = vecs[:2].astype(np.float64)
+    out = knn_bruteforce(rd.from_pandas(df).repartition(4), q, k=5,
+                         round_to=None)
+    # numpy exact reference
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for qi in range(2):
+        want = set(np.argsort(-sims[:, qi])[:5].tolist())
+        got = set(out[out["query_id"] == qi]["vec_id"].tolist())
+        assert got == want
+        # self is the top hit
+        top = out[out["query_id"] == qi].iloc[0]
+        assert top["vec_id"] == qi and top["cos"] >= 0.999999
+
+
+def test_minhash_planted_dups_found(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import (
+        cluster_pairs, minhash_dedup_pairs)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(40)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    # plant near-dups: copy docs 0-4 with last token dropped
+    for i in range(5):
+        rows.append({"doc_id": 100 + i,
+                     "text": " ".join(texts[i].split()[:-1])})
+    pairs = minhash_dedup_pairs(rd.from_items(rows), threshold=0.8)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in found
+    reps = cluster_pairs(pairs)
+    for i in range(5):
+        assert reps[100 + i] == i
+
+
+def test_prepass_part_id_stable(ray_session):
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.prepass import part_id_for_url, prepass_batch
+
+    t = pa.table({"url": ["u1", "u2"], "html": [b"x", b"yy"]})
+    out = prepass_batch(t, num_parts=16)
+    assert out["part_id"].to_pylist() == [part_id_for_url("u1", 16),
+                                          part_id_for_url("u2", 16)]
+    assert out["n_bytes"].to_pylist() == [1, 2]
+    assert out["content_sha256"][0].as_py() == (
+        "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
