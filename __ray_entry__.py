@@ -216,7 +216,8 @@ def _q_doc_text_stats(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens", "n_digits"])
+    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens",
+                               "n_bpe_tokens", "n_digits"])
 
 
 def _q_doc_fingerprint(sf_dir: str):
@@ -243,8 +244,7 @@ def _q_events_daily_window(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])
-    out = windowedagg = windowed_agg(ds, "ts", ["event_type"], "D",
-                                     {"value": "sum_value"})
+    out = windowed_agg(ds, "ts", ["event_type"], "D", {"value": "sum_value"})
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b["sum_value"] = b["sum_value"].round(4)
@@ -252,6 +252,116 @@ def _q_events_daily_window(sf_dir: str):
         return b
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_orders_lineitem_join(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import shuffle_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority"])
+    out = shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                               "o_orderpriority"])
+
+
+def _q_supplier_acctbal_stats(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_nationkey", "s_acctbal"])
+    out = grouped_stats(ds, ["s_nationkey"], "s_acctbal", alias="acctbal")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_acctbal"] = b["sum_acctbal"].round(2)
+        b["avg_acctbal"] = b["avg_acctbal"].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_top_orders_per_priority(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import topk_per_group
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+        "o_orderpriority", "o_orderkey", "o_totalprice"])
+    return topk_per_group(ds, "o_orderpriority",
+                          ["o_totalprice", "o_orderkey"], k=3,
+                          ascending=[False, True])
+
+
+def _q_sessionize_events(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import sessionize
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    out = sessionize(ds, "user_id", "ts", gap_s=4 * 3600,
+                     tie_col="event_id", value_col="value")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(4)
+        b["session_start"] = b["session_start"].astype("datetime64[us]")
+        b["session_end"] = b["session_end"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_asof_latest_order(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import asof_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts"])
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    out = asof_join(ev, od, left_key="user_id", right_key="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate",
+                    left_cols=["event_id"],
+                    right_cols=["o_orderkey", "o_orderdate"])
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"__key": "user_id", "__ts": "ts"})
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b["o_orderdate"] = b["o_orderdate"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def _q_distinct_event_types(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return distinct(ds, ["event_type"])
+
+
+def _q_union_hot_lineitems(sf_dir: str):
+    import ray.data as rd
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            "l_discount"]
+
+    def tag(src: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[["l_orderkey", "l_linenumber"]].copy()
+            out["src"] = src
+            return out
+        return fn
+
+    a = (rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+           .filter(expr="l_returnflag == 'R' and l_quantity > 45")
+           .map_batches(tag("a"), batch_format="pandas"))
+    b = (rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+           .filter(expr="l_discount > 0.09 and l_quantity < 5")
+           .map_batches(tag("b"), batch_format="pandas"))
+    return a.union(b)
 
 
 def _knn_queries(sf_dir: str) -> np.ndarray:
@@ -372,6 +482,24 @@ def _planted_docs(sf_dir: str):
     return rd.from_pandas(pd.concat([base, mod], ignore_index=True))
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from credit_ocr_backend_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_planted_docs(sf_dir), threshold=0.8)
+    if not pairs.empty:
+        pairs["jaccard"] = pairs["jaccard"].round(4)
+    return pairs
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import knn_ivf
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return knn_ivf(ds, _knn_queries(sf_dir), k=10)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from credit_ocr_backend_ray.stages.dedup import minhash_dedup_pairs
 
@@ -420,6 +548,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "newest_orders": _q_newest_orders,
         "customer_nation": _q_customer_nation,
         "top_brands_revenue": _q_top_brands_revenue,
+        "orders_lineitem_join": _q_orders_lineitem_join,
+        "supplier_acctbal_stats": _q_supplier_acctbal_stats,
+        "top_orders_per_priority": _q_top_orders_per_priority,
+        "sessionize_events": _q_sessionize_events,
+        "asof_latest_order": _q_asof_latest_order,
+        "distinct_event_types": _q_distinct_event_types,
+        "union_hot_lineitems": _q_union_hot_lineitems,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "doc_text_stats": _q_doc_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -434,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_lsh": _q_knn_lsh,
     }
@@ -479,6 +616,62 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 5
         """,
+        "orders_lineitem_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "supplier_acctbal_stats": """
+            SELECT s_nationkey,
+                   round(sum(s_acctbal), 2) AS sum_acctbal,
+                   count(*) AS n,
+                   min(s_acctbal) AS min_acctbal,
+                   max(s_acctbal) AS max_acctbal,
+                   round(avg(s_acctbal), 4) AS avg_acctbal
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+                FROM orders) WHERE rn <= 3
+        """,
+        "sessionize_events": """
+            WITH m AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM m)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "asof_latest_order": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "union_hot_lineitems": """
+            SELECT l_orderkey, l_linenumber, 'a' AS src FROM lineitem
+            WHERE l_returnflag = 'R' AND l_quantity > 45
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'b' AS src FROM lineitem
+            WHERE l_discount > 0.09 AND l_quantity < 5
+        """,
         "dedup_exact_documents": """
             SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY sha256(text)
@@ -487,6 +680,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text) AS n_chars_calc,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                       AS n_bpe_tokens,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
             FROM documents
         """,

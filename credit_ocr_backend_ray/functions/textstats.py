@@ -42,6 +42,20 @@ def token_count(text: str) -> int:
     return len(tokens(text))
 
 
+# GPT-2-style pre-tokenizer regex (public pattern family), restricted to
+# RE2-compatible syntax (no lookahead) so DuckDB's regexp_extract_all
+# produces the identical token stream for the SQL oracle
+_BPE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+BPE_SQL_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_count(text: str) -> int:
+    """BPE-ish subword-boundary token count (GPT-2 pre-tokenizer shape)."""
+    return len(_BPE.findall(text))
+
+
 def char_stats(text: str) -> tuple[int, int, int, int]:
     """(n_chars, n_digits, n_upper, n_punct)."""
     n_digit = sum(ch.isdigit() for ch in text)

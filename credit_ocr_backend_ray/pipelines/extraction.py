@@ -51,7 +51,19 @@ def _pool_size(requested: int | None) -> int:
         return requested
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus - 2)  # leave headroom for read/write tasks
+    # cpus-2: leave exactly two scheduler slots for read/write tasks. Swept
+    # on 32 CPUs / 100k pages (column-pruned read, per-shard blocks):
+    # 24 actors -> 2256 docs/s, 28 -> 2597, 30 -> 3221, 31+ -> starvation
+    # crawl (zero slots left, pipeline advances only via backpressure).
+    return max(2, cpus - 2)
+
+
+def _resolve_files(paths: list[str] | str) -> list[str]:
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            return sorted(glob.glob(os.path.join(paths, "*.parquet")))
+        return [paths]
+    return list(paths)
 
 
 def build_extraction_ds(paths: list[str] | str,
@@ -59,7 +71,18 @@ def build_extraction_ds(paths: list[str] | str,
     """The lazy extraction plan (no sink) — shared by entry(), queries(),
     tests and the writer below."""
     cfg = cfg or ExtractionConfig()
-    ds = rd.read_parquet(paths)
+    files = _resolve_files(paths)
+    # one read block per shard: letting Ray re-slice multi-MB-binary blocks
+    # (SplitBlocks) serializes the whole backing buffer per slice — measured
+    # 300+ CPU-s of pure overhead on a 0.8 GB input. Shard size (synth
+    # ROWS_PER_FILE, ~20 MB) is the block-size knob; at 100 TB the same rule
+    # holds per input shard, with oversized shards handled by
+    # target_max_block_size dynamic splitting after the extract stage.
+    # prune at the read: the extraction path never touches the pre-extracted
+    # `text` column, so don't decode or ship it (input_hint schema keeps it
+    # for other consumers)
+    ds = rd.read_parquet(files, override_num_blocks=max(len(files), 1),
+                         columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(make_prepass(cfg.num_parts), batch_format="pyarrow")
     if cfg.dedup:
         from credit_ocr_backend_ray.stages.dedup import dedup_latest
@@ -83,13 +106,7 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
                    n_groups: int = 1) -> dict:
     """Execute with shard-group checkpointing; returns a run summary."""
     cfg = cfg or ExtractionConfig()
-    if isinstance(input_paths, str):
-        if os.path.isdir(input_paths):
-            files = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
-        else:
-            files = [input_paths]
-    else:
-        files = list(input_paths)
+    files = _resolve_files(input_paths)
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = RunManifest(out_dir)

@@ -15,8 +15,12 @@ generates identical rows (FIXTURES.md §5):
   ``html`` column (sniffed by leading ``{``) replicating the reference's
   two-column credit-form geometry (labels x=0.5, values x=3.0, Δy=0.01 —
   /root/reference/tests/test_field_extraction.py:154-201);
-- 1/500 rows oversized (~100x filler paragraphs) to exercise size-bucketed
-  skew handling; ``text`` is NULL for 20% of rows.
+- every page wrapped in realistic Common-Crawl-weight chrome (~20 KB of
+  script/style filler, link-farm nav/sidebar, comments, related-links
+  widgets — deterministic low-compressibility LCG tokens) so per-doc
+  extraction cost matches real web pages, not toy fixtures;
+- 1/500 rows oversized (~300 filler paragraphs, ~130 KB) to exercise
+  size-bucketed skew handling; ``text`` is NULL for 20% of rows.
 
 Generation is itself a Ray Data job (``range(n) -> map_batches``) writing
 partitioned Parquet, so building bench inputs scales with the cluster.
@@ -108,11 +112,73 @@ def form_rows(i: int) -> list[tuple[str, str]]:
 
 _BOILERPLATE_NAV = (
     '<nav class="navbar"><ul>'
-    + "".join(f'<li><a href="/s{k}">Rubrik {k}</a></li>' for k in range(12))
+    + "".join(f'<li><a href="/s{k}">Rubrik {k}</a></li>' for k in range(40))
     + "</ul></nav>"
 )
 _COOKIE = ('<div class="cookie-banner">Diese Website verwendet Cookies. '
            '<a href="/consent">Zustimmen</a> <a href="/decline">Ablehnen</a></div>')
+
+# Realistic Common-Crawl page weight: raw pages average tens of KB, most of
+# it markup/script/style noise the extractor must wade through. The fillers
+# below are deterministic in i and low-compressibility (LCG hex tokens) so
+# on-disk parquet bytes track raw page weight.
+
+_STYLE = ("<style>" + "".join(
+    f".c{k}{{margin:{k % 9}px;padding:{k % 7}px;color:#{k * 2654435761 % 0xFFFFFF:06x}}}"
+    for k in range(120)) + "</style>")
+
+
+def _lcg_hex(seed: int, n_tokens: int) -> list[str]:
+    x = (seed * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(n_tokens):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append(f"{x:016x}")
+    return out
+
+
+def _js_block(i: int, n_tokens: int = 400) -> str:
+    toks = _lcg_hex(i * 2 + 1, n_tokens)
+    body = ";".join(f"var v{k}='{t}'" for k, t in enumerate(toks))
+    return f'<script type="text/javascript">{body};</script>'
+
+
+def _sidebar(i: int) -> str:
+    links = "".join(
+        f'<li><a href="/t/{t[:10]}">Thema {t[:6]}</a></li>'
+        for t in _lcg_hex(i * 3 + 2, 30))
+    return f'<aside class="sidebar"><ul>{links}</ul></aside>'
+
+
+def _comments(i: int) -> str:
+    cs = "".join(
+        f'<div class="comment"><span>user-{t[:8]}</span><p>Sehr interessant, '
+        f"Beitrag {t[8:12]} dazu.</p></div>"
+        for t in _lcg_hex(i * 5 + 3, 10))
+    return f'<div class="comments social">{cs}</div>'
+
+
+def _related(i: int) -> str:
+    links = "".join(
+        f'<li><a href="/r/{t[:12]}">Weiterlesen {t[:6]}</a></li>'
+        for t in _lcg_hex(i * 7 + 4, 20))
+    return f'<div class="related promo"><ul>{links}</ul></div>'
+
+
+def _page_chrome(i: int) -> tuple[str, str]:
+    """(head+top boilerplate, bottom boilerplate) around the main content."""
+    top = (
+        f"<html><head><title>Portal</title>{_STYLE}{_js_block(i)}</head><body>"
+        f"{_js_block(i + 1, 300)}{_BOILERPLATE_NAV}"
+        f"<header><h1>Portal</h1></header>{_COOKIE}{_sidebar(i)}"
+    )
+    bottom = (
+        f"{_comments(i)}{_related(i)}"
+        '<footer class="footer"><a href="/imprint">Impressum</a> '
+        '<a href="/privacy">Datenschutz</a></footer>'
+        f"{_js_block(i + 2, 200)}</body></html>"
+    )
+    return top, bottom
 
 
 def _article_paras(i: int, n_paras: int) -> list[str]:
@@ -129,28 +195,22 @@ def _form_html(i: int) -> str:
     table = "".join(
         f"<tr><td>{label}</td><td>{value}</td></tr>" for label, value in rows
     )
-    intro = " ".join(_article_paras(i, 1))
+    intro = "".join(f"<p>{p}</p>" for p in _article_paras(i, 8))
     filler = ""
     if i % 500 == 137:  # oversized skew tail
-        filler = "".join(f"<p>{p}</p>" for p in _article_paras(i, 100))
+        filler = "".join(f"<p>{p}</p>" for p in _article_paras(i, 300))
+    top, bottom = _page_chrome(i)
     return (
-        "<html><head><title>Kreditantrag</title></head><body>"
-        f"{_BOILERPLATE_NAV}<header><h1>Portal</h1></header>{_COOKIE}"
-        f"<main><h1>Kreditantrag Gewerbeimmobilie</h1><p>{intro}</p>"
-        f"<table>{table}</table>{filler}</main>"
-        '<footer class="footer"><a href="/imprint">Impressum</a> '
-        '<a href="/privacy">Datenschutz</a></footer></body></html>'
+        f"{top}<main><h1>Kreditantrag Gewerbeimmobilie</h1>{intro}"
+        f"<table>{table}</table>{filler}</main>{bottom}"
     )
 
 
 def _article_html(i: int) -> str:
-    paras = "".join(f"<p>{p}</p>" for p in _article_paras(i, 6))
+    paras = "".join(f"<p>{p}</p>" for p in _article_paras(i, 40))
+    top, bottom = _page_chrome(i)
     return (
-        "<html><body>"
-        f"{_BOILERPLATE_NAV}<header><h1>Portal</h1></header>{_COOKIE}"
-        f"<main><h1>Marktbericht {i % 50}</h1>{paras}</main>"
-        '<footer class="footer"><a href="/imprint">Impressum</a></footer>'
-        "</body></html>"
+        f"{top}<main><h1>Marktbericht {i % 50}</h1>{paras}</main>{bottom}"
     )
 
 
@@ -189,7 +249,7 @@ def _layout_doc(i: int) -> str:
 
 
 def rows_for_sf(sf: float) -> int:
-    return max(int(round(sf * 500_000)), 100)
+    return max(int(round(sf * 1_000_000)), 100)
 
 
 def page_row(i: int) -> dict:
@@ -229,8 +289,17 @@ def pages_batch(batch: dict) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
 
 
+_GEN_VERSION = 2  # bump when page content changes so stale caches miss
+
+
 def pages_parquet_path(n_rows: int, base: str = "/tmp/webpages") -> str:
-    return os.path.join(base, f"n{n_rows}")
+    return os.path.join(base, f"n{n_rows}v{_GEN_VERSION}")
+
+
+ROWS_PER_FILE = 512  # ~20 MB raw per shard: one read task = one block, so
+                     # no SplitBlocks re-slicing (a sliced block of this
+                     # table serializes its whole ~80 MB backing buffer —
+                     # measured; shard size IS the block size knob here)
 
 
 def synthesize_pages(n_rows: int, base: str = "/tmp/webpages",
@@ -243,8 +312,9 @@ def synthesize_pages(n_rows: int, base: str = "/tmp/webpages",
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker) and not force:
         return out
-    ds = rd.range(n_rows).map_batches(pages_batch, batch_format="pyarrow",
-                                      batch_size=2048)
+    n_files = max(1, -(-n_rows // ROWS_PER_FILE))
+    ds = rd.range(n_rows, override_num_blocks=n_files).map_batches(
+        pages_batch, batch_format="pyarrow", batch_size=None)
     os.makedirs(out, exist_ok=True)
     ds.write_parquet(out)
     with open(marker, "w") as f:

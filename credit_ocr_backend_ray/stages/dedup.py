@@ -31,7 +31,8 @@ import ray.data as rd
 from ray.data.aggregate import Max
 
 from credit_ocr_backend_ray.functions.hashing import (
-    jaccard, minhash_bands, minhash_signature, simhash64,
+    jaccard, minhash_bands, minhash_signature_from_hashes,
+    shingle_hashes_batch, simhash64,
 )
 
 
@@ -81,9 +82,10 @@ def add_minhash(batch: pa.Table, text_col: str = "text",
     small columns; the LSH shuffle moves only these, never text."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
+    hashes = shingle_hashes_batch(texts)  # ONE vectorized hash call/batch
     out_id, out_band, out_key = [], [], []
-    for i, t in zip(ids, texts):
-        keys = minhash_bands(minhash_signature(t or ""), bands=bands)
+    for i, h in zip(ids, hashes):
+        keys = minhash_bands(minhash_signature_from_hashes(h), bands=bands)
         for b, bk in enumerate(keys):
             out_id.append(i)
             out_band.append(b)
@@ -178,6 +180,68 @@ def cluster_pairs(pairs: pd.DataFrame) -> dict[int, int]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in list(parent)}
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(ds: "rd.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.8,
+                        bottom_k: int = 8, n: int = 3) -> pd.DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via bottom-k sketch blocking:
+    each doc's blocking keys are the ``bottom_k`` smallest shingle hashes
+    (a pair with J >= t shares a bottom-k key with prob ~1-(1-t)^k); one
+    coarse shuffle over (key-shard), in-bucket candidate pairs, then exact
+    Jaccard over the full shingle sets. Distinct from MinHash banding: no
+    permutation bank, and the verify step is the true Jaccard, so there are
+    no false positives by construction."""
+    def add_blocks(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        hashes = shingle_hashes_batch(texts, n)
+        out_id, out_key = [], []
+        for i, hs in zip(ids, hashes):
+            for h in np.sort(hs)[:bottom_k]:
+                out_id.append(i)
+                out_key.append(int(h))
+        key_arr = np.array(out_key, dtype=np.uint64)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "band_id": pa.array(np.zeros(len(out_id), dtype=np.int32)),
+            "band_key": pa.array(key_arr, pa.uint64()),
+            "shard": pa.array((key_arr % _BAND_SHARDS).astype(np.int32)),
+        })
+
+    blocks = ds.map_batches(add_blocks, batch_format="pyarrow")
+    pairs = blocks.groupby(["band_id", "shard"]).map_groups(
+        lambda g: _shard_pairs(g, id_col), batch_format="pandas")
+
+    def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b["pair_shard"] = ((b["id_a"] * 31 + b["id_b"]) % 256).astype("int32")
+        return b
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cands = (pairs.map_batches(add_pair_shard, batch_format="pandas")
+                  .groupby("pair_shard")
+                  .map_groups(dedup_pairs, batch_format="pandas"))
+
+    texts = {r[id_col]: r[text_col] for r in
+             ds.select_columns([id_col, text_col]).iter_rows()}
+    ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        ja = [jaccard(t.get(a, "") or "", t.get(b, "") or "", n)
+              for a, b in zip(batch["id_a"].to_pylist(),
+                              batch["id_b"].to_pylist())]
+        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+
+    out = cands.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return out
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------- simhash

@@ -10,22 +10,33 @@ scale-conscious shapes:
   partials, not rows.
 - ``broadcast_join``: the small side is put in the object store ONCE
   (``ray.put``) and merged per batch — no shuffle (reference J1).
-- ``latest_per_key``: groupby + per-group sort/head with a total tie-break
-  (reference J4).
+- ``latest_per_key`` / ``topk_per_group``: groupby + per-group sort/head
+  with a total tie-break (reference J4 generalized).
 - ``windowed_agg``: event-time tumbling windows as a derived window key +
   grouped aggregate (Ray Data has no event-time machinery; SURVEY §2.9).
+- ``shuffle_join``: large-large hash-shuffle join via ``Dataset.join``
+  (both sides too big to broadcast; the one all-to-all the plan pays).
+- ``grouped_stats``: sum/avg/min/max/count per key, combiner-style.
+- ``sessionize``: gap-based session windows — hash-partition by user, one
+  per-group sorted linear scan (the streaming-window analogue, SURVEY §2.9).
+- ``asof_join``: backward as-of join (nearest earlier right row per left
+  row) via aligned-schema union + one co-grouping shuffle + per-group
+  ``searchsorted`` — no Ray Data primitive exists for this; the
+  partitioning assumption is that one key's rows fit a worker.
+- ``distinct``: grouped Count projected back to the key columns.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
@@ -89,3 +100,163 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
 
     windowed = ds.map_batches(add_window, batch_format="pandas")
     return grouped_agg(windowed, ["window_start", *keys], sum_cols)
+
+
+def shuffle_join(left: "rd.Dataset", right: "rd.Dataset", on: str,
+                 right_on: str | None = None, join_type: str = "inner",
+                 num_partitions: int = 32) -> "rd.Dataset":
+    """Large-large hash-shuffle join (``Dataset.join``). Both sides are
+    hash-partitioned on the key — use ``broadcast_join`` whenever one side
+    fits in the object store; this is for the fact-fact case (e.g.
+    lineitem x orders). ``num_partitions`` is the shuffle fan-out: size it
+    to cluster cores at small scale, to blocks-per-core x nodes at 100 TB."""
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on or on,))
+
+
+def grouped_stats(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                  alias: str | None = None) -> "rd.Dataset":
+    """Per-key count/sum/avg/min/max of ``col``, combiner-style: one
+    partial row per key per batch crosses the shuffle, avg derived from
+    (sum, count) after the final combine."""
+    keys = list(keys)
+    a = alias or col
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(keys, as_index=False, sort=False).agg(
+            __s=(col, "sum"), __n=(col, "size"),
+            __mn=(col, "min"), __mx=(col, "max"))
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(
+        Sum("__s", alias_name=f"sum_{a}"),
+        Sum("__n", alias_name="n"),
+        Min("__mn", alias_name=f"min_{a}"),
+        Max("__mx", alias_name=f"max_{a}"),
+    )
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b[f"avg_{a}"] = b[f"sum_{a}"] / b["n"]
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def topk_per_group(ds: "rd.Dataset", key: str, order_cols: list[str], k: int,
+                   ascending: list[bool] | None = None) -> "rd.Dataset":
+    """Top-k rows per key (reference J4's ORDER BY ... LIMIT 1 generalized
+    to LIMIT k). ``order_cols`` must end in a unique tie-break column so the
+    cut is deterministic."""
+    asc = ascending if ascending is not None else [False] * len(order_cols)
+
+    def headk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, ascending=asc).head(k)
+
+    return ds.groupby(key).map_groups(headk, batch_format="pandas")
+
+
+def sessionize(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
+               tie_col: str, value_col: str) -> "rd.Dataset":
+    """Gap-based sessionization: one shuffle on ``key``, then a sorted
+    linear scan per group — a new session starts when the gap to the
+    previous event exceeds ``gap_s`` seconds. Emits one row per session:
+    (key, session_id, session_start, session_end, n_events, sum_value).
+    Partitioning assumption: all events of one key fit in a worker (true
+    for per-user web logs; salt by time-range for pathological keys)."""
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col])
+        sid = (g[ts_col].diff() > gap).cumsum().astype("int64")
+        out = (g.assign(session_id=sid)
+                .groupby("session_id", as_index=False)
+                .agg(session_start=(ts_col, "min"),
+                     session_end=(ts_col, "max"),
+                     n_events=(ts_col, "size"),
+                     sum_value=(value_col, "sum")))
+        out.insert(0, key, g[key].iloc[0])
+        return out
+
+    return ds.groupby(key).map_groups(sess, batch_format="pandas")
+
+
+def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
+              right_key: str, left_ts: str, right_ts: str,
+              left_cols: list[str], right_cols: list[str]) -> "rd.Dataset":
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right_ts`` <= ``left_ts`` for the same key (inner: unmatched
+    left rows drop). Implemented as aligned-schema union + ONE co-grouping
+    shuffle on the key + per-group numpy ``searchsorted`` — the standard
+    composition when the engine has no as-of primitive. Right-side ties on
+    (key, ts) resolve to the row last in ``right_cols[0]`` order, so make
+    that a unique id for determinism."""
+    all_payload = left_cols + right_cols
+
+    def _arrow_types(ds_: "rd.Dataset", cols: list[str]) -> dict[str, pa.DataType]:
+        s = ds_.schema().base_schema
+        if isinstance(s, pa.Schema):
+            return {c: s.field(c).type for c in cols}
+        # pandas-block schema: numpy dtypes (object -> string)
+        out = {}
+        for name, dt in zip(s.names, s.types):
+            if name in cols:
+                try:
+                    out[name] = pa.from_numpy_dtype(dt)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    out[name] = pa.string()
+        return out
+
+    types = {**_arrow_types(left, left_cols), **_arrow_types(right, right_cols)}
+
+    def align(cols_present: list[str], key: str, ts: str, side: int):
+        # typed nulls for the other side's payload so the union's Arrow
+        # schemas agree block-for-block
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                "__key": t[key],
+                "__ts": t[ts],
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in all_payload:
+                cols[c] = t[c] if c in cols_present else pa.nulls(n, types[c])
+            return pa.table(cols)
+        return fn
+
+    l = left.map_batches(align(left_cols, left_key, left_ts, 0),
+                         batch_format="pyarrow")
+    r = right.map_batches(align(right_cols, right_key, right_ts, 1),
+                          batch_format="pyarrow")
+
+    # pin per-group output dtypes (a group's pandas view turns nullable
+    # int64 payload into float64; cast back so every group block agrees)
+    kt = _arrow_types(left, [left_key, left_ts])
+    out_dtypes = {"__key": kt[left_key].to_pandas_dtype(),
+                  "__ts": kt[left_ts].to_pandas_dtype(),
+                  **{c: t.to_pandas_dtype() for c, t in types.items()}}
+    out_cols = ["__key", "__ts", *left_cols, *right_cols]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0]
+        rf = g[g["__side"] == 1].sort_values(["__ts", right_cols[0]])
+        if lf.empty or rf.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=out_dtypes[c]) for c in out_cols})
+        r_ts = rf["__ts"].to_numpy()
+        idx = np.searchsorted(r_ts, lf["__ts"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        lf = lf[ok]
+        picked = rf.iloc[idx[ok]]
+        out = lf[["__key", "__ts", *left_cols]].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = picked[c].to_numpy()
+        return out.astype(out_dtypes)
+
+    return l.union(r).groupby("__key").map_groups(merge, batch_format="pandas")
+
+
+def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":
+    """DISTINCT over ``cols``: project then grouped Count (partials combine
+    per-partition, so only unique keys cross the shuffle), keys only out."""
+    out = ds.select_columns(list(cols)).groupby(list(cols)).aggregate(Count())
+    return out.select_columns(list(cols))

@@ -146,6 +146,84 @@ def knn_lsh(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
               .reset_index(drop=True))
 
 
+def _fit_centroids(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means-lite: first-nlist init on the sorted
+    sample, ``iters`` Lloyd rounds, centroids re-normalized each round.
+    Driver-side on a bounded sample by design (IVF trains on a sample at any
+    scale; the assignment pass below is the distributed part)."""
+    sample = _norm_rows(sample)
+    cent = sample[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def knn_ivf(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            nlist: int = 16, nprobe: int = 4,
+            train_ids: int = 2048) -> pd.DataFrame:
+    """IVF approximate top-k: train centroids on the vectors with
+    ``id < train_ids`` (deterministic sample), then each batch scores only
+    vectors whose nearest centroid is among the query's ``nprobe`` closest
+    lists. At scale the list assignment becomes a persisted column and the
+    probe filter a Parquet partition prune — the per-batch math is the
+    same."""
+    sample_t = (ds.filter(expr=f"{id_col} < {train_ids}")
+                  .select_columns([id_col, vec_col]).to_pandas()
+                  .sort_values(id_col))
+    sample = np.asarray(sample_t[vec_col].tolist(), dtype=np.float64)
+    cent = _fit_centroids(sample, min(nlist, len(sample)))
+
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    qsims = q @ cent.T
+    probe: set[int] = set()
+    npb = min(nprobe, cent.shape[0])
+    for qi in range(q.shape[0]):
+        probe.update(np.argsort(-qsims[qi])[:npb].tolist())
+    pref = ray.put((q, cent, np.array(sorted(probe), dtype=np.int64)))
+
+    def probed_topk(batch: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(pref)
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        assign = np.argmax(vecs @ cm.T, axis=1)
+        mask = np.isin(assign, pr)
+        vecs, ids = vecs[mask], ids[mask]
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sims = vecs @ qm.T
+        out_q, out_id, out_cos = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            idx = (np.argpartition(-col, kk - 1)[:kk]
+                   if kk < len(col) else np.arange(len(col)))
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_cos.extend(col[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+    cand = ds.map_batches(probed_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        rows.extend(heapq.nsmallest(
+            k, grp.itertuples(index=False),
+            key=lambda r: (-r.cos, getattr(r, id_col))))
+    return (pd.DataFrame(rows, columns=["query_id", id_col, "cos"])
+              .sort_values(["query_id", "cos", id_col],
+                           ascending=[True, False, True])
+              .reset_index(drop=True))
+
+
 def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        bits: int = 6) -> pd.DataFrame:

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from credit_ocr_backend_ray.functions.textstats import (
-    char_stats, fingerprint_md5, lang_id, quality_score,
+    bpe_token_count, char_stats, fingerprint_md5, lang_id, quality_score,
     rolling_fingerprint, token_count,
 )
 
@@ -21,6 +21,9 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                            pa.array([s[0] for s in stats], pa.int64()))
             .append_column("n_tokens",
                            pa.array([token_count(t) for t in texts], pa.int64()))
+            .append_column("n_bpe_tokens",
+                           pa.array([bpe_token_count(t) for t in texts],
+                                    pa.int64()))
             .append_column("n_digits",
                            pa.array([s[1] for s in stats], pa.int64()))
             .append_column("n_upper",

@@ -1,0 +1,163 @@
+"""Relational building blocks added beyond the reference's operator set:
+shuffle join, grouped stats, top-k per group, sessionization, as-of join,
+distinct — plus the n-gram-Jaccard and IVF scale additions.
+
+Each test is a small in-memory fixture with a hand-computable expected
+result; the sf0.01 DuckDB oracle cross-check runs via
+tools/check_correctness.py (driver contract).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_pandas(df)
+
+
+def test_shuffle_join_inner(ray_session):
+    from credit_ocr_backend_ray.stages.relational import shuffle_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3], "a": [10, 20, 30, 31]})
+    right = pd.DataFrame({"rk": [2, 3, 4], "b": ["x", "y", "z"]})
+    out = (shuffle_join(_ds(left), _ds(right), on="k", right_on="rk",
+                        num_partitions=2)
+           .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    assert out[["k", "a", "b"]].values.tolist() == [
+        [2, 20, "x"], [3, 30, "y"], [3, 31, "y"]]
+
+
+def test_grouped_stats(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_stats
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "a", "b"],
+                       "v": [1.0, 3.0, 10.0, 2.0, 30.0]})
+    out = (grouped_stats(_ds(df), ["g"], "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out.loc[0, "sum_v"] == 6.0 and out.loc[0, "n"] == 3
+    assert out.loc[0, "min_v"] == 1.0 and out.loc[0, "max_v"] == 3.0
+    assert out.loc[0, "avg_v"] == 2.0
+    assert out.loc[1, "sum_v"] == 40.0 and out.loc[1, "avg_v"] == 20.0
+
+
+def test_topk_per_group_deterministic_ties(ray_session):
+    from credit_ocr_backend_ray.stages.relational import topk_per_group
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2,
+                       "score": [5.0, 5.0, 4.0, 6.0, 1.0, 2.0],
+                       "id": [4, 2, 1, 3, 9, 8]})
+    out = (topk_per_group(_ds(df), "g", ["score", "id"], k=2,
+                          ascending=[False, True])
+           .to_pandas().sort_values(["g", "score", "id"],
+                                    ascending=[True, False, True]))
+    # group a: 6.0(id 3) then the 5.0 tie broken by smaller id (2)
+    assert out[out.g == "a"]["id"].tolist() == [3, 2]
+    assert out[out.g == "b"]["id"].tolist() == [8, 9]
+
+
+def test_sessionize_gap_split(ray_session):
+    from credit_ocr_backend_ray.stages.relational import sessionize
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "eid": [1, 2, 3, 4],
+        "ts": [t0, t0 + pd.Timedelta("10min"), t0 + pd.Timedelta("2h"),
+               t0],
+        "v": [1.0, 2.0, 4.0, 8.0],
+    })
+    out = (sessionize(_ds(df), "u", "ts", gap_s=3600, tie_col="eid",
+                      value_col="v")
+           .to_pandas().sort_values(["u", "session_id"]).reset_index(drop=True))
+    # user 1: events 1,2 in session 0 (10min gap), event 3 alone (110min gap)
+    assert out[out.u == 1]["n_events"].tolist() == [2, 1]
+    assert out[out.u == 1]["sum_value"].tolist() == [3.0, 4.0]
+    assert out[out.u == 2]["n_events"].tolist() == [1]
+    assert out.loc[0, "session_start"] == t0
+    assert out.loc[0, "session_end"] == t0 + pd.Timedelta("10min")
+
+
+def test_asof_join_backward(ray_session):
+    from credit_ocr_backend_ray.stages.relational import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "lts": pd.to_datetime(["2024-01-05", "2024-01-20", "2024-01-05",
+                               "2024-01-05"]),
+        "eid": [100, 101, 102, 103],
+    })
+    right = pd.DataFrame({
+        "rk": [1, 1, 1, 2],
+        "rts": pd.to_datetime(["2024-01-01", "2024-01-10", "2024-01-10",
+                               "2024-02-01"]),
+        "oid": [7, 8, 9, 10],
+    })
+    out = (asof_join(_ds(left), _ds(right), left_key="k", right_key="rk",
+                     left_ts="lts", right_ts="rts",
+                     left_cols=["eid"], right_cols=["oid", "rts"])
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    # eid 100 -> oid 7 (only right row <= 01-05); eid 101 -> max-id tie row
+    # of 01-10 (oid 9); eid 102: right ts 02-01 is AFTER -> dropped (inner);
+    # eid 103: key 3 has no right rows -> dropped
+    assert out["eid"].tolist() == [100, 101]
+    assert out["oid"].tolist() == [7, 9]
+
+
+def test_distinct(ray_session):
+    from credit_ocr_backend_ray.stages.relational import distinct
+
+    df = pd.DataFrame({"a": [1, 1, 2, 2, 2], "b": ["x", "x", "y", "y", "z"]})
+    out = (distinct(_ds(df), ["a", "b"])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert out.values.tolist() == [[1, "x"], [2, "y"], [2, "z"]]
+
+
+def test_ngram_jaccard_pairs_recall_and_exactness(ray_session):
+    from credit_ocr_backend_ray.functions.hashing import jaccard
+    from credit_ocr_backend_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = ("der schnelle braune fuchs springt über den faulen hund "
+            "und läuft weiter durch den dunklen wald nach hause").split()
+    docs = []
+    for i in range(20):
+        words = [f"doc{i}w{k}" for k in range(25)]
+        docs.append((i, " ".join(words)))
+    # plant near-dup: doc 100 = doc 0's text minus last word
+    docs.append((100, docs[0][1].rsplit(" ", 1)[0]))
+    docs.append((101, " ".join(base)))
+    docs.append((102, " ".join(base[:-1])))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(_ds(df), threshold=0.8)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 100) in got and (101, 102) in got
+    # reported jaccard is the exact value
+    row = out[(out.id_a == 0) & (out.id_b == 100)].iloc[0]
+    assert row["jaccard"] == pytest.approx(
+        jaccard(docs[0][1], docs[20][1]), abs=1e-12)
+    # no false positives: every reported pair really is >= threshold
+    texts = dict(docs)
+    for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"]):
+        assert jaccard(texts[a], texts[b]) >= 0.8 and j >= 0.8
+
+
+def test_knn_ivf_matches_bruteforce_on_probed_lists(ray_session):
+    from credit_ocr_backend_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(7)
+    # 4 well-separated clusters so IVF with nprobe=2 has perfect recall
+    # for queries at cluster centers
+    centers = np.eye(4, 8) * 10
+    vecs, ids = [], []
+    for c in range(4):
+        for j in range(50):
+            ids.append(c * 50 + j)
+            vecs.append(centers[c] + rng.normal(0, 0.1, 8))
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v.tolist() for v in vecs]})
+    queries = np.stack([centers[0], centers[2]])
+    bf = knn_bruteforce(_ds(df), queries, k=5)
+    ivf = knn_ivf(_ds(df), queries, k=5, nlist=8, nprobe=2, train_ids=200)
+    assert bf[["query_id", "vec_id"]].values.tolist() == \
+        ivf[["query_id", "vec_id"]].values.tolist()
