@@ -334,6 +334,62 @@ def _q_asof_latest_order(sf_dir: str):
     return out.map_batches(rename, batch_format="pandas")
 
 
+def _q_customer_running_total(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import running_sum
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = running_sum(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "o_totalprice")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["running_total"] = b["running_total"].round(2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_event_value_delta(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import lag_delta
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    out = lag_delta(ds, "user_id", ["ts", "event_id"], "value")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["delta"] = b["delta"].round(4)
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_brand_price_median(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_quantile
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_brand", "p_retailprice"])
+    out = grouped_quantile(ds, ["p_brand"], "p_retailprice", 0.5,
+                           alias="median_price")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["median_price"] = b["median_price"].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_order_price_histogram(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import histogram
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    return histogram(ds, "o_totalprice", lo=0.0, hi=600_000.0, n_bins=20)
+
+
 def _q_distinct_event_types(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import distinct
@@ -553,6 +609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": _q_top_orders_per_priority,
         "sessionize_events": _q_sessionize_events,
         "asof_latest_order": _q_asof_latest_order,
+        "customer_running_total": _q_customer_running_total,
+        "event_value_delta": _q_event_value_delta,
+        "brand_price_median": _q_brand_price_median,
+        "order_price_histogram": _q_order_price_histogram,
         "distinct_event_types": _q_distinct_event_types,
         "union_hot_lineitems": _q_union_hot_lineitems,
         "dedup_exact_documents": _q_dedup_exact_documents,
@@ -661,6 +721,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_orderdate
             FROM events e ASOF JOIN o1 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "customer_running_total": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+        """,
+        "event_value_delta": """
+            SELECT user_id, event_id, ts, value,
+                   round(value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 4)
+                       AS delta
+            FROM events
+        """,
+        "brand_price_median": """
+            SELECT p_brand,
+                   round(quantile_cont(p_retailprice, 0.5), 4) AS median_price
+            FROM part GROUP BY p_brand
+        """,
+        "order_price_histogram": """
+            SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 30000) AS BIGINT),
+                                  0), 19) AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events

@@ -13,9 +13,10 @@ through the streaming executor:
       -> write_parquet(out/group=K/)          + per-partition lineage manifest
 
 Resume: shard-group manifests (state/manifest.py). Skew: oversized payloads
-are flagged by ``size_bucket`` and the extract stage uses a row-count batch
-size small enough that even a block of oversized rows stays within worker
-heap; blocks are further split by Ray's ``target_max_block_size``.
+are flagged by ``size_bucket`` and the extract stage sub-batches each block
+by a PAYLOAD BYTE budget (DocExtractor yields per-chunk tables), so worker heap
+and output block size are bounded regardless of page-size skew; blocks are
+further split by Ray's ``target_max_block_size``.
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ from credit_ocr_backend_ray.state.manifest import (
 class ExtractionConfig:
     doc_type: str = "credit_request"
     num_parts: int = DEFAULT_NUM_PARTS
-    batch_size: int = 64          # rows per extract batch (payloads are KB-MB)
+    chunk_budget_mb: int = 32     # per-sub-batch payload byte budget (skew)
     concurrency: int | None = None  # actor pool size; None = CPUs-2 heuristic
     dedup: bool = False           # exact dedup by url (keep latest warc_ts)
     with_result_json: bool = False
@@ -92,9 +93,10 @@ def build_extraction_ds(paths: list[str] | str,
         fn_constructor_kwargs={
             "doc_type": cfg.doc_type,
             "with_result_json": cfg.with_result_json,
+            "chunk_budget_mb": cfg.chunk_budget_mb,
         },
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=None,  # whole block in; DocExtractor sub-batches by BYTES
         concurrency=_pool_size(cfg.concurrency),
         num_cpus=1,
     )

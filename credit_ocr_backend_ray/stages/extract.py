@@ -48,16 +48,43 @@ PASSTHROUGH = ["url", "warc_ts", "lang", "n_bytes", "content_sha256",
 
 
 class DocExtractor:
-    """Stateful extraction worker (one per actor in the pool)."""
+    """Stateful extraction worker (one per actor in the pool).
+
+    ``__call__`` is a GENERATOR: each incoming block is split into
+    sub-batches whose cumulative payload size stays under
+    ``chunk_budget_mb`` (size-bucketed batch splitting, north rule) — a
+    block of ordinary ~40 KB pages processes in a few large chunks, while
+    a run of multi-MB outliers is cut into small ones, so peak actor heap
+    and output block size are bounded by the BYTE budget, not a row count
+    that assumes uniform pages."""
 
     def __init__(self, doc_type: str = "credit_request",
                  config_path: str | None = None,
-                 with_result_json: bool = False):
+                 with_result_json: bool = False,
+                 chunk_budget_mb: int = 32):
         registry = load_config(config_path) if config_path else default_config()
         self.cfg: DocTypeConfig = registry[doc_type]
         self.with_result_json = with_result_json
+        self.budget = chunk_budget_mb << 20
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
+        import pyarrow.compute as pc
+        if "n_bytes" in batch.column_names:
+            sizes = batch["n_bytes"].to_pylist()
+        else:
+            sizes = pc.binary_length(batch["html"]).to_pylist()
+
+        start = 0
+        acc = 0
+        for i, s in enumerate(sizes):
+            acc += s or 0
+            if acc >= self.budget and i + 1 > start:
+                yield self._process(batch.slice(start, i + 1 - start))
+                start, acc = i + 1, 0
+        if start < batch.num_rows:
+            yield self._process(batch.slice(start))
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         payloads = batch["html"].to_pylist()
         results = [
             extract_document(p if p is not None else b"", self.cfg,

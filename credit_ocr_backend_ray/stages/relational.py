@@ -104,12 +104,16 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
 
 def shuffle_join(left: "rd.Dataset", right: "rd.Dataset", on: str,
                  right_on: str | None = None, join_type: str = "inner",
-                 num_partitions: int = 32) -> "rd.Dataset":
+                 num_partitions: int | None = None) -> "rd.Dataset":
     """Large-large hash-shuffle join (``Dataset.join``). Both sides are
     hash-partitioned on the key — use ``broadcast_join`` whenever one side
     fits in the object store; this is for the fact-fact case (e.g.
-    lineitem x orders). ``num_partitions`` is the shuffle fan-out: size it
-    to cluster cores at small scale, to blocks-per-core x nodes at 100 TB."""
+    lineitem x orders). ``num_partitions`` is the shuffle fan-out; each
+    partition is an aggregator actor, so default it to the cluster's CPU
+    count (at 100 TB: blocks-per-core x nodes, set explicitly)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, cpus)
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions,
                      on=(on,), right_on=(right_on or on,))
@@ -253,6 +257,68 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
         return out.astype(out_dtypes)
 
     return l.union(r).groupby("__key").map_groups(merge, batch_format="pandas")
+
+
+def running_sum(ds: "rd.Dataset", key: str, order_cols: list[str],
+                val_col: str, alias: str = "running_total") -> "rd.Dataset":
+    """Per-key running (cumulative) sum in ``order_cols`` order — the
+    ``SUM() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    window function as one hash shuffle + a sorted per-group scan.
+    ``order_cols`` must end in a unique tie-break for determinism."""
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        g[alias] = g[val_col].cumsum()
+        return g
+
+    return ds.groupby(key).map_groups(scan, batch_format="pandas")
+
+
+def lag_delta(ds: "rd.Dataset", key: str, order_cols: list[str],
+              val_col: str, alias: str = "delta") -> "rd.Dataset":
+    """Per-key difference to the previous row in ``order_cols`` order — the
+    ``val - lag(val) OVER (PARTITION BY key ORDER BY ...)`` window function;
+    the first row of each key gets NULL."""
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        g[alias] = g[val_col].diff()
+        return g
+
+    return ds.groupby(key).map_groups(scan, batch_format="pandas")
+
+
+def grouped_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                     q: float, alias: str | None = None) -> "rd.Dataset":
+    """Exact per-group quantile (linear interpolation, numpy/SQL
+    ``quantile_cont`` semantics) via one hash shuffle + per-group kernel.
+    Exact quantiles are inherently holistic — the group's values must
+    co-locate; for sketch-based approximation at extreme cardinality use a
+    t-digest per partition instead (not needed for the reference's scale)."""
+    keys = list(keys)
+    a = alias or f"q_{col}"
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][keys].copy()
+        out[a] = np.quantile(g[col].to_numpy(), q, method="linear")
+        return out
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_group, batch_format="pandas")
+
+
+def histogram(ds: "rd.Dataset", col: str, lo: float, hi: float,
+              n_bins: int) -> "rd.Dataset":
+    """Fixed-width histogram: derive the bucket id per batch (vectorized),
+    then a combiner-grouped count — only (bucket, partial_count) rows cross
+    the shuffle. Values outside [lo, hi) clamp into the edge buckets."""
+    width = (hi - lo) / n_bins
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.floor((b[col].to_numpy() - lo) / width).astype("int64")
+        out = pd.DataFrame({"bucket": np.clip(ids, 0, n_bins - 1)})
+        return out
+
+    return grouped_agg(ds.map_batches(bucketize, batch_format="pandas"),
+                       ["bucket"], {}, count_alias="n")
 
 
 def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":

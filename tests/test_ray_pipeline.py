@@ -191,3 +191,27 @@ def test_prepass_part_id_stable(ray_session):
     assert out["n_bytes"].to_pylist() == [1, 2]
     assert out["content_sha256"][0].as_py() == (
         "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
+
+
+def test_extractor_byte_budget_chunking(credit_cfg):
+    """DocExtractor sub-batches a block by payload bytes: an oversized run
+    is cut while ordinary pages flow in large chunks; outputs concatenate
+    back to the full input, in order."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.extract import DocExtractor
+
+    htmls = [b"<html><body><main><p>" + (b"x" * (1 << 20)) + b"</p></main></body></html>"
+             for _ in range(5)]
+    htmls += [b"<html><body><main><p>small page</p></main></body></html>"] * 10
+    t = pa.table({
+        "url": [f"u{i}" for i in range(15)],
+        "html": htmls,
+    })
+    ex = DocExtractor(chunk_budget_mb=2)
+    chunks = list(ex(t))
+    assert len(chunks) > 1                      # oversized run was split
+    assert sum(c.num_rows for c in chunks) == 15
+    urls = [u for c in chunks for u in c["url"].to_pylist()]
+    assert urls == [f"u{i}" for i in range(15)]  # order preserved
+    statuses = {s for c in chunks for s in c["status"].to_pylist()}
+    assert statuses == {"Fertig"}

@@ -161,3 +161,47 @@ def test_knn_ivf_matches_bruteforce_on_probed_lists(ray_session):
     ivf = knn_ivf(_ds(df), queries, k=5, nlist=8, nprobe=2, train_ids=200)
     assert bf[["query_id", "vec_id"]].values.tolist() == \
         ivf[["query_id", "vec_id"]].values.tolist()
+
+
+def test_grouped_quantile_linear_interp(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_quantile
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "v": [1.0, 2.0, 3.0, 10.0, 5.0, 7.0, 9.0]})
+    out = (grouped_quantile(_ds(df), ["g"], "v", 0.5, alias="med")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out.loc[0, "med"] == 2.5   # even count -> linear midpoint
+    assert out.loc[1, "med"] == 7.0   # odd count -> middle value
+
+
+def test_histogram_clamps_edges(ray_session):
+    from credit_ocr_backend_ray.stages.relational import histogram
+
+    df = pd.DataFrame({"v": [-5.0, 0.0, 9.9, 10.0, 25.0, 99.9, 100.0, 140.0]})
+    out = (histogram(_ds(df), "v", lo=0.0, hi=100.0, n_bins=10)
+           .to_pandas().set_index("bucket")["n"].to_dict())
+    # -5 clamps into bucket 0; 100 and 140 clamp into bucket 9
+    assert out[0] == 3   # -5.0, 0.0, 9.9
+    assert out[1] == 1   # 10.0
+    assert out[2] == 1   # 25.0
+    assert out[9] == 3   # 99.9, 100.0, 140.0
+
+
+def test_running_sum_and_lag_delta(ray_session):
+    from credit_ocr_backend_ray.stages.relational import lag_delta, running_sum
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "o": [3, 1, 2, 1],
+        "id": [30, 10, 20, 40],
+        "v": [5.0, 1.0, 2.0, 7.0],
+    })
+    rs = (running_sum(_ds(df), "k", ["o", "id"], "v")
+          .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    assert rs["running_total"].tolist() == [1.0, 3.0, 8.0, 7.0]
+
+    ld = (lag_delta(_ds(df), "k", ["o", "id"], "v")
+          .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    deltas = ld["delta"].tolist()
+    assert pd.isna(deltas[0]) and deltas[1] == 1.0 and deltas[2] == 3.0
+    assert pd.isna(deltas[3])
