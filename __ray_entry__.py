@@ -596,6 +596,26 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, _knn_queries(sf_dir), k=10)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from credit_ocr_backend_ray.stages.dedup import (
+        cluster_pairs, minhash_dedup_pairs)
+
+    pairs = minhash_dedup_pairs(_planted_docs(sf_dir), threshold=0.8)
+    reps = cluster_pairs(pairs)
+    return (pd.DataFrame(sorted(reps.items()),
+                         columns=["doc_id", "cluster_rep"])
+            .astype({"doc_id": "int64", "cluster_rep": "int64"}))
+
+
+def _q_kmeans_assign(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import ivf_assign
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ivf_assign(ds, nlist=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "agg_pricing": _q_agg_pricing,
@@ -630,7 +650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "knn_ivf": _q_knn_ivf,
+        "kmeans_assign": _q_kmeans_assign,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_lsh": _q_knn_lsh,
     }

@@ -49,7 +49,8 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
 
     winners = (ds.select_columns([key, order_col])
                  .groupby(key).aggregate(Max(order_col, alias_name="__max_ord")))
-    wmap = {row[key]: row["__max_ord"] for row in winners.iter_rows()}
+    wdf = winners.to_pandas()  # iter_rows is row-at-a-time; this is columnar
+    wmap = dict(zip(wdf[key], wdf["__max_ord"]))
     ref = ray.put(wmap)
 
     def keep_winner(batch: pa.Table) -> pa.Table:
@@ -147,8 +148,8 @@ def minhash_dedup_pairs(ds: "rd.Dataset", text_col: str = "text",
     DataFrame. Text lookup is broadcast (fine while the corpus of *texts in
     candidate pairs* fits the object store; at larger scale join candidates
     back by id via a bucket-partitioned shuffle instead)."""
-    texts = {r[id_col]: r[text_col] for r in
-             ds.select_columns([id_col, text_col]).iter_rows()}
+    tdf = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(tdf[id_col], tdf[text_col]))
     ref = ray.put(texts)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -226,8 +227,8 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", text_col: str = "text",
                   .groupby("pair_shard")
                   .map_groups(dedup_pairs, batch_format="pandas"))
 
-    texts = {r[id_col]: r[text_col] for r in
-             ds.select_columns([id_col, text_col]).iter_rows()}
+    tdf = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(tdf[id_col], tdf[text_col]))
     ref = ray.put(texts)
 
     def verify(batch: pa.Table) -> pa.Table:

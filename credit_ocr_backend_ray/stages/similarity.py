@@ -163,6 +163,30 @@ def _fit_centroids(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray
     return cent
 
 
+def ivf_assign(ds: "rd.Dataset", nlist: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               train_ids: int = 2048) -> "rd.Dataset":
+    """Cluster-assignment pass (k-means inference): broadcast the trained
+    centroids once, each batch computes argmax-cosine vectorized. At scale
+    this column is persisted (partition key for IVF probing and for
+    cluster-balanced sampling of training data)."""
+    sample_t = (ds.filter(expr=f"{id_col} < {train_ids}")
+                  .select_columns([id_col, vec_col]).to_pandas()
+                  .sort_values(id_col))
+    sample = np.asarray(sample_t[vec_col].tolist(), dtype=np.float64)
+    cent = _fit_centroids(sample, min(nlist, len(sample)))
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        a = np.argmax(vecs @ cm.T, axis=1).astype(np.int32)
+        return pa.table({id_col: batch[id_col],
+                         "list_id": pa.array(a, pa.int32())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def knn_ivf(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             nlist: int = 16, nprobe: int = 4,

@@ -215,3 +215,32 @@ def test_extractor_byte_budget_chunking(credit_cfg):
     assert urls == [f"u{i}" for i in range(15)]  # order preserved
     statuses = {s for c in chunks for s in c["status"].to_pylist()}
     assert statuses == {"Fertig"}
+
+
+def test_run_extraction_multigroup_partial_resume(ray_session, tmp_path):
+    """With n_groups=3, completing two groups then losing the third's
+    manifest entry reruns ONLY that group. Needs >=3 input shards
+    (shard_groups caps at the file count), so synthesize 3 shards' worth."""
+    from credit_ocr_backend_ray.pipelines.extraction import run_extraction
+    from credit_ocr_backend_ray.sources.synth import ROWS_PER_FILE, synthesize_pages
+    from credit_ocr_backend_ray.state.manifest import RunManifest
+
+    n_pages = ROWS_PER_FILE * 2 + 40
+    pages3 = synthesize_pages(n_pages, base=PAGES_BASE)
+    N_PAGES = n_pages  # shadows the module constant for the asserts below
+
+    out = str(tmp_path / "mg")
+    s1 = run_extraction(pages3, out, n_groups=3)
+    assert s1["groups_run"] == s1["groups_total"] >= 2
+    assert s1["rows"] == N_PAGES
+
+    m = RunManifest(out)
+    key = sorted(m.entries)[-1]
+    del m.entries[key]
+    import json
+    with open(m.path, "w", encoding="utf-8") as f:
+        json.dump(m.entries, f)
+
+    s2 = run_extraction(pages3, out, n_groups=3)
+    assert s2["groups_run"] == 1 and s2["groups_skipped"] == s1["groups_total"] - 1
+    assert s2["rows"] == N_PAGES
