@@ -334,6 +334,34 @@ def _q_asof_latest_order(sf_dir: str):
     return out.map_batches(rename, batch_format="pandas")
 
 
+def _q_events_hopping_window(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import hopping_window_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+    out = hopping_window_agg(ds, "ts", ["event_type"], size_s=3600,
+                             hop_s=900, sum_cols={"value": "sum_value"})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(4)
+        b["window_start"] = b["window_start"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_customers_without_events(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import broadcast_anti_join
+
+    users = set(pq.read_table(_t(sf_dir, "events"),
+                              columns=["user_id"])["user_id"].to_pylist())
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    return broadcast_anti_join(ds, users, on="c_custkey")
+
+
 def _q_customer_running_total(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import running_sum
@@ -629,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": _q_top_orders_per_priority,
         "sessionize_events": _q_sessionize_events,
         "asof_latest_order": _q_asof_latest_order,
+        "events_hopping_window": _q_events_hopping_window,
+        "customers_without_events": _q_customers_without_events,
         "customer_running_total": _q_customer_running_total,
         "event_value_delta": _q_event_value_delta,
         "brand_price_median": _q_brand_price_median,
@@ -743,6 +773,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_orderdate
             FROM events e ASOF JOIN o1 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_hopping_window": """
+            SELECT make_timestamp(ws) AS window_start, event_type,
+                   round(sum(value), 4) AS sum_value, count(*) AS n
+            FROM (
+                SELECT e.event_type, e.value,
+                       ((epoch_us(e.ts) - k.k * 900000000)
+                        // 3600000000) * 3600000000 + k.k * 900000000 AS ws
+                FROM events e
+                CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+            GROUP BY 1, 2
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
         """,
         "customer_running_total": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -102,6 +102,51 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
     return grouped_agg(windowed, ["window_start", *keys], sum_cols)
 
 
+def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
+                       size_s: int, hop_s: int,
+                       sum_cols: dict[str, str]) -> "rd.Dataset":
+    """Hopping (sliding) event-time windows: every event lands in
+    ``size_s/hop_s`` overlapping windows, derived per batch with integer
+    MICROSECOND arithmetic (exactly reproducible in SQL — float epoch math
+    drifts at floor boundaries), then the combiner grouped aggregate. The
+    fan-out multiplies rows by size/hop BEFORE the shuffle, but each
+    exploded row carries only (window_start, keys, values)."""
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k_count = size_s // hop_s
+    size_us = size_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+    keys = list(keys)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].astype("datetime64[us]").astype("int64")
+        frames = []
+        for k in range(k_count):
+            off = k * hop_us
+            ws = (us - off) // size_us * size_us + off
+            f = b[keys + list(sum_cols)].copy()
+            f["window_start"] = pd.to_datetime(ws, unit="us")
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    return grouped_agg(exploded, ["window_start", *keys], sum_cols)
+
+
+def broadcast_anti_join(ds: "rd.Dataset", keys: set, on: str) -> "rd.Dataset":
+    """Anti-join against a broadcast key set: keep rows whose ``on`` value
+    is NOT in ``keys`` (``ray.put`` once, vectorized isin per batch). The
+    small side must fit in the object store; flip to a shuffle
+    groupby-based anti-join when it doesn't."""
+    ref = ray.put(keys)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)
+        return b[~b[on].isin(k)]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
 def shuffle_join(left: "rd.Dataset", right: "rd.Dataset", on: str,
                  right_on: str | None = None, join_type: str = "inner",
                  num_partitions: int | None = None) -> "rd.Dataset":

@@ -244,3 +244,32 @@ def test_run_extraction_multigroup_partial_resume(ray_session, tmp_path):
     s2 = run_extraction(pages3, out, n_groups=3)
     assert s2["groups_run"] == 1 and s2["groups_skipped"] == s1["groups_total"] - 1
     assert s2["rows"] == N_PAGES
+
+
+def test_pipeline_with_dedup_keeps_latest(ray_session, tmp_path):
+    """cfg.dedup=True: duplicate urls collapse to the newest warc_ts row
+    before extraction."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from credit_ocr_backend_ray.pipelines.extraction import (
+        ExtractionConfig, build_extraction_ds)
+    from credit_ocr_backend_ray.sources.synth import page_row
+
+    rows = [page_row(i) for i in range(20)]
+    dups = []
+    for r in rows[:5]:  # newer duplicate with marker content
+        d = dict(r)
+        d["warc_ts"] = r["warc_ts"] + datetime.timedelta(days=1)
+        d["html"] = b"<html><body><main><p>NEWER VERSION</p></main></body></html>"
+        dups.append(d)
+    t = pa.Table.from_pylist(rows + dups)
+    p = tmp_path / "dup"
+    p.mkdir()
+    pq.write_table(t, str(p / "d.parquet"))
+
+    df = build_extraction_ds(str(p), ExtractionConfig(dedup=True)).to_pandas()
+    assert len(df) == 20  # 25 rows in, 5 dups collapsed
+    for i in range(5):
+        row = df[df["url"] == rows[i]["url"]].iloc[0]
+        assert row["extracted_text"] == "NEWER VERSION"

@@ -205,3 +205,29 @@ def test_running_sum_and_lag_delta(ray_session):
     deltas = ld["delta"].tolist()
     assert pd.isna(deltas[0]) and deltas[1] == 1.0 and deltas[2] == 3.0
     assert pd.isna(deltas[3])
+
+
+def test_hopping_window_membership(ray_session):
+    from credit_ocr_backend_ray.stages.relational import hopping_window_agg
+
+    # one event at 01:10 with size=1h hop=15m -> windows 00:15..01:00
+    df = pd.DataFrame({
+        "ts": [pd.Timestamp("2024-01-01 01:10:00")],
+        "g": ["x"],
+        "v": [2.0],
+    })
+    out = (hopping_window_agg(_ds(df), "ts", ["g"], 3600, 900, {"v": "s"})
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    starts = [str(t) for t in out["window_start"]]
+    assert starts == ["2024-01-01 00:15:00", "2024-01-01 00:30:00",
+                      "2024-01-01 00:45:00", "2024-01-01 01:00:00"]
+    assert (out["s"] == 2.0).all() and (out["n"] == 1).all()
+
+
+def test_broadcast_anti_join(ray_session):
+    from credit_ocr_backend_ray.stages.relational import broadcast_anti_join
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+    out = (broadcast_anti_join(_ds(df), {2, 4}, on="k")
+           .to_pandas().sort_values("k"))
+    assert out["k"].tolist() == [1, 3]
