@@ -523,6 +523,31 @@ def _q_extract_fields_long(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_annotation_render(sf_dir: str):
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import PageRenderer
+
+    # render a bounded subset: each page raster is ~6 MB of pixels
+    ds = (rd.read_parquet(_flagship_output(sf_dir),
+                          columns=["url", "fields"])
+            .sort("url").limit(24))
+    imgs = ds.map_batches(PageRenderer, batch_format="pyarrow",
+                          batch_size=8, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["annotation"].to_pylist()
+        return pa.table({
+            "url": t["url"],
+            "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "sha256": pa.array(
+                [hashlib.sha256(b).hexdigest() for b in blobs], pa.string()),
+        })
+
+    return imgs.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_annotation_plans(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.multimodal import PageAnnotator
@@ -675,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _q_extract_flagship,
         "extract_fields_long": _q_extract_fields_long,
         "annotation_plans": _q_annotation_plans,
+        "annotation_render": _q_annotation_render,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,

@@ -82,6 +82,65 @@ class MediaFeatureExtractor:
         })
 
 
+PAGE_W_IN, PAGE_H_IN = 8.5, 11.0  # page model, pdf_visualizer.py:44-49
+
+
+def _hex_rgb(color: str) -> tuple[int, int, int]:
+    return int(color[1:3], 16), int(color[3:5], 16), int(color[5:7], 16)
+
+
+def render_annotation_ppm(fields: list[dict], dpi: int = PAGE_RENDER_DPI,
+                          border_px: int = 3, page: int = 1) -> bytes:
+    """REAL annotated-page raster (reference ANNOTATED stage,
+    storage.py:31): white page, one colored rectangle border per field
+    bbox, inches scaled to pixels at ``dpi``. Encoded as binary PPM (P6) —
+    a real image format writable with numpy alone, so the multimodal sink
+    needs no external codec. Rectangle drawing is numpy slice assignment
+    (vectorized), not per-pixel Python."""
+    import numpy as np
+
+    w, h = int(PAGE_W_IN * dpi), int(PAGE_H_IN * dpi)
+    img = np.full((h, w, 3), 255, dtype=np.uint8)
+    for f in fields or []:
+        bbox = f.get("bounding_box")
+        if not bbox or (f.get("page") or 1) != page:
+            continue
+        xs = [p["x"] * dpi for p in bbox]
+        ys = [p["y"] * dpi for p in bbox]
+        x0, x1 = max(int(min(xs)), 0), min(int(max(xs)), w - 1)
+        y0, y1 = max(int(min(ys)), 0), min(int(max(ys)), h - 1)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        conf = f.get("confidence")
+        rgb = _hex_rgb(confidence_color(conf if conf is not None else 0.0))
+        b = border_px
+        img[y0:y0 + b, x0:x1 + 1] = rgb
+        img[max(y1 - b + 1, 0):y1 + 1, x0:x1 + 1] = rgb
+        img[y0:y1 + 1, x0:x0 + b] = rgb
+        img[y0:y1 + 1, max(x1 - b + 1, 0):x1 + 1] = rgb
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + img.tobytes()
+
+
+class PageRenderer:
+    """Actor-pool stage rendering the ANNOTATED page image per document —
+    the Ray restatement of generate_visualization (extraction.py:345-382).
+    Large binary outputs: run with small batch_size. Output column
+    ``annotation`` is the page-1 PPM bytes (the reference also keeps only
+    ``*_page1.png``, extraction.py:358-363)."""
+
+    def __init__(self, dpi: int = PAGE_RENDER_DPI):
+        self.dpi = dpi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        renders = [render_annotation_ppm(f, dpi=self.dpi)
+                   for f in batch["fields"].to_pylist()]
+        return pa.table({
+            "url": batch["url"],
+            "annotation": pa.array(renders, pa.binary()),
+        })
+
+
 class PageAnnotator:
     """Actor-pool stage producing annotation *plans* (the geometry+color
     layer of the reference's overlay PNGs) without a rasterizer: for each

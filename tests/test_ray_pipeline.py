@@ -273,3 +273,29 @@ def test_pipeline_with_dedup_keeps_latest(ray_session, tmp_path):
     for i in range(5):
         row = df[df["url"] == rows[i]["url"]].iloc[0]
         assert row["extracted_text"] == "NEWER VERSION"
+
+
+def test_page_renderer_ppm_output(ray_session):
+    """Annotated-page raster: valid P6 PPM, colored border pixels where a
+    field bbox sits, white elsewhere."""
+    import numpy as np
+    from credit_ocr_backend_ray.stages.multimodal import (
+        PAGE_RENDER_DPI, render_annotation_ppm)
+
+    fields = [{"name": "f", "page": 1, "confidence": 0.9,
+               "bounding_box": [{"x": 1.0, "y": 1.0}, {"x": 2.0, "y": 1.0},
+                                {"x": 2.0, "y": 1.5}, {"x": 1.0, "y": 1.5}]}]
+    blob = render_annotation_ppm(fields)
+    w, h = int(8.5 * PAGE_RENDER_DPI), int(11 * PAGE_RENDER_DPI)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    assert blob.startswith(header)
+    img = np.frombuffer(blob[len(header):], dtype=np.uint8).reshape(h, w, 3)
+    # top border of the box (confidence 0.9 -> green)
+    y, x = int(1.0 * PAGE_RENDER_DPI), int(1.5 * PAGE_RENDER_DPI)
+    assert tuple(img[y + 1, x]) == (0, 255, 0)
+    # page corner stays white
+    assert tuple(img[0, 0]) == (255, 255, 255)
+    # no fields -> all white
+    blank = render_annotation_ppm([])
+    img2 = np.frombuffer(blank[len(header):], dtype=np.uint8)
+    assert (img2 == 255).all()
