@@ -448,6 +448,192 @@ def _q_union_hot_lineitems(sf_dir: str):
     return a.union(b)
 
 
+def _q_event_user_count_distinct(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_count_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, ["event_type"], "user_id",
+                                  alias="n_users")
+
+
+def _q_customers_with_events(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import broadcast_semi_join
+
+    users = set(pq.read_table(_t(sf_dir, "events"),
+                              columns=["user_id"])["user_id"].to_pylist())
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    return broadcast_semi_join(ds, users, on="c_custkey")
+
+
+def _click_purchase_sides(sf_dir: str):
+    import ray.data as rd
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    a = ev.filter(expr="event_type == 'click'")
+    b = ev.filter(expr="event_type == 'purchase'")
+    return a, b
+
+
+def _q_click_and_purchase_users(sf_dir: str):
+    from credit_ocr_backend_ray.stages.relational import set_op
+    a, b = _click_purchase_sides(sf_dir)
+    return set_op(a, b, ["user_id"], "intersect")
+
+
+def _q_order_customers_no_events(sf_dir: str):
+    """Shuffle-based EXCEPT (contrast: ``customers_without_events`` is the
+    broadcast anti-join form of the same semantics)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import set_op
+
+    od = (rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+            .map_batches(lambda b: b.rename(columns={"o_custkey": "user_id"}),
+                         batch_format="pandas"))
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return set_op(od, ev, ["user_id"], "except")
+
+
+def _q_user_event_pivot(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import pivot_sum
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "value"])
+    out = pivot_sum(ds, ["user_id"], "event_type", "value",
+                    ["click", "view", "purchase"])
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_click", "sum_view", "sum_purchase"):
+            b[c] = b[c].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+_PRICE_BANDS = pd.DataFrame({
+    "band": ["low", "mid", "high", "top"],
+    "lo": [0.0, 100_000.0, 250_000.0, 450_000.0],
+    "hi": [100_000.0, 250_000.0, 450_000.0, 600_000.0],
+})
+
+
+def _q_orders_price_band_join(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import range_join_broadcast
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    out = range_join_broadcast(ds, _PRICE_BANDS, "o_totalprice")
+    return out.select_columns(["o_orderkey", "band"])
+
+
+def _q_returnflag_qty_price_corr(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_corr
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    out = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_extendedprice",
+                       alias="corr_qty_price")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["corr_qty_price"] = b["corr_qty_price"].round(6)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_priority_price_quartiles(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_multi_quantile
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_multi_quantile(ds, ["o_orderpriority"], "o_totalprice",
+                                 {"p25": 0.25, "p50": 0.5, "p75": 0.75})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("p25", "p50", "p75"):
+            b[c] = b[c].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_order_price_ntile(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import ntile
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+        "o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ntile(ds, "o_orderpriority", ["o_totalprice", "o_orderkey"], 4)
+
+
+def _q_documents_sample(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import deterministic_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return deterministic_sample(ds, "doc_id", 0.1)
+
+
+def _q_top_terms(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import top_terms
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return top_terms(ds, k=50)
+
+
+def _q_user_top_event_type(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import mode_per_key
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    return mode_per_key(ds, "user_id", "event_type", alias="top_event_type")
+
+
+def _q_asof_next_event(sf_dir: str):
+    """Forward as-of: each order finds its customer's earliest event at or
+    after the order date (order dates all precede the event stream)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import asof_join
+
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts"])
+    out = asof_join(od, ev, left_key="o_custkey", right_key="user_id",
+                    left_ts="o_orderdate", right_ts="ts",
+                    left_cols=["o_orderkey"],
+                    right_cols=["event_id", "ts"],
+                    direction="forward")
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"__key": "o_custkey", "__ts": "o_orderdate"})
+        b["o_orderdate"] = b["o_orderdate"].astype("datetime64[us]")
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def _q_approx_user_count(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.sketch import approx_count_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    return approx_count_distinct(ds, ["event_type"], "user_id",
+                                 alias="approx_users")
+
+
 def _knn_queries(sf_dir: str) -> np.ndarray:
     t = pq.read_table(_t(sf_dir, "embeddings")).to_pandas()
     t = t.sort_values("vec_id").head(3)
@@ -690,6 +876,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_histogram": _q_order_price_histogram,
         "distinct_event_types": _q_distinct_event_types,
         "union_hot_lineitems": _q_union_hot_lineitems,
+        "event_user_count_distinct": _q_event_user_count_distinct,
+        "customers_with_events": _q_customers_with_events,
+        "click_and_purchase_users": _q_click_and_purchase_users,
+        "order_customers_no_events": _q_order_customers_no_events,
+        "user_event_pivot": _q_user_event_pivot,
+        "orders_price_band_join": _q_orders_price_band_join,
+        "returnflag_qty_price_corr": _q_returnflag_qty_price_corr,
+        "priority_price_quartiles": _q_priority_price_quartiles,
+        "order_price_ntile": _q_order_price_ntile,
+        "documents_sample": _q_documents_sample,
+        "top_terms": _q_top_terms,
+        "user_top_event_type": _q_user_top_event_type,
+        "asof_next_event": _q_asof_next_event,
+        "approx_user_count": _q_approx_user_count,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "doc_text_stats": _q_doc_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -850,6 +1050,93 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'b' AS src FROM lineitem
             WHERE l_discount > 0.09 AND l_quantity < 5
+        """,
+        "event_user_count_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "customers_with_events": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT user_id FROM events)
+        """,
+        "click_and_purchase_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "order_customers_no_events": """
+            SELECT o_custkey AS user_id FROM orders
+            EXCEPT
+            SELECT user_id FROM events
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click'
+                             THEN value ELSE 0 END), 4) AS sum_click,
+                   round(sum(CASE WHEN event_type = 'view'
+                             THEN value ELSE 0 END), 4) AS sum_view,
+                   round(sum(CASE WHEN event_type = 'purchase'
+                             THEN value ELSE 0 END), 4) AS sum_purchase
+            FROM events GROUP BY user_id
+        """,
+        "orders_price_band_join": """
+            SELECT o_orderkey, band
+            FROM orders
+            JOIN (VALUES ('low', 0, 100000), ('mid', 100000, 250000),
+                         ('high', 250000, 450000), ('top', 450000, 600000))
+                 AS b(band, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        "returnflag_qty_price_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "priority_price_quartiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "order_price_ntile": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders
+        """,
+        "documents_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) < 429496729
+        """,
+        "top_terms": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS token
+                FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "user_top_event_type": """
+            SELECT user_id, top_event_type, n FROM (
+                SELECT user_id, event_type AS top_event_type,
+                       count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        """,
+        "asof_next_event": """
+            WITH e1 AS (
+                SELECT user_id, ts, min(event_id) AS event_id
+                FROM events GROUP BY user_id, ts)
+            SELECT o.o_custkey, o.o_orderdate, o.o_orderkey,
+                   e.event_id, e.ts
+            FROM orders o ASOF JOIN e1 e
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         """,
         "dedup_exact_documents": """
             SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id

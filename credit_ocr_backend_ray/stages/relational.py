@@ -231,14 +231,18 @@ def sessionize(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
 
 def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
               right_key: str, left_ts: str, right_ts: str,
-              left_cols: list[str], right_cols: list[str]) -> "rd.Dataset":
-    """Backward as-of join: each left row picks the right row with the
-    greatest ``right_ts`` <= ``left_ts`` for the same key (inner: unmatched
-    left rows drop). Implemented as aligned-schema union + ONE co-grouping
-    shuffle on the key + per-group numpy ``searchsorted`` — the standard
-    composition when the engine has no as-of primitive. Right-side ties on
-    (key, ts) resolve to the row last in ``right_cols[0]`` order, so make
-    that a unique id for determinism."""
+              left_cols: list[str], right_cols: list[str],
+              direction: str = "backward") -> "rd.Dataset":
+    """As-of join: each left row picks the nearest right row for the same
+    key — ``backward``: greatest ``right_ts`` <= ``left_ts``; ``forward``:
+    smallest ``right_ts`` >= ``left_ts`` (inner: unmatched left rows drop).
+    Implemented as aligned-schema union + ONE co-grouping shuffle on the
+    key + per-group numpy ``searchsorted`` — the standard composition when
+    the engine has no as-of primitive. Right-side ties on (key, ts) resolve
+    to the row last (backward) / first (forward) in ``right_cols[0]``
+    order, so make that a unique id for determinism."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
     all_payload = left_cols + right_cols
 
     def _arrow_types(ds_: "rd.Dataset", cols: list[str]) -> dict[str, pa.DataType]:
@@ -292,8 +296,14 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
             return pd.DataFrame(
                 {c: pd.Series(dtype=out_dtypes[c]) for c in out_cols})
         r_ts = rf["__ts"].to_numpy()
-        idx = np.searchsorted(r_ts, lf["__ts"].to_numpy(), side="right") - 1
-        ok = idx >= 0
+        if direction == "backward":
+            idx = np.searchsorted(r_ts, lf["__ts"].to_numpy(),
+                                  side="right") - 1
+            ok = idx >= 0
+        else:
+            idx = np.searchsorted(r_ts, lf["__ts"].to_numpy(), side="left")
+            ok = idx < len(r_ts)
+            idx = np.clip(idx, 0, len(r_ts) - 1)
         lf = lf[ok]
         picked = rf.iloc[idx[ok]]
         out = lf[["__key", "__ts", *left_cols]].reset_index(drop=True)
@@ -371,3 +381,233 @@ def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":
     per-partition, so only unique keys cross the shuffle), keys only out."""
     out = ds.select_columns(list(cols)).groupby(list(cols)).aggregate(Count())
     return out.select_columns(list(cols))
+
+
+def grouped_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                           alias: str = "n_distinct") -> "rd.Dataset":
+    """COUNT(DISTINCT col) per key, exact, as two combiner shuffles: first
+    dedup (keys, col) — per-batch ``drop_duplicates`` partials mean only
+    unique pairs cross the wire — then a grouped count of the uniques.
+    For extreme cardinality use ``sketch.approx_count_distinct`` instead."""
+    keys = list(keys)
+
+    def partial_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b[keys + [col]].drop_duplicates()
+
+    uniq = distinct(ds.map_batches(partial_dedup, batch_format="pandas"),
+                    keys + [col])
+    return grouped_agg(uniq, keys, {}, count_alias=alias)
+
+
+def broadcast_semi_join(ds: "rd.Dataset", keys: set, on: str) -> "rd.Dataset":
+    """Semi-join (SQL IN / EXISTS) against a broadcast key set: keep rows
+    whose ``on`` value IS in ``keys``. Mirror of ``broadcast_anti_join`` —
+    ``ray.put`` once, vectorized ``isin`` per batch, no shuffle."""
+    ref = ray.put(keys)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)
+        return b[b[on].isin(k)]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+def set_op(a: "rd.Dataset", b: "rd.Dataset", cols: Sequence[str],
+           op: str) -> "rd.Dataset":
+    """Distinct set operations (SQL INTERSECT / EXCEPT) over a projection:
+    tag each side with a presence flag, union, per-batch dedup partials,
+    then ONE grouped sum of the flags decides membership — no join. Only
+    unique (cols, flags) rows cross the shuffle."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op: {op}")
+    cols = list(cols)
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out = pa.table({c: t[c] for c in cols})
+            out = out.append_column(
+                "__a", pa.array(np.full(n, 1 if side == "a" else 0, np.int64)))
+            return out.append_column(
+                "__b", pa.array(np.full(n, 1 if side == "b" else 0, np.int64)))
+        return fn
+
+    def partial_dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby(cols, as_index=False, sort=False).agg(
+            __a=("__a", "max"), __b=("__b", "max"))
+
+    u = (a.select_columns(cols).map_batches(tag("a"), batch_format="pyarrow")
+         .union(b.select_columns(cols).map_batches(tag("b"),
+                                                   batch_format="pyarrow"))
+         .map_batches(partial_dedup, batch_format="pandas"))
+    agg = u.groupby(cols).aggregate(Max("__a", alias_name="__in_a"),
+                                    Max("__b", alias_name="__in_b"))
+    keep = ("__in_a == 1 and __in_b == 1" if op == "intersect"
+            else "__in_a == 1 and __in_b == 0")
+    return agg.filter(expr=keep).select_columns(cols)
+
+
+def pivot_sum(ds: "rd.Dataset", index: Sequence[str], pivot_col: str,
+              value_col: str, values: Sequence[str],
+              prefix: str = "sum_") -> "rd.Dataset":
+    """PIVOT: one output column ``{prefix}{v}`` per pivot value, summing
+    ``value_col`` (the SUM(CASE WHEN pivot=v THEN val ELSE 0 END) family).
+    The pivot columns are derived vectorized per batch, so the shuffle is a
+    plain combiner ``grouped_agg`` on ``index`` — values outside ``values``
+    contribute nothing."""
+    index = list(index)
+    values = list(values)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[index].copy()
+        v = b[value_col].to_numpy()
+        p = b[pivot_col].to_numpy()
+        for name in values:
+            out[f"{prefix}{name}"] = np.where(p == name, v, 0.0)
+        return out
+
+    return grouped_agg(ds.map_batches(derive, batch_format="pandas"), index,
+                       {f"{prefix}{v}": f"{prefix}{v}" for v in values},
+                       count_alias=None)
+
+
+def range_join_broadcast(ds: "rd.Dataset", bands: pd.DataFrame, col: str,
+                         lo_col: str = "lo", hi_col: str = "hi") -> "rd.Dataset":
+    """Range (interval) join against a small broadcast band table: each row
+    joins the band with ``lo <= col < hi``. Bands must be non-overlapping;
+    the per-batch probe is a vectorized ``searchsorted`` over the sorted
+    ``lo`` bounds, O(rows·log bands), no shuffle. Rows outside every band
+    drop (inner semantics). This is the broadcast form of the reference-less
+    range join; a large-large range join would bucketize ``col`` and
+    shuffle-join on the bucket id."""
+    bands = bands.sort_values(lo_col).reset_index(drop=True)
+    los = bands[lo_col].to_numpy(dtype=np.float64)
+    his = bands[hi_col].to_numpy(dtype=np.float64)
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("bands overlap")
+    ref = ray.put(bands)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(ref)
+        x = b[col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(los, x, side="right") - 1
+        ok = (idx >= 0) & (x < his[np.clip(idx, 0, len(his) - 1)])
+        out = b[ok].reset_index(drop=True)
+        picked = bd.iloc[idx[ok]].reset_index(drop=True)
+        for c in bd.columns:
+            if c not in (lo_col, hi_col):
+                out[c] = picked[c]
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def grouped_corr(ds: "rd.Dataset", keys: Sequence[str], x: str, y: str,
+                 alias: str = "corr") -> "rd.Dataset":
+    """Pearson correlation per key via moment partials: each batch emits
+    one (n, Σx, Σy, Σx², Σy², Σxy) row per key, Sum-combined across the
+    shuffle, final formula on the driver-side-sized result. Sample vs
+    population denominators cancel in the ratio, so this matches SQL
+    ``corr`` exactly up to float association order."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[keys].copy()
+        xv = b[x].to_numpy(dtype=np.float64)
+        yv = b[y].to_numpy(dtype=np.float64)
+        d["__n"] = 1.0
+        d["__sx"] = xv
+        d["__sy"] = yv
+        d["__sxx"] = xv * xv
+        d["__syy"] = yv * yv
+        d["__sxy"] = xv * yv
+        return d.groupby(keys, as_index=False, sort=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(keys).aggregate(
+                 Sum("__n", alias_name="__n"), Sum("__sx", alias_name="__sx"),
+                 Sum("__sy", alias_name="__sy"),
+                 Sum("__sxx", alias_name="__sxx"),
+                 Sum("__syy", alias_name="__syy"),
+                 Sum("__sxy", alias_name="__sxy")))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["__n"]
+        cov = b["__sxy"] - b["__sx"] * b["__sy"] / n
+        vx = b["__sxx"] - b["__sx"] ** 2 / n
+        vy = b["__syy"] - b["__sy"] ** 2 / n
+        out = b[keys].copy()
+        out[alias] = cov / np.sqrt(vx * vy)
+        return out
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def grouped_multi_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                           qs: dict[str, float]) -> "rd.Dataset":
+    """Several exact quantiles per key in one pass (``quantile_cont``
+    linear interpolation); same holistic one-shuffle shape as
+    ``grouped_quantile``. ``qs`` maps output alias -> quantile."""
+    keys = list(keys)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][keys].copy()
+        v = g[col].to_numpy(dtype=np.float64)
+        for a, q in qs.items():
+            out[a] = np.quantile(v, q, method="linear")
+        return out
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_group, batch_format="pandas")
+
+
+def ntile(ds: "rd.Dataset", key: str, order_cols: list[str], n: int,
+          alias: str = "tile") -> "rd.Dataset":
+    """NTILE(n) OVER (PARTITION BY key ORDER BY order_cols): SQL tile
+    semantics — as-equal-as-possible buckets, the first ``count % n``
+    buckets one row larger. One hash shuffle + per-group sorted scan;
+    ``order_cols`` must end in a unique tie-break for determinism."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols).reset_index(drop=True)
+        c = len(g)
+        base, rem = divmod(c, n)
+        sizes = np.full(n, base, dtype=np.int64)
+        sizes[:rem] += 1
+        g[alias] = np.repeat(np.arange(1, n + 1), sizes)[:c]
+        return g
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def deterministic_sample(ds: "rd.Dataset", key_col: str,
+                         frac: float) -> "rd.Dataset":
+    """Deterministic, engine-independent sampling: keep a row iff the
+    first 32 bits of ``md5(str(key))`` fall below ``frac``·2³². Unlike
+    ``random_sample`` this is reproducible across runs/engines and stable
+    under repartitioning (SQL-matchable), and the same key always lands on
+    the same side — usable for consistent train/test splits."""
+    cut = int(frac * (1 << 32))
+    import hashlib
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4],
+                            "big") < cut for k in keys),
+            dtype=bool, count=len(keys))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def mode_per_key(ds: "rd.Dataset", key: str, col: str,
+                 alias: str = "mode", count_alias: str = "n") -> "rd.Dataset":
+    """Most frequent ``col`` value per key (ties to the smallest value):
+    combiner grouped count of (key, col) pairs, then top-1-per-key over the
+    counts — both shuffles move only (key, value, count) triples."""
+    counts = grouped_agg(ds.select_columns([key, col]), [key, col], {},
+                         count_alias=count_alias)
+    top = latest_per_key(counts, key, [count_alias, col],
+                         ascending=[False, True])
+    return top.map_batches(
+        lambda b: b.rename(columns={col: alias}), batch_format="pandas")

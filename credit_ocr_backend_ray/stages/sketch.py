@@ -1,0 +1,110 @@
+"""Approximate (sketch-based) aggregates for cardinalities where exact
+holistic operators stop scaling: HyperLogLog count-distinct.
+
+The reference has no sketches (SURVEY.md §2.5); this is a scale addition.
+At 100 TB an exact COUNT(DISTINCT user) must co-locate every distinct
+value; an HLL register bank is a few KB per group and merges with a
+pointwise max, so the shuffle moves one fixed-size row per (key, batch)
+regardless of input cardinality.
+
+Determinism: value hashing is blake2b (seeded, process-independent), so
+the estimate is bit-identical across runs, batch sizes, and cluster
+shapes (register max is commutative/associative).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+_P = 11                 # 2^11 = 2048 registers, ~2.3% standard error
+_M = 1 << _P
+_ALPHA = 0.7213 / (1 + 1.079 / _M) * _M * _M
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of arbitrary values (via str bytes)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(str(v).encode("utf-8"),
+                                        digest_size=8).digest(), "big")
+         for v in values),
+        dtype=np.uint64, count=len(values))
+
+
+def _registers(values) -> np.ndarray:
+    """HLL register bank (uint8[M]) for a list of values."""
+    regs = np.zeros(_M, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - _P)).astype(np.int64)
+    rest = (h << np.uint64(_P)) | np.uint64((1 << _P) - 1)
+    # rank = leading zeros of the remaining 64-P bits, + 1
+    nlz = np.zeros(len(h), dtype=np.uint8)
+    x = rest.copy()
+    top = np.uint64(1) << np.uint64(63)
+    live = np.ones(len(h), dtype=bool)
+    for _ in range(64 - _P + 1):
+        hit = live & ((x & top) == 0)
+        nlz[hit] += 1
+        live &= hit
+        if not live.any():
+            break
+        x = x << np.uint64(1)
+    rank = nlz + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction — exact enough for bench-scale groups too."""
+    est = _ALPHA / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _M and zeros:
+        est = _M * np.log(_M / zeros)
+    return float(est)
+
+
+def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                          alias: str = "approx_distinct") -> "rd.Dataset":
+    """APPROX COUNT(DISTINCT col) per key: each batch emits one register
+    bank per key (fixed 2 KB), banks merge with elementwise max inside one
+    grouped ``map_groups``, the estimate finishes per group. The combiner
+    shape means shuffle volume is O(groups × batches), independent of the
+    number of distinct values."""
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: t[k].to_pylist() for k in keys})
+        df["__v"] = t[col].to_pylist()
+        rows_k: dict[str, list] = {k: [] for k in keys}
+        banks: list[bytes] = []
+        for kv, g in df.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                rows_k[k].append(v)
+            banks.append(_registers(g["__v"].to_list()).tobytes())
+        out = {k: pa.array(rows_k[k]) for k in keys}
+        out["__regs"] = pa.array(banks, pa.binary())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(_M, dtype=np.uint8)
+        for b in g["__regs"]:
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        out = g.iloc[:1][keys].copy()
+        out[alias] = int(round(_estimate(acc)))
+        return out
+
+    return partials.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        merge, batch_format="pandas")

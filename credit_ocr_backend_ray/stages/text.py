@@ -44,6 +44,43 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "pred_lang", pa.array([lang_id(t) for t in texts], pa.string()))
 
 
+def top_terms(ds, k: int = 50, text_col: str = "text"):
+    """Global top-k most frequent whitespace tokens across the corpus:
+    per-batch ``Counter`` partials (one (token, n) row per distinct token
+    per batch crosses the shuffle — the classic combiner word-count), a
+    grouped sum, then a cluster sort + limit. Ties break token-ascending
+    for a deterministic cut. Empty tokens are dropped on both the Ray and
+    the SQL side."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = grouped_agg(partials, ["token"], {"__pn": "n"},
+                         count_alias="__nbatch")
+
+    def drop_extra(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["token", "n"]]
+
+    return (counts.map_batches(drop_extra, batch_format="pandas")
+                  .sort(["n", "token"], descending=[True, False]).limit(k))
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = [t or "" for t in batch[text_col].to_pylist()]
     return (batch

@@ -231,3 +231,174 @@ def test_broadcast_anti_join(ray_session):
     out = (broadcast_anti_join(_ds(df), {2, 4}, on="k")
            .to_pandas().sort_values("k"))
     assert out["k"].tolist() == [1, 3]
+
+
+def test_grouped_count_distinct(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_count_distinct
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b"],
+                       "v": [1, 1, 2, 7, 7]})
+    out = (grouped_count_distinct(_ds(df), ["g"], "v", alias="nd")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["nd"].tolist() == [2, 1]
+
+
+def test_broadcast_semi_join(ray_session):
+    from credit_ocr_backend_ray.stages.relational import broadcast_semi_join
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    out = (broadcast_semi_join(_ds(df), {2, 4, 9}, on="k")
+           .to_pandas().sort_values("k"))
+    assert out["v"].tolist() == ["b", "d"]
+
+
+def test_set_op_intersect_and_except(ray_session):
+    from credit_ocr_backend_ray.stages.relational import set_op
+
+    a = pd.DataFrame({"k": [1, 1, 2, 3]})
+    b = pd.DataFrame({"k": [2, 3, 3, 4]})
+    inter = sorted(set_op(_ds(a), _ds(b), ["k"], "intersect")
+                   .to_pandas()["k"].tolist())
+    exc = sorted(set_op(_ds(a), _ds(b), ["k"], "except")
+                 .to_pandas()["k"].tolist())
+    assert inter == [2, 3]
+    assert exc == [1]
+    with pytest.raises(ValueError):
+        set_op(_ds(a), _ds(b), ["k"], "union")
+
+
+def test_pivot_sum(ray_session):
+    from credit_ocr_backend_ray.stages.relational import pivot_sum
+
+    df = pd.DataFrame({"u": [1, 1, 1, 2],
+                       "t": ["x", "y", "x", "y"],
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    out = (pivot_sum(_ds(df), ["u"], "t", "v", ["x", "y"])
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert out["sum_x"].tolist() == [4.0, 0.0]
+    assert out["sum_y"].tolist() == [2.0, 4.0]
+
+
+def test_range_join_broadcast(ray_session):
+    from credit_ocr_backend_ray.stages.relational import range_join_broadcast
+
+    bands = pd.DataFrame({"band": ["lo", "hi"],
+                          "lo": [0.0, 10.0], "hi": [10.0, 20.0]})
+    df = pd.DataFrame({"x": [-1.0, 0.0, 9.99, 10.0, 19.9, 20.0]})
+    out = range_join_broadcast(_ds(df), bands, "x").to_pandas()
+    # -1 and 20 drop (outside); boundaries are half-open [lo, hi)
+    assert out["x"].tolist() == [0.0, 9.99, 10.0, 19.9]
+    assert out["band"].tolist() == ["lo", "lo", "hi", "hi"]
+    with pytest.raises(ValueError):
+        range_join_broadcast(_ds(df), pd.DataFrame(
+            {"band": ["a", "b"], "lo": [0.0, 5.0], "hi": [6.0, 9.0]}), "x")
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_corr
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50,
+                       "x": rng.normal(10, 2, 100),
+                       "y": rng.normal(5, 1, 100)})
+    df.loc[df.g == "b", "y"] = df.loc[df.g == "b", "x"] * 2 + 1  # corr=1
+    out = (grouped_corr(_ds(df), ["g"], "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    exp_a = np.corrcoef(df[df.g == "a"]["x"], df[df.g == "a"]["y"])[0, 1]
+    assert abs(out.loc[0, "corr"] - exp_a) < 1e-9
+    assert abs(out.loc[1, "corr"] - 1.0) < 1e-9
+
+
+def test_grouped_multi_quantile(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_multi_quantile
+
+    df = pd.DataFrame({"g": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = grouped_multi_quantile(_ds(df), ["g"], "v",
+                                 {"p25": 0.25, "p50": 0.5}).to_pandas()
+    assert out.loc[0, "p25"] == 2.0 and out.loc[0, "p50"] == 3.0
+
+
+def test_ntile_uneven_buckets(ray_session):
+    from credit_ocr_backend_ray.stages.relational import ntile
+
+    df = pd.DataFrame({"g": ["a"] * 5, "v": [10, 20, 30, 40, 50],
+                       "id": [1, 2, 3, 4, 5]})
+    out = (ntile(_ds(df), "g", ["v", "id"], 3)
+           .to_pandas().sort_values("v"))
+    # 5 rows / 3 tiles -> sizes 2,2,1 (first tiles take the extras)
+    assert out["tile"].tolist() == [1, 1, 2, 2, 3]
+
+
+def test_deterministic_sample_stability(ray_session):
+    from credit_ocr_backend_ray.stages.relational import deterministic_sample
+
+    df = pd.DataFrame({"k": list(range(1000))})
+    out1 = set(deterministic_sample(_ds(df), "k", 0.2).to_pandas()["k"])
+    out2 = set(deterministic_sample(
+        _ds(df.sample(frac=1.0, random_state=1)), "k", 0.2)
+        .to_pandas()["k"])
+    assert out1 == out2                      # order/partition independent
+    assert 120 <= len(out1) <= 280           # ~20%
+    sub = set(deterministic_sample(_ds(df), "k", 0.1).to_pandas()["k"])
+    assert sub <= out1                       # nested fractions
+
+
+def test_mode_per_key_tie_breaks_smallest(ray_session):
+    from credit_ocr_backend_ray.stages.relational import mode_per_key
+
+    df = pd.DataFrame({"u": [1, 1, 1, 2, 2],
+                       "t": ["b", "a", "a", "z", "y"]})
+    out = (mode_per_key(_ds(df), "u", "t", alias="m")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert out["m"].tolist() == ["a", "y"]   # u=2 ties 1-1 -> smaller value
+    assert out["n"].tolist() == [2, 1]
+
+
+def test_asof_join_forward(ray_session):
+    from credit_ocr_backend_ray.stages.relational import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "lts": pd.to_datetime(["2024-01-01", "2024-01-05", "2024-02-01",
+                               "2024-01-01"]).astype("datetime64[us]"),
+        "lid": [10, 11, 12, 20]})
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "rts": pd.to_datetime(["2024-01-03", "2024-01-05",
+                               "2023-12-01"]).astype("datetime64[us]"),
+        "rid": [100, 101, 200]})
+    out = (asof_join(_ds(left), _ds(right), "k", "k", "lts", "rts",
+                     ["lid"], ["rid"], direction="forward")
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    # lid=10 -> first rts >= 01-01 is 01-03 (rid 100); lid=11 exact match
+    # 01-05 (rid 101); lid=12 has no later right row -> drops; k=2's only
+    # right row is earlier -> drops
+    assert out["lid"].tolist() == [10, 11]
+    assert out["rid"].tolist() == [100, 101]
+
+
+def test_approx_count_distinct_accuracy(ray_session):
+    from credit_ocr_backend_ray.stages.sketch import approx_count_distinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": ["small"] * 2000 + ["big"] * 8000,
+        "v": np.concatenate([rng.integers(0, 100, 2000),      # ~100 distinct
+                             rng.integers(0, 50_000, 8000)]),  # ~7350 distinct
+    })
+    out = (approx_count_distinct(_ds(df), ["g"], "v", alias="ad")
+           .to_pandas().set_index("g")["ad"])
+    exact = df.groupby("g")["v"].nunique()
+    for g in ("small", "big"):
+        rel = abs(out[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, out[g], exact[g])
+
+
+def test_top_terms_combiner(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import top_terms
+
+    df = pd.DataFrame({"text": ["a b b", "  b a\t c ", None, "", "c b"]})
+    out = top_terms(rd.from_pandas(df), k=2).to_pandas()
+    assert out["token"].tolist() == ["b", "a"]  # b=4; a=2 ties c=2 -> 'a'
+    assert out["n"].tolist() == [4, 2]
