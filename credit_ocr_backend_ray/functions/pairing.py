@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 from credit_ocr_backend_ray.functions.geometry import (
     box_center_x, box_center_y, box_height,
 )
@@ -86,7 +88,19 @@ def pair_label_values(
                 })
                 used.add(i)
 
-        # pass 2: two-column geometry
+        # pass 2: two-column geometry — the candidate scan is vectorized
+        # (numpy float64 ops are the same IEEE expressions as the scalar
+        # loop, so thresholds/ties are bit-identical); argmin's first-min
+        # rule reproduces "ties keep the earlier line"
+        a_cx = np.asarray(cxs)
+        a_cy = np.asarray(cys)
+        a_ht = np.asarray(hts)
+        has_box = np.fromiter((bool(ln["bounding_box"]) for ln in lines),
+                              dtype=bool, count=len(lines))
+        free = np.ones(len(lines), dtype=bool)
+        for j in used:
+            free[j] = False
+
         for i, ln in enumerate(lines):
             if i in used:
                 continue
@@ -94,20 +108,15 @@ def pair_label_values(
             if cxs[i] >= x_split:
                 continue  # not a left-column label candidate
 
-        # nearest horizontally-aligned line strictly to the right
+            # nearest horizontally-aligned free line strictly to the right
             best_j = None
-            best_x = float("inf")
-            for j in range(len(lines)):
-                if j in used:
-                    continue
-                if not (lines[i]["bounding_box"] and lines[j]["bounding_box"]):
-                    continue
-                height = max(hts[i], hts[j])
-                if abs(cys[i] - cys[j]) > height * 0.1:
-                    continue
-                if cxs[j] > cxs[i] and cxs[j] < best_x:
-                    best_j = j
-                    best_x = cxs[j]
+            if has_box[i]:
+                cand = (free & has_box & (a_cx > cxs[i])
+                        & (np.abs(cys[i] - a_cy)
+                           <= np.maximum(hts[i], a_ht) * 0.1))
+                if cand.any():
+                    xs = np.where(cand, a_cx, np.inf)
+                    best_j = int(np.argmin(xs))
 
             if best_j is not None:
                 value_line = lines[best_j]
@@ -119,7 +128,9 @@ def pair_label_values(
                                       value_line.get("confidence", 1.0)),
                     "bounding_box": value_line.get("bounding_box"),
                 })
-                used.update([i, _first_equal_index(lines, value_line)])
+                idx = _first_equal_index(lines, value_line)
+                used.update([i, idx])
+                free[i] = free[idx] = False
                 continue
 
             # fallback: right-column value in the next <=2 lines, close in y
@@ -136,6 +147,7 @@ def pair_label_values(
                         "bounding_box": lines[j].get("bounding_box"),
                     })
                     used.update([i, j])
+                    free[i] = free[j] = False
                     break
 
     return pairs
