@@ -734,6 +734,76 @@ def _q_annotation_render(sf_dir: str):
     return imgs.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_annotation_thumbnails(sf_dir: str):
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import (
+        PageRenderer, ThumbnailMaker)
+
+    ds = (rd.read_parquet(_flagship_output(sf_dir),
+                          columns=["url", "fields"])
+            .sort("url").limit(24))
+    imgs = ds.map_batches(PageRenderer, batch_format="pyarrow",
+                          batch_size=8, concurrency=2)
+    thumbs = imgs.map_batches(ThumbnailMaker, batch_format="pyarrow",
+                              fn_constructor_kwargs={"scale": 8},
+                              batch_size=8, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["thumbnail"].to_pylist()
+        return pa.table({
+            "url": t["url"],
+            "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "sha256": pa.array([hashlib.sha256(b).hexdigest()
+                                for b in blobs], pa.string()),
+        })
+
+    return thumbs.map_batches(digest, batch_format="pyarrow")
+
+
+def _q_video_frame_sample(sf_dir: str):
+    import hashlib
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import FrameSampler
+
+    def synth_videos(t: pa.Table) -> pa.Table:
+        """Deterministic fake 'videos': 4-9 tiny solid-color PPM frames per
+        doc (the codec-free container FrameSampler demuxes)."""
+        ids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            n_frames = 4 + (d % 6)
+            frames = []
+            for k in range(n_frames):
+                px = np.full((24, 32, 3), (d * 31 + k * 7) % 256, np.uint8)
+                frames.append(b"P6\n32 24\n255\n" + px.tobytes())
+            ids.append(str(d))
+            payloads.append(b"".join(frames))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    ds = (rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+            .map_batches(synth_videos, batch_format="pyarrow"))
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                            fn_constructor_kwargs={"stride": 3},
+                            batch_size=32, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["frame"].to_pylist()
+        return pa.table({
+            "media_id": t["media_id"],
+            "frame_index": t["frame_index"],
+            "sha256": pa.array([hashlib.sha256(b).hexdigest()
+                                for b in blobs], pa.string()),
+        })
+
+    return frames.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_annotation_plans(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.multimodal import PageAnnotator
@@ -901,6 +971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fields_long": _q_extract_fields_long,
         "annotation_plans": _q_annotation_plans,
         "annotation_render": _q_annotation_render,
+        "annotation_thumbnails": _q_annotation_thumbnails,
+        "video_frame_sample": _q_video_frame_sample,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,

@@ -141,6 +141,110 @@ class PageRenderer:
         })
 
 
+def parse_ppm(data: bytes) -> tuple[int, int, memoryview]:
+    """Parse a binary PPM (P6) header; returns (w, h, pixel view). The
+    inverse of ``render_annotation_ppm``'s encoding."""
+    if not data.startswith(b"P6\n"):
+        raise ValueError("not a P6 PPM")
+    hdr_end = data.index(b"\n", data.index(b"\n", 3) + 1) + 1
+    dims = data[3:data.index(b"\n", 3)].split()
+    w, h = int(dims[0]), int(dims[1])
+    return w, h, memoryview(data)[hdr_end:hdr_end + w * h * 3]
+
+
+def resize_ppm(data: bytes, scale: int) -> bytes:
+    """REAL image resize without any codec: integer-factor box downsample
+    (mean of each scale x scale tile) of a P6 PPM via a numpy reshape —
+    vectorized, no per-pixel Python. The thumbnailing step of the
+    reference's annotation sink, generalized to a standalone op."""
+    import numpy as np
+
+    w, h, px = parse_ppm(data)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    h2, w2 = h // scale * scale, w // scale * scale
+    small = (arr[:h2, :w2]
+             .reshape(h2 // scale, scale, w2 // scale, scale, 3)
+             .mean(axis=(1, 3)).astype(np.uint8))
+    header = f"P6\n{small.shape[1]} {small.shape[0]}\n255\n".encode("ascii")
+    return header + small.tobytes()
+
+
+class ThumbnailMaker:
+    """Actor-pool stage: downsample an image binary column. Real compute
+    (PPM path); any other format raises per row into the ``error`` column
+    rather than failing the task (poison-pill isolation, same policy as
+    the extraction stage)."""
+
+    def __init__(self, scale: int = 8, col: str = "annotation"):
+        self.scale = scale
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs: list[bytes | None] = []
+        errs: list[str | None] = []
+        for b in batch[self.col].to_pylist():
+            try:
+                thumbs.append(resize_ppm(b, self.scale))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — per-row capture
+                thumbs.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        out = batch.drop_columns([self.col])
+        out = out.append_column("thumbnail", pa.array(thumbs, pa.binary()))
+        return out.append_column("error", pa.array(errs, pa.string()))
+
+
+def split_ppm_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream (our codec-free stand-in for a video
+    container) into frames using header-declared lengths — O(frames)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 3] != b"P6\n":
+            raise ValueError(f"bad frame header at byte {pos}")
+        dim_end = data.index(b"\n", pos + 3)
+        max_end = data.index(b"\n", dim_end + 1)
+        w, h = (int(x) for x in data[pos + 3:dim_end].split())
+        end = max_end + 1 + w * h * 3
+        frames.append(bytes(data[pos:end]))
+        pos = end
+    return frames
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``stride``-th frame (plus the last)
+    from a video-like binary column, emitting one row per kept frame —
+    the frame-sample step of a video pipeline. Real parsing/slicing over
+    the concatenated-PPM container; swap ``split_ppm_stream`` for an
+    ffmpeg demux in a full environment. Fan-out stage: run with small
+    ``batch_size`` (large payloads in AND out)."""
+
+    def __init__(self, stride: int = 5, col: str = "payload"):
+        self.stride = stride
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        fidx: list[int] = []
+        blobs: list[bytes] = []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch[self.col].to_pylist()):
+            frames = split_ppm_stream(payload or b"")
+            keep = list(range(0, len(frames), self.stride))
+            if frames and keep[-1] != len(frames) - 1:
+                keep.append(len(frames) - 1)
+            for k in keep:
+                ids.append(mid)
+                fidx.append(k)
+                blobs.append(frames[k])
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "frame": pa.array(blobs, pa.binary()),
+        })
+
+
 class PageAnnotator:
     """Actor-pool stage producing annotation *plans* (the geometry+color
     layer of the reference's overlay PNGs) without a rasterizer: for each

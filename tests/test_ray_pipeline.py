@@ -299,3 +299,63 @@ def test_page_renderer_ppm_output(ray_session):
     blank = render_annotation_ppm([])
     img2 = np.frombuffer(blank[len(header):], dtype=np.uint8)
     assert (img2 == 255).all()
+
+
+def test_resize_ppm_box_mean():
+    import numpy as np
+    from credit_ocr_backend_ray.stages.multimodal import parse_ppm, resize_ppm
+
+    # 4x2 image, two 2x2 tiles: left all 10s, right all 200s
+    px = np.zeros((2, 4, 3), np.uint8)
+    px[:, :2] = 10
+    px[:, 2:] = 200
+    blob = b"P6\n4 2\n255\n" + px.tobytes()
+    small = resize_ppm(blob, 2)
+    w, h, view = parse_ppm(small)
+    assert (w, h) == (2, 1)
+    out = np.frombuffer(view, np.uint8).reshape(1, 2, 3)
+    assert (out[0, 0] == 10).all() and (out[0, 1] == 200).all()
+
+
+def test_split_ppm_stream_roundtrip():
+    import numpy as np
+    from credit_ocr_backend_ray.stages.multimodal import split_ppm_stream
+
+    f1 = b"P6\n2 2\n255\n" + bytes(12)
+    f2 = b"P6\n3 1\n255\n" + bytes(9)
+    assert split_ppm_stream(f1 + f2) == [f1, f2]
+    assert split_ppm_stream(b"") == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_ppm_stream(b"garbage")
+
+
+def test_frame_sampler_stride_plus_last(ray_session):
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.multimodal import FrameSampler
+
+    frames = [b"P6\n1 1\n255\n" + bytes([k, k, k]) for k in range(7)]
+    batch = pa.table({
+        "media_id": pa.array(["v0"], pa.string()),
+        "payload": pa.array([b"".join(frames)], pa.binary()),
+    })
+    out = FrameSampler(stride=3)(batch)
+    # 7 frames, stride 3 -> 0,3,6 (6 is also the last)
+    assert out["frame_index"].to_pylist() == [0, 3, 6]
+    assert out["frame"].to_pylist()[1] == frames[3]
+
+
+def test_thumbnail_maker_poison_isolation(ray_session):
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.multimodal import ThumbnailMaker
+
+    good = b"P6\n8 8\n255\n" + bytes(8 * 8 * 3)
+    batch = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "annotation": pa.array([good, b"not an image"], pa.binary()),
+    })
+    out = ThumbnailMaker(scale=2)(batch)
+    thumbs = out["thumbnail"].to_pylist()
+    errs = out["error"].to_pylist()
+    assert thumbs[0] is not None and errs[0] is None
+    assert thumbs[1] is None and errs[1].startswith("ValueError")
