@@ -634,6 +634,87 @@ def _q_approx_user_count(sf_dir: str):
                                  alias="approx_users")
 
 
+def _q_pricing_rollup(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import rollup_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+    out = rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                     {"l_quantity": "sum_qty"})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_qty"] = b["sum_qty"].round(2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_user_event_history(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_concat
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts", "event_type"])
+    return grouped_concat(ds, "user_id", ["ts", "event_id"], "event_type",
+                          alias="history")
+
+
+def _q_approx_price_quantiles(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.sketch import approx_quantile
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    return approx_quantile(ds, "o_totalprice",
+                           {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99},
+                           lo=0.0, hi=600_000.0)
+
+
+def _events_alt_format(sf_dir: str, fmt: str) -> str:
+    """Cache events(event_type, value) as JSONL / CSV under /tmp — the
+    alternate-source ingestion path (reference S-family covers only blob
+    containers; Ray Data reads these natively)."""
+    out_dir = f"/tmp/alt_src/{os.path.basename(sf_dir.rstrip('/'))}_{fmt}"
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        df = pq.read_table(_t(sf_dir, "events"),
+                           columns=["event_type", "value"]).to_pandas()
+        path = os.path.join(out_dir, f"events.{fmt}")
+        if fmt == "jsonl":
+            df.to_json(path, orient="records", lines=True)
+        else:
+            df.to_csv(path, index=False)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return out_dir
+
+
+def _agg_events_by_type(ds):
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+    out = grouped_agg(ds, ["event_type"], {"value": "sum_value"})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_events_from_jsonl(sf_dir: str):
+    import ray.data as rd
+    d = _events_alt_format(sf_dir, "jsonl")
+    return _agg_events_by_type(
+        rd.read_json(os.path.join(d, "events.jsonl")))
+
+
+def _q_events_from_csv(sf_dir: str):
+    import ray.data as rd
+    d = _events_alt_format(sf_dir, "csv")
+    return _agg_events_by_type(rd.read_csv(os.path.join(d, "events.csv")))
+
+
 def _knn_queries(sf_dir: str) -> np.ndarray:
     t = pq.read_table(_t(sf_dir, "embeddings")).to_pandas()
     t = t.sort_values("vec_id").head(3)
@@ -960,6 +1041,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": _q_user_top_event_type,
         "asof_next_event": _q_asof_next_event,
         "approx_user_count": _q_approx_user_count,
+        "pricing_rollup": _q_pricing_rollup,
+        "user_event_history": _q_user_event_history,
+        "approx_price_quantiles": _q_approx_price_quantiles,
+        "events_from_jsonl": _q_events_from_jsonl,
+        "events_from_csv": _q_events_from_csv,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "doc_text_stats": _q_doc_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1200,6 +1286,28 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY count(*) DESC, event_type ASC) AS rn
                 FROM events GROUP BY user_id, event_type)
             WHERE rn = 1
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "user_event_history": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS history,
+                   count(*) AS history_n
+            FROM events GROUP BY user_id
+        """,
+        "events_from_jsonl": """
+            SELECT event_type, round(sum(value), 4) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_from_csv": """
+            SELECT event_type, round(sum(value), 4) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "asof_next_event": """
             WITH e1 AS (

@@ -600,6 +600,69 @@ def deterministic_sample(ds: "rd.Dataset", key_col: str,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def rollup_agg(ds: "rd.Dataset", keys: Sequence[str],
+               sum_cols: dict[str, str],
+               count_alias: str = "n") -> "rd.Dataset":
+    """GROUP BY ROLLUP(keys): aggregates at every key-prefix level (finest,
+    each coarser prefix, grand total), NULL-filling the rolled-up key
+    columns. One full combiner shuffle computes the finest level; every
+    coarser level re-aggregates the (already tiny) finest result, so the
+    raw data is read and shuffled exactly once. Keys must be string-typed
+    so the NULL fill is type-stable across levels."""
+    keys = list(keys)
+    finest = grouped_agg(ds, keys, sum_cols, count_alias=count_alias)
+    vals = [*sum_cols.values(), count_alias]
+    levels = [finest]
+    for k in range(len(keys) - 1, -1, -1):
+        sub_sums = {v: v for v in vals}
+        if k == 0:
+            # grand total: per-block partial totals, then one final sum
+            def total_partial(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({v: [b[v].sum()] for v in vals})
+
+            def total_final(b: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({v: [b[v].sum()] for v in vals})
+                for c in keys:
+                    out[c] = None
+                return out[keys + vals]
+
+            lvl = (finest.map_batches(total_partial, batch_format="pandas")
+                   .repartition(1)
+                   .map_batches(total_final, batch_format="pandas"))
+        else:
+            lvl = grouped_agg(finest, keys[:k], sub_sums,
+                              count_alias="__lvl")
+
+            def fill(b: pd.DataFrame, _k=k) -> pd.DataFrame:
+                b = b.drop(columns=["__lvl"])
+                for c in keys[_k:]:
+                    b[c] = None
+                return b[keys + vals]
+            lvl = lvl.map_batches(fill, batch_format="pandas")
+        levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def grouped_concat(ds: "rd.Dataset", key: str, order_cols: list[str],
+                   val_col: str, sep: str = ",",
+                   alias: str = "concat") -> "rd.Dataset":
+    """STRING_AGG(val, sep ORDER BY order_cols) per key — a holistic
+    (order-sensitive) aggregate: one hash shuffle co-locates each key,
+    then a sorted per-group join. ``order_cols`` must end in a unique
+    tie-break for a deterministic concatenation."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        out = g.iloc[:1][[key]].copy()
+        out[alias] = sep.join(g[val_col].astype(str))
+        out[f"{alias}_n"] = len(g)
+        return out
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
 def mode_per_key(ds: "rd.Dataset", key: str, col: str,
                  alias: str = "mode", count_alias: str = "n") -> "rd.Dataset":
     """Most frequent ``col`` value per key (ties to the smallest value):

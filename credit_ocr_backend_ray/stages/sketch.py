@@ -73,6 +73,53 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+_QBINS = 4096
+
+
+def approx_quantile(ds: "rd.Dataset", col: str, qs: dict[str, float],
+                    lo: float, hi: float) -> "rd.Dataset":
+    """Approximate quantiles of ``col`` via a mergeable fixed-grid
+    histogram sketch over [lo, hi]: each batch emits one 4096-bin count
+    row; bins sum across the shuffle; quantiles interpolate linearly
+    inside the winning bin. Error is bounded by the bin width — the
+    streaming-scale alternative to the exact (holistic) grouped_quantile,
+    which must co-locate every value. Values outside [lo, hi] clamp to
+    the edge bins."""
+    import ray.data as rd  # noqa: F401 (signature type)
+
+    width = (hi - lo) / _QBINS
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, _QBINS - 1)
+        counts = np.bincount(idx, minlength=_QBINS).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        acc = np.zeros(_QBINS, dtype=np.int64)
+        for b in t["counts"].to_pylist():
+            acc += np.frombuffer(b, dtype=np.int64)
+        total = int(acc.sum())
+        cum = np.cumsum(acc)
+        out: dict[str, list[float]] = {}
+        for alias, q in qs.items():
+            if total == 0:
+                out[alias] = [float("nan")]
+                continue
+            target = q * total
+            i = int(np.searchsorted(cum, target, side="left"))
+            prev = cum[i - 1] if i else 0
+            in_bin = acc[i] or 1
+            frac = (target - prev) / in_bin
+            out[alias] = [lo + (i + frac) * width]
+        return pa.table({a: pa.array(v, pa.float64())
+                         for a, v in out.items()})
+
+    return partials.map_batches(finish, batch_format="pyarrow")
+
+
 def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
                           alias: str = "approx_distinct") -> "rd.Dataset":
     """APPROX COUNT(DISTINCT col) per key: each batch emits one register

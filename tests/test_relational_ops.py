@@ -402,3 +402,48 @@ def test_top_terms_combiner(ray_session):
     out = top_terms(rd.from_pandas(df), k=2).to_pandas()
     assert out["token"].tolist() == ["b", "a"]  # b=4; a=2 ties c=2 -> 'a'
     assert out["n"].tolist() == [4, 2]
+
+
+def test_rollup_agg_levels(ray_session):
+    from credit_ocr_backend_ray.stages.relational import rollup_agg
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["1", "2", "1"],
+                       "v": [10.0, 20.0, 5.0]})
+    out = rollup_agg(_ds(df), ["a", "b"], {"v": "sum_v"}).to_pandas()
+    finest = out.dropna(subset=["a", "b"]).sort_values(["a", "b"])
+    assert finest["sum_v"].tolist() == [10.0, 20.0, 5.0]
+    mid = out[out["a"].notna() & out["b"].isna()].sort_values("a")
+    assert mid["sum_v"].tolist() == [30.0, 5.0]
+    assert mid["n"].tolist() == [2, 1]
+    total = out[out["a"].isna()]
+    assert len(total) == 1
+    assert total["sum_v"].iloc[0] == 35.0 and total["n"].iloc[0] == 3
+
+
+def test_grouped_concat_ordered(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_concat
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "o": [3, 1, 2, 9],
+                       "id": [30, 10, 20, 90],
+                       "v": ["c", "a", "b", "z"]})
+    out = (grouped_concat(_ds(df), "k", ["o", "id"], "v", alias="h")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["h"].tolist() == ["a,b,c", "z"]
+    assert out["h_n"].tolist() == [3, 1]
+
+
+def test_approx_quantile_error_bound(ray_session):
+    from credit_ocr_backend_ray.stages.sketch import approx_quantile
+
+    rng = np.random.default_rng(11)
+    # continuous support: the sketch's error is bounded by bin width ONLY
+    # where the quantile function is continuous (a density gap at the
+    # quantile makes any value in the gap a valid answer)
+    v = rng.uniform(0, 1000, 10_000)
+    df = pd.DataFrame({"x": v})
+    out = approx_quantile(_ds(df), "x", {"p50": 0.5, "p90": 0.9},
+                          lo=0.0, hi=1000.0).to_pandas()
+    exact50, exact90 = np.quantile(v, [0.5, 0.9])
+    # bin width = 1000/4096 ~ 0.25; allow a few bins of slack
+    assert abs(out["p50"].iloc[0] - exact50) < 1.0
+    assert abs(out["p90"].iloc[0] - exact90) < 1.0
