@@ -895,6 +895,18 @@ def _q_annotation_plans(sf_dir: str):
                           batch_size=64, concurrency=2)
 
 
+def _q_document_status_listing(sf_dir: str):
+    """The reference API's read side (GET status / list-by-type,
+    /root/reference/src/api/main.py:397-414, dms service ORDER BY
+    erstellt_am DESC listings) over the extraction output: newest first."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_flagship_output(sf_dir),
+                         columns=["url", "warc_ts", "status", "n_pairs",
+                                  "error"])
+    return ds.sort(["warc_ts", "url"], descending=[True, False]).limit(100)
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import lang_id_batch
@@ -1054,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "media_features": _q_media_features,
         "extract_flagship": _q_extract_flagship,
+        "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,
         "annotation_plans": _q_annotation_plans,
         "annotation_render": _q_annotation_render,
