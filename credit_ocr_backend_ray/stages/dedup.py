@@ -66,10 +66,18 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
 def dedup_exact(ds: "rd.Dataset", hash_col: str,
                 tie_col: str) -> "rd.Dataset":
     """Hash-partition by content hash, keep the smallest ``tie_col`` row of
-    each group (deterministic representative)."""
+    each group (deterministic representative). Combiner-shaped: each batch
+    pre-prunes to its local representative per hash, so duplicate payloads
+    within a batch never cross the shuffle."""
     def first_of(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(tie_col, ascending=True).head(1)
-    return ds.groupby(hash_col).map_groups(first_of, batch_format="pandas")
+
+    def local_first(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(tie_col, ascending=True)
+                 .groupby(hash_col, as_index=False, sort=False).head(1))
+
+    pruned = ds.map_batches(local_first, batch_format="pandas")
+    return pruned.groupby(hash_col).map_groups(first_of, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- minhash

@@ -77,13 +77,20 @@ def broadcast_join(ds: "rd.Dataset", small: pd.DataFrame, on: str,
 def latest_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
                    ascending: list[bool] | None = None) -> "rd.Dataset":
     """Top-1 per key by order_cols (default: all descending) with the
-    order columns doubling as the deterministic tie-break."""
+    order columns doubling as the deterministic tie-break. Combiner-shaped:
+    each batch pre-prunes to its local winner per key, so the shuffle
+    moves at most one row per (key, batch) instead of every row."""
     asc = ascending if ascending is not None else [False] * len(order_cols)
 
     def head1(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_cols, ascending=asc).head(1)
 
-    return ds.groupby(key).map_groups(head1, batch_format="pandas")
+    def local_winners(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(order_cols, ascending=asc)
+                 .groupby(key, as_index=False, sort=False).head(1))
+
+    pruned = ds.map_batches(local_winners, batch_format="pandas")
+    return pruned.groupby(key).map_groups(head1, batch_format="pandas")
 
 
 def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
@@ -201,7 +208,14 @@ def topk_per_group(ds: "rd.Dataset", key: str, order_cols: list[str], k: int,
     def headk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_cols, ascending=asc).head(k)
 
-    return ds.groupby(key).map_groups(headk, batch_format="pandas")
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        # combiner pre-prune: a global top-k row is a local top-k row in
+        # its batch, so at most k rows per (key, batch) cross the shuffle
+        return (b.sort_values(order_cols, ascending=asc)
+                 .groupby(key, as_index=False, sort=False).head(k))
+
+    pruned = ds.map_batches(local_topk, batch_format="pandas")
+    return pruned.groupby(key).map_groups(headk, batch_format="pandas")
 
 
 def sessionize(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
