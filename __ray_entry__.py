@@ -80,6 +80,13 @@ def entry() -> Any:
 # ----------------------------------------------------------------- queries
 
 def _q_agg_pricing(sf_dir: str):
+    """Money sums are decimal-exact: the 2-decimal inputs (and the
+    4-decimal discounted product) are scaled to int64 "cents" per row with
+    ``floor(x*scale + 0.5)`` — the SAME IEEE expression the SQL oracle
+    uses — then summed exactly. A float SUM's association order differs
+    between engines: at sf0.1 the drift reached ~2e-4 on a 5e9 sum, right
+    at the rounding granularity, so float sums of money can never be
+    hash-compared reliably."""
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_agg
 
@@ -88,21 +95,26 @@ def _q_agg_pricing(sf_dir: str):
         "l_discount"])
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
-        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        qty = b["l_quantity"].to_numpy(dtype=np.float64)
+        base = b["l_extendedprice"].to_numpy(dtype=np.float64)
+        disc = base * (1 - b["l_discount"].to_numpy(dtype=np.float64))
+        b["qty_c"] = np.floor(qty * 100 + 0.5).astype("int64")
+        b["base_c"] = np.floor(base * 100 + 0.5).astype("int64")
+        b["disc_c"] = np.floor(disc * 10000 + 0.5).astype("int64")
         return b
 
     ds = ds.map_batches(derive, batch_format="pandas")
     out = grouped_agg(ds, ["l_returnflag", "l_linestatus"], {
-        "l_quantity": "sum_qty",
-        "l_extendedprice": "sum_base",
-        "disc_price": "sum_disc_price",
+        "qty_c": "qty_c",
+        "base_c": "base_c",
+        "disc_c": "disc_c",
     })
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_qty"] = b["sum_qty"].round(2)
-        b["sum_base"] = b["sum_base"].round(2)
-        b["sum_disc_price"] = b["sum_disc_price"].round(4)
-        return b
+        b["sum_qty"] = (b["qty_c"] / 100.0).round(2)
+        b["sum_base"] = (b["base_c"] / 100.0).round(2)
+        b["sum_disc_price"] = (b["disc_c"] / 10000.0).round(4)
+        return b.drop(columns=["qty_c", "base_c", "disc_c"])
 
     return out.map_batches(fin, batch_format="pandas")
 
@@ -176,17 +188,20 @@ def _q_top_brands_revenue(sf_dir: str):
         "l_partkey", "l_extendedprice", "l_discount"])
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
-        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        # decimal-exact revenue: int64 1e-4-units per row (see agg_pricing)
+        disc = (b["l_extendedprice"].to_numpy(dtype=np.float64)
+                * (1 - b["l_discount"].to_numpy(dtype=np.float64)))
+        b["disc_c"] = np.floor(disc * 10000 + 0.5).astype("int64")
         return b
 
     joined = broadcast_join(ds.map_batches(derive, batch_format="pandas"),
                             part, on="l_partkey")
-    out = grouped_agg(joined, ["p_brand"], {"disc_price": "revenue"},
+    out = grouped_agg(joined, ["p_brand"], {"disc_c": "disc_c"},
                       count_alias="n")
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["revenue"] = b["revenue"].round(4)
-        return b
+        b["revenue"] = (b["disc_c"] / 10000.0).round(4)
+        return b.drop(columns=["disc_c"])
 
     return (out.map_batches(fin, batch_format="pandas")
                .sort(["revenue", "p_brand"], descending=[True, False])
@@ -273,12 +288,22 @@ def _q_supplier_acctbal_stats(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "supplier"),
                          columns=["s_nationkey", "s_acctbal"])
-    out = grouped_stats(ds, ["s_nationkey"], "s_acctbal", alias="acctbal")
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        # decimal-exact cents (see agg_pricing); min/max/avg derive from it
+        v = b["s_acctbal"].to_numpy(dtype=np.float64)
+        b["acctbal_c"] = np.floor(v * 100 + 0.5).astype("int64")
+        return b
+
+    out = grouped_stats(ds.map_batches(to_cents, batch_format="pandas"),
+                        ["s_nationkey"], "acctbal_c", alias="c")
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_acctbal"] = b["sum_acctbal"].round(2)
-        b["avg_acctbal"] = b["avg_acctbal"].round(4)
-        return b
+        b["sum_acctbal"] = (b["sum_c"] / 100.0).round(2)
+        b["min_acctbal"] = b["min_c"] / 100.0
+        b["max_acctbal"] = b["max_c"] / 100.0
+        b["avg_acctbal"] = (b["sum_c"] / 100.0 / b["n"]).round(4)
+        return b.drop(columns=["sum_c", "min_c", "max_c", "avg_c"])
 
     return out.map_batches(fin, batch_format="pandas")
 
@@ -641,12 +666,19 @@ def _q_pricing_rollup(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus",
                                   "l_quantity"])
-    out = rollup_agg(ds, ["l_returnflag", "l_linestatus"],
-                     {"l_quantity": "sum_qty"})
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        # decimal-exact (see agg_pricing): int64 sums are associative
+        v = b["l_quantity"].to_numpy(dtype=np.float64)
+        b["qty_c"] = np.floor(v * 100 + 0.5).astype("int64")
+        return b
+
+    out = rollup_agg(ds.map_batches(to_cents, batch_format="pandas"),
+                     ["l_returnflag", "l_linestatus"], {"qty_c": "qty_c"})
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_qty"] = b["sum_qty"].round(2)
-        return b
+        b["sum_qty"] = (b["qty_c"] / 100.0).round(2)
+        return b.drop(columns=["qty_c"])
 
     return out.map_batches(fin, batch_format="pandas")
 
@@ -1089,10 +1121,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4)
-                       AS sum_disc_price,
+                   round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                         / 100.0, 2) AS sum_qty,
+                   round(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                  AS BIGINT)) / 100.0, 2) AS sum_base,
+                   round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT))
+                         / 10000.0, 4) AS sum_disc_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1119,8 +1154,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_brands_revenue": """
             SELECT p_brand,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4)
-                       AS revenue,
+                   round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT))
+                         / 10000.0, 4) AS revenue,
                    count(*) AS n
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 5
@@ -1131,12 +1167,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_acctbal_stats": """
             SELECT s_nationkey,
-                   round(sum(s_acctbal), 2) AS sum_acctbal,
-                   count(*) AS n,
-                   min(s_acctbal) AS min_acctbal,
-                   max(s_acctbal) AS max_acctbal,
-                   round(avg(s_acctbal), 4) AS avg_acctbal
-            FROM supplier GROUP BY s_nationkey
+                   round(sum_c / 100.0, 2) AS sum_acctbal,
+                   n,
+                   min_c / 100.0 AS min_acctbal,
+                   max_c / 100.0 AS max_acctbal,
+                   round(sum_c / 100.0 / n, 4) AS avg_acctbal
+            FROM (
+                SELECT s_nationkey,
+                       sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                           AS sum_c,
+                       count(*) AS n,
+                       min(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                           AS min_c,
+                       max(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                           AS max_c
+                FROM supplier GROUP BY s_nationkey)
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
@@ -1302,7 +1347,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                   round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                         / 100.0, 2) AS sum_qty,
+                   count(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "user_event_history": """
