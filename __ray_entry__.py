@@ -144,6 +144,28 @@ def _q_filter_revenue(sf_dir: str):
         "l_shipdate"]).map_batches(fn, batch_format="pyarrow")
 
 
+def _q_recent_orders_pushdown(sf_dir: str):
+    """Predicate pushdown at the read: the filter is evaluated against
+    parquet row-group statistics before any block leaves storage ("prune
+    at the read"), composed with column pruning."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    expr = (pc.field("o_orderdate") >= pa_timestamp("1998-01-01")) & (
+        pc.field("o_totalprice") > 300_000.0)
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=expr)
+    return ds
+
+
+def pa_timestamp(s: str):
+    import pyarrow as pa
+    return pa.scalar(pd.Timestamp(s), pa.timestamp("us"))
+
+
 def _q_latest_event_per_user(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import latest_per_key
@@ -1054,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "agg_pricing": _q_agg_pricing,
         "filter_revenue": _q_filter_revenue,
+        "recent_orders_pushdown": _q_recent_orders_pushdown,
         "latest_event_per_user": _q_latest_event_per_user,
         "newest_orders": _q_newest_orders,
         "customer_nation": _q_customer_nation,
@@ -1135,6 +1158,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "recent_orders_pushdown": """
+            SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_totalprice > 300000
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type, value FROM (
