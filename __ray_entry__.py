@@ -304,6 +304,28 @@ def _q_orders_lineitem_join(sf_dir: str):
                                "o_orderpriority"])
 
 
+def _q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER shuffle join + grouped count of the non-null right keys
+    (customers with no orders keep n_orders = 0)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, shuffle_join)
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey"])
+    joined = shuffle_join(cust, od, on="c_custkey", right_on="o_custkey",
+                          join_type="left_outer")
+
+    def indicator(b: pd.DataFrame) -> pd.DataFrame:
+        b["has_order"] = b["o_orderkey"].notna().astype("int64")
+        return b[["c_custkey", "has_order"]]
+
+    return grouped_agg(joined.map_batches(indicator, batch_format="pandas"),
+                       ["c_custkey"], {"has_order": "n_orders"},
+                       count_alias=None)
+
+
 def _q_supplier_acctbal_stats(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_stats
@@ -1083,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_brands_revenue": _q_top_brands_revenue,
         "orders_lineitem_join": _q_orders_lineitem_join,
         "supplier_acctbal_stats": _q_supplier_acctbal_stats,
+        "customer_order_counts": _q_customer_order_counts,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "sessionize_events": _q_sessionize_events,
         "asof_latest_order": _q_asof_latest_order,
@@ -1210,6 +1233,11 @@ def oracle_sql() -> dict[str, str]:
                        max(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
                            AS max_c
                 FROM supplier GROUP BY s_nationkey)
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
