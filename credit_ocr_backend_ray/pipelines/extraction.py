@@ -30,6 +30,34 @@ import pyarrow as pa
 
 import ray.data as rd
 
+def _settle_fsspec_http_import() -> None:
+    """Make the fsspec http-filesystem probe race-free for concurrent group
+    executions. Without aiohttp, ``fsspec.implementations.http`` raises on
+    EVERY import (never cached in sys.modules), and Ray's path resolution
+    probes it per read/write; two threads racing the failing import can see
+    a partially-initialized module and get a plain ImportError that escapes
+    Ray's ``except ModuleNotFoundError`` guard. Caching a sentinel module
+    (HTTPFileSystem exists only for isinstance checks, which stay False)
+    makes every later import an instant cache hit."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: no aiohttp -> none can exist
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass  # real fsspec/http import issues: leave as-is
+
+
+_settle_fsspec_http_import()
+
 from credit_ocr_backend_ray.stages.extract import DocExtractor
 from credit_ocr_backend_ray.stages.prepass import DEFAULT_NUM_PARTS, make_prepass
 from credit_ocr_backend_ray.state.manifest import (
@@ -105,8 +133,17 @@ def build_extraction_ds(paths: list[str] | str,
 
 def run_extraction(input_paths: list[str] | str, out_dir: str,
                    cfg: ExtractionConfig | None = None,
-                   n_groups: int = 1) -> dict:
-    """Execute with shard-group checkpointing; returns a run summary."""
+                   n_groups: int = 1,
+                   concurrent_groups: int | None = None) -> dict:
+    """Execute with shard-group checkpointing; returns a run summary.
+
+    ``concurrent_groups`` > 1 pipelines that many group executions at once
+    (each a separate streaming Dataset run): one group's write tail and the
+    next group's read/actor ramp overlap, which recovers the spin-up cost
+    that sequential groups pay at every boundary (measured: 400k docs in 8
+    sequential groups ran at 0.47x the single-group rate). The per-group
+    actor pool is scaled down so the total stays at cpus-2. Default: 2
+    when there is more than one group to run."""
     cfg = cfg or ExtractionConfig()
     files = _resolve_files(input_paths)
 
@@ -115,6 +152,7 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
     summary = {"groups_total": 0, "groups_skipped": 0, "groups_run": 0,
                "rows": 0, "wall_s": 0.0}
 
+    todo: list[tuple[str, list[str]]] = []
     for k, group in enumerate(shard_groups(files, n_groups)):
         key = f"{k:05d}"
         summary["groups_total"] += 1
@@ -123,22 +161,49 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
             summary["rows"] += manifest.entries[key]["rows"]
             continue
         manifest.reset_incomplete(key)
+        todo.append((key, group))
 
+    if not todo:
+        return summary
+
+    k_eff = (concurrent_groups if concurrent_groups is not None
+             else (2 if len(todo) > 1 else 1))
+    k_eff = max(1, min(k_eff, len(todo)))
+    gcfg = cfg
+    if k_eff > 1 and cfg.concurrency is None:
+        gcfg = ExtractionConfig(**{**cfg.__dict__,
+                                   "concurrency": max(2, _pool_size(None) // k_eff)})
+
+    import threading
+    lock = threading.Lock()
+
+    def run_group(item: tuple[str, list[str]]) -> None:
+        key, group = item
         t0 = time.perf_counter()
-        ds = build_extraction_ds(group, cfg)
+        ds = build_extraction_ds(group, gcfg)
         gdir = manifest.group_dir(key)
         ds.write_parquet(gdir)
         lineage_dir = write_lineage(gdir)
         wall = time.perf_counter() - t0
 
         import pyarrow.dataset as pads
-        rows = pads.dataset(glob.glob(os.path.join(gdir, "*.parquet"))).count_rows()
-        manifest.mark_complete(key, {
-            "files": group, "rows": rows, "wall_s": wall,
-            "lineage": lineage_dir,
-        })
-        summary["groups_run"] += 1
-        summary["rows"] += rows
-        summary["wall_s"] += wall
+        rows = pads.dataset(
+            glob.glob(os.path.join(gdir, "*.parquet"))).count_rows()
+        with lock:
+            manifest.mark_complete(key, {
+                "files": group, "rows": rows, "wall_s": wall,
+                "lineage": lineage_dir,
+            })
+            summary["groups_run"] += 1
+            summary["rows"] += rows
+            summary["wall_s"] += wall
+
+    if k_eff == 1:
+        for item in todo:
+            run_group(item)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=k_eff) as pool:
+            list(pool.map(run_group, todo))
 
     return summary
