@@ -983,6 +983,43 @@ def _q_document_status_listing(sf_dir: str):
     return ds.sort(["warc_ts", "url"], descending=[True, False]).limit(100)
 
 
+def _q_extraction_prompts(sf_dir: str):
+    """The LLM-seam prompt assembly (reference M7) as a map stage over the
+    pages table: payload -> lines -> normalize -> per-document prompt
+    string; digests keep the result small."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.config import default_config
+    from credit_ocr_backend_ray.functions.document import payload_to_lines
+    from credit_ocr_backend_ray.functions.llm_seam import (
+        create_extraction_prompt)
+    from credit_ocr_backend_ray.functions.normalize import normalize_lines
+
+    cfg = default_config()["credit_request"]
+    inp = _flagship_input(sf_dir)
+
+    def build(t: pa.Table) -> pa.Table:
+        urls, shas, sizes = [], [], []
+        for url, payload in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            try:
+                items = normalize_lines(payload_to_lines(payload or b""))
+                prompt = create_extraction_prompt(items, cfg)
+            except Exception:  # poison rows produce no prompt
+                continue
+            urls.append(url)
+            shas.append(hashlib.sha256(prompt.encode("utf-8")).hexdigest())
+            sizes.append(len(prompt))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "prompt_sha256": pa.array(shas, pa.string()),
+            "prompt_chars": pa.array(sizes, pa.int64()),
+        })
+
+    ds = rd.read_parquet(inp, columns=["url", "html"])
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import lang_id_batch
@@ -1150,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotation_render": _q_annotation_render,
         "annotation_thumbnails": _q_annotation_thumbnails,
         "video_frame_sample": _q_video_frame_sample,
+        "extraction_prompts": _q_extraction_prompts,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,

@@ -70,3 +70,44 @@ def test_synonym_labels(credit_cfg):
     ]
     out = map_fields(normalize_lines(lines), lines, credit_cfg)
     assert out["extracted_fields"]["loan_amount"]["value"] == "1.000 €"
+
+
+def test_create_extraction_prompt_structure(credit_cfg):
+    from credit_ocr_backend_ray.functions.llm_seam import create_extraction_prompt
+
+    items = [
+        {"type": "label_value", "label": "Firmenname", "value": "X GmbH"},
+        {"type": "text_line", "text": "freier Text"},
+        {"type": "line", "text": "noch eine Zeile"},
+        {"type": "word", "text": "ignored-type-word"},
+    ]
+    p = create_extraction_prompt(items, credit_cfg)
+    assert "Firmenname: X GmbH" in p
+    assert "freier Text" in p and "noch eine Zeile" in p
+    assert "ignored-type-word" not in p
+    # the mapping table lists German -> English pairs
+    assert "- Firmenname -> company_name" in p
+    # content preserves item order
+    assert p.find("Firmenname: X GmbH") < p.find("freier Text") < p.find(
+        "noch eine Zeile")
+
+
+def test_extract_json_from_response_fences_and_comments():
+    import pytest
+    from credit_ocr_backend_ray.functions.llm_seam import (
+        extract_json_from_response)
+
+    fenced = 'Here you go:\n```json\n{"a": 1} // trailing\n```\nthanks'
+    assert extract_json_from_response(fenced) == {"a": 1}
+    bare = '{"b": [1, 2], // comment line\n "c": "x//y-after-comment"}'
+    # the reference strips from the FIRST // even inside strings — quirk
+    # preserved (field_extractor.py:151-156): that line truncates and the
+    # JSON breaks, so this raises
+    with pytest.raises(ValueError):
+        extract_json_from_response(bare)
+    assert extract_json_from_response('{"c": 3}') == {"c": 3}
+    with pytest.raises(ValueError):
+        extract_json_from_response("not json at all")
+    # unterminated fence: fence body runs to the end and fails to parse
+    with pytest.raises(ValueError):
+        extract_json_from_response("```json\n{unclosed")
