@@ -1122,6 +1122,19 @@ def _q_dedup_clusters(sf_dir: str):
             .astype({"doc_id": "int64", "cluster_rep": "int64"}))
 
 
+def _q_kmeans_fit_history(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import kmeans_fit
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    cent, history = kmeans_fit(ds, nlist=8, iters=4)
+    return pd.DataFrame({
+        "iteration": pd.Series(range(len(history)), dtype="int64"),
+        "mean_cos": pd.Series(history, dtype="float64").round(6),
+    })
+
+
 def _q_kmeans_assign(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.similarity import ivf_assign
@@ -1196,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "knn_ivf": _q_knn_ivf,
         "kmeans_assign": _q_kmeans_assign,
+        "kmeans_fit_history": _q_kmeans_fit_history,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_lsh": _q_knn_lsh,
     }

@@ -163,6 +163,63 @@ def _fit_centroids(sample: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray
     return cent
 
 
+def kmeans_fit(ds: "rd.Dataset", nlist: int = 16, iters: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init_ids: int = 2048) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's spherical k-means over the FULL dataset — the
+    iterative-algorithm pattern: per iteration, broadcast the centroids
+    (``ray.put`` once), every batch computes assignments vectorized and
+    emits ONE (nlist x dim) partial sum + count row, and the driver folds
+    the tiny partial set into new centroids. No shuffle: partial size is
+    O(nlist·dim·batches), independent of row count. Returns (centroids,
+    per-iteration mean-cosine history — non-decreasing by Lloyd's
+    monotonicity). Init: deterministic STRIDED rows of the sorted
+    ``id < init_ids`` sample (first-n would start every centroid inside
+    one region when ids correlate with content)."""
+    sample_t = (ds.filter(expr=f"{id_col} < {init_ids}")
+                  .select_columns([id_col, vec_col]).to_pandas()
+                  .sort_values(id_col))
+    sample = _norm_rows(np.asarray(sample_t[vec_col].tolist(),
+                                   dtype=np.float64))
+    nlist = min(nlist, len(sample))
+    cent = sample[:: max(1, len(sample) // nlist)][:nlist].copy()
+    dim = cent.shape[1]
+    history: list[float] = []
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cm = ray.get(cref)
+            vecs = _norm_rows(_as_matrix(batch[vec_col]))
+            sims = vecs @ cm.T
+            a = np.argmax(sims, axis=1)
+            sums = np.zeros((nlist, dim), dtype=np.float64)
+            np.add.at(sums, a, vecs)
+            counts = np.bincount(a, minlength=nlist).astype(np.int64)
+            best = sims[np.arange(len(a)), a]
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([counts.tobytes()], pa.binary()),
+                "cos_sum": pa.array([float(best.sum())], pa.float64()),
+                "n": pa.array([len(a)], pa.int64()),
+            })
+
+        parts = (ds.select_columns([vec_col])
+                   .map_batches(partial, batch_format="pyarrow").to_pandas())
+        sums = np.zeros((nlist, dim), dtype=np.float64)
+        counts = np.zeros(nlist, dtype=np.int64)
+        for s, c in zip(parts["sums"], parts["counts"]):
+            sums += np.frombuffer(s, dtype=np.float64).reshape(nlist, dim)
+            counts += np.frombuffer(c, dtype=np.int64)
+        history.append(float(parts["cos_sum"].sum() / max(parts["n"].sum(), 1)))
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _norm_rows(cent)
+
+    return cent, history
+
+
 def ivf_assign(ds: "rd.Dataset", nlist: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                train_ids: int = 2048) -> "rd.Dataset":

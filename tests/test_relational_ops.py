@@ -447,3 +447,28 @@ def test_approx_quantile_error_bound(ray_session):
     # bin width = 1000/4096 ~ 0.25; allow a few bins of slack
     assert abs(out["p50"].iloc[0] - exact50) < 1.0
     assert abs(out["p90"].iloc[0] - exact90) < 1.0
+
+
+def test_kmeans_fit_monotone_and_separates_blobs(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import kmeans_fit
+
+    rng = np.random.default_rng(9)
+    dim = 8
+    centers = np.eye(3, dim) * 5
+    vecs = np.concatenate([
+        centers[i] + rng.normal(0, 0.1, (60, dim)) for i in range(3)])
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype="int64"),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    cent, hist = kmeans_fit(rd.from_pandas(df), nlist=3, iters=4)
+    # Lloyd on the spherical objective is monotone non-decreasing
+    assert all(b >= a - 1e-12 for a, b in zip(hist, hist[1:])), hist
+    # converged: three well-separated blobs -> mean cosine ~1
+    assert hist[-1] > 0.99
+    # each blob center is closest to a distinct centroid
+    import numpy.linalg as la
+    norm_centers = centers / la.norm(centers, axis=1, keepdims=True)
+    best = np.argmax(norm_centers @ cent.T, axis=1)
+    assert len(set(best)) == 3
