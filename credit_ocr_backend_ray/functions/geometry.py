@@ -1,10 +1,13 @@
 """Bounding-box geometry helpers.
 
 Coordinates are in inches on an 8.5x11in page, boxes are 4-point polygons
-``[{"x": float, "y": float}] * 4``. Arithmetic expressions intentionally
-mirror the reference (sum/len centers, max-min extents,
-``|Δy| <= 0.1 * max(h1, h2)`` alignment) so downstream floats are
-bit-identical — parity: /root/reference/src/ocr/postprocess.py:84-108.
+``[{"x": float, "y": float}] * 4``. Arithmetic intentionally mirrors the
+reference (sum/len centers, max-min extents, ``|Δy| <= 0.1 * max(h1, h2)``
+alignment) so downstream floats are bit-identical — parity:
+/root/reference/src/ocr/postprocess.py:84-108. The accumulation loops
+start at 0.0 exactly like ``sum()``, so the float results are unchanged;
+the explicit loops just drop the generator overhead (these run hundreds
+of times per document in the pairing/sort hot path).
 """
 
 from __future__ import annotations
@@ -13,25 +16,49 @@ from __future__ import annotations
 def box_center_y(box) -> float:
     if not box:
         return 0.0
-    return sum(p["y"] for p in box) / len(box)
+    t = 0.0
+    for p in box:
+        t += p["y"]
+    return t / len(box)
 
 
 def box_center_x(box) -> float:
     if not box:
         return 0.0
-    return sum(p["x"] for p in box) / len(box)
+    t = 0.0
+    for p in box:
+        t += p["x"]
+    return t / len(box)
 
 
 def box_width(box) -> float:
     if not box:
         return 0.0
-    return max(p["x"] for p in box) - min(p["x"] for p in box)
+    it = iter(box)
+    p = next(it)
+    lo = hi = p["x"]
+    for p in it:
+        x = p["x"]
+        if x < lo:
+            lo = x
+        elif x > hi:
+            hi = x
+    return hi - lo
 
 
 def box_height(box) -> float:
     if not box:
         return 0.0
-    return max(p["y"] for p in box) - min(p["y"] for p in box)
+    it = iter(box)
+    p = next(it)
+    lo = hi = p["y"]
+    for p in it:
+        y = p["y"]
+        if y < lo:
+            lo = y
+        elif y > hi:
+            hi = y
+    return hi - lo
 
 
 def horizontally_aligned(box_a, box_b, threshold: float = 0.1) -> bool:
