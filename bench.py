@@ -91,7 +91,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     q = e.queries()
     for name in ("agg_pricing", "latest_event_per_user",
                  "dedup_exact_documents", "doc_text_stats", "knn_cosine",
-                 "dedup_minhash"):
+                 "dedup_minhash", "asof_latest_order",
+                 "events_hopping_window"):
         try:
             t = time.perf_counter()
             res = q[name](sf_dir)
@@ -159,9 +160,105 @@ def run_scaling(sf_dir: str) -> dict:
     return result
 
 
+def run_scaling_nodes(sf_dir: str) -> dict:
+    """Multi-NODE scaling evidence (closer to the north rule's 'N vs 4N
+    nodes' than two parallelism levels inside ONE cluster): leg A is one
+    independent 8-CPU Ray cluster (own raylet/scheduler/object store via a
+    private temp dir) running the whole input; leg B is FOUR such clusters
+    running concurrently, each over a quarter of the shards (T = slowest
+    node). Per-node fixed costs (cluster startup amortization, executor,
+    store) replicate per node exactly as on a real cluster; only the host's
+    disk/memory bus are shared, which a real cluster would not share."""
+    import shutil
+
+    from credit_ocr_backend_ray.sources.synth import rows_for_sf, synthesize_pages
+    sf = _sf_of(sf_dir)
+    inp = synthesize_pages(rows_for_sf(sf))
+    files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
+    for f in files:  # warm page cache (see run_bench)
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    leg_script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "node_leg.py")
+
+    def leg(n_nodes: int, solo_slice_of: int | None = None) -> float:
+        """n_nodes concurrent pinned nodes; ``solo_slice_of=j`` instead
+        runs ONE node over a 1/j shard slice with the rest of the host
+        idle — the control that isolates shared-memory-bus/disk cost."""
+        slices = solo_slice_of or n_nodes
+        procs = []
+        for k in range(n_nodes):
+            shutil.rmtree(f"/tmp/nodesim/out{k}", ignore_errors=True)
+            # pin each simulated node to its OWN 8 physical cores, so a
+            # node's raylet/driver/workers share that node's cores exactly
+            # as on real hardware (unpinned, the 1-node leg borrows the
+            # host's idle cores for its system processes — flattering it —
+            # while the 4-node leg oversubscribes)
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", f"{8 * k}-{8 * k + 7}",
+                 sys.executable, leg_script, "--input", inp,
+                 "--out", f"/tmp/nodesim/out{k}", "--cpus", "8",
+                 "--slice", str(k), "--nslices", str(slices),
+                 "--tmp", f"/tmp/nodesim/ray{k}"],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True))
+        walls = []
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode:
+                raise RuntimeError(f"node leg failed rc={p.returncode}")
+            walls.append(json.loads(out.strip().splitlines()[-1])["wall_s"])
+        return max(walls)
+
+    # two repetitions each, min (same policy as run_bench)
+    t1 = min(leg(1) for _ in range(2))
+    t4 = min(leg(4) for _ in range(2))
+    # control: one pinned node over a QUARTER slice with the host
+    # otherwise idle — same work per node as the 4-node leg, but with the
+    # full memory bus / disk to itself (as on real, non-shared hardware)
+    t_solo = min(leg(1, solo_slice_of=4) for _ in range(2))
+    n_docs = rows_for_sf(sf)
+    eff = t1 / (4 * t4)
+    eff_hw = t1 / (4 * t_solo)
+    result = {
+        "metric": "scaling_nodes", "sf": sf, "docs": n_docs,
+        "sec_1node": t1, "sec_4nodes": t4, "sec_solo_quarter": t_solo,
+        "docs_per_s_1node": round(n_docs / t1, 1),
+        "docs_per_s_4nodes": round(n_docs / t4, 1),
+        "host_sharing_slowdown": round(t4 / t_solo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_hw_normalized": round(eff_hw, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open("BENCH/BASELINE.md", "a", encoding="utf-8") as f:
+        f.write(
+            f"\n## Node-sim scaling run {stamp} (sf={sf}, {n_docs} docs)\n\n"
+            f"Independent 8-CPU Ray clusters, each pinned to its own 8 "
+            f"physical cores (own raylet/object store/driver):\n\n"
+            f"| leg | wall s | docs/s |\n|---|---|---|\n"
+            f"| 1 node, full input | {t1} | {round(n_docs / t1, 1)} |\n"
+            f"| 4 nodes concurrent, quarter each (max) | {t4} | "
+            f"{round(n_docs / t4, 1)} |\n"
+            f"| 1 node SOLO, quarter input (control) | {t_solo} | — |\n\n"
+            f"Node scaling efficiency T1/(4*T4) = "
+            f"**{result['scaling_efficiency']}**. The solo control shows a "
+            f"node runs {result['host_sharing_slowdown']}x slower when 3 "
+            f"other nodes share this host's memory bus/disk — resources a "
+            f"real cluster does not share; normalizing for it, "
+            f"T1/(4*T_solo) = "
+            f"**{result['scaling_efficiency_hw_normalized']}** "
+            f"(target >= 0.8)\n")
+    return result
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
+    if "--scaling-nodes" in sys.argv:
+        print(json.dumps(run_scaling_nodes(sf_dir)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -218,7 +218,9 @@ class FrameSampler:
     the frame-sample step of a video pipeline. Real parsing/slicing over
     the concatenated-PPM container; swap ``split_ppm_stream`` for an
     ffmpeg demux in a full environment. Fan-out stage: run with small
-    ``batch_size`` (large payloads in AND out)."""
+    ``batch_size`` (large payloads in AND out). Poison-pill isolation:
+    an undecodable container emits one marker row (``frame_index = -1``,
+    empty frame) instead of failing the task."""
 
     def __init__(self, stride: int = 5, col: str = "payload"):
         self.stride = stride
@@ -230,7 +232,13 @@ class FrameSampler:
         blobs: list[bytes] = []
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch[self.col].to_pylist()):
-            frames = split_ppm_stream(payload or b"")
+            try:
+                frames = split_ppm_stream(payload or b"")
+            except Exception:  # noqa: BLE001 — per-row capture
+                ids.append(mid)
+                fidx.append(-1)
+                blobs.append(b"")
+                continue
             keep = list(range(0, len(frames), self.stride))
             if frames and keep[-1] != len(frames) - 1:
                 keep.append(len(frames) - 1)

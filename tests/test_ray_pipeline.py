@@ -359,3 +359,19 @@ def test_thumbnail_maker_poison_isolation(ray_session):
     errs = out["error"].to_pylist()
     assert thumbs[0] is not None and errs[0] is None
     assert thumbs[1] is None and errs[1].startswith("ValueError")
+
+
+def test_frame_sampler_poison_isolation(ray_session):
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.multimodal import FrameSampler
+
+    good = b"P6\n1 1\n255\n" + bytes(3)
+    batch = pa.table({
+        "media_id": pa.array(["ok", "bad"], pa.string()),
+        "payload": pa.array([good, b"garbage"], pa.binary()),
+    })
+    out = FrameSampler(stride=2)(batch)
+    rows = list(zip(out["media_id"].to_pylist(),
+                    out["frame_index"].to_pylist()))
+    assert ("ok", 0) in rows
+    assert ("bad", -1) in rows          # marker row, task did not fail
