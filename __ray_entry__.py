@@ -108,7 +108,7 @@ def _q_agg_pricing(sf_dir: str):
         "qty_c": "qty_c",
         "base_c": "base_c",
         "disc_c": "disc_c",
-    })
+    }, combine="driver")  # 6 groups: bounded-key driver fold
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b["sum_qty"] = (b["qty_c"] / 100.0).round(2)
@@ -272,7 +272,7 @@ def _q_lang_counts(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
     return grouped_agg(ds, ["lang"], {"n_chars": "sum_chars"},
-                       count_alias="n_docs")
+                       count_alias="n_docs", combine="driver")
 
 
 def _q_events_daily_window(sf_dir: str):
@@ -524,7 +524,7 @@ def _q_event_user_count_distinct(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
     return grouped_count_distinct(ds, ["event_type"], "user_id",
-                                  alias="n_users")
+                                  alias="n_users", combine="driver")
 
 
 def _q_customers_with_events(sf_dir: str):
@@ -718,7 +718,8 @@ def _q_pricing_rollup(sf_dir: str):
         return b
 
     out = rollup_agg(ds.map_batches(to_cents, batch_format="pandas"),
-                     ["l_returnflag", "l_linestatus"], {"qty_c": "qty_c"})
+                     ["l_returnflag", "l_linestatus"], {"qty_c": "qty_c"},
+                     combine="driver")
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b["sum_qty"] = (b["qty_c"] / 100.0).round(2)
@@ -769,7 +770,8 @@ def _events_alt_format(sf_dir: str, fmt: str) -> str:
 
 def _agg_events_by_type(ds):
     from credit_ocr_backend_ray.stages.relational import grouped_agg
-    out = grouped_agg(ds, ["event_type"], {"value": "sum_value"})
+    out = grouped_agg(ds, ["event_type"], {"value": "sum_value"},
+                      combine="driver")
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b["sum_value"] = b["sum_value"].round(4)

@@ -41,9 +41,20 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
                 sum_cols: dict[str, str],
-                count_alias: str | None = "n") -> "rd.Dataset":
+                count_alias: str | None = "n",
+                combine: str = "shuffle") -> "rd.Dataset":
     """groupby(keys) with Sum/Count, combiner-style: per-batch partial
-    aggregation first. ``sum_cols`` maps input column -> output alias."""
+    aggregation first. ``sum_cols`` maps input column -> output alias.
+
+    ``combine="shuffle"`` (default) finishes with a distributed
+    ``groupby().aggregate()`` — required when the number of groups is
+    unbounded (per-user, per-token, ...). ``combine="driver"`` instead
+    folds the partials on ONE node (``repartition(1)`` + a single pandas
+    groupby): identical results, and for BOUNDED key cardinality (window
+    buckets, enum keys, histogram bins) it skips the distributed sort
+    machinery's multi-second floor — the partial set is O(groups x
+    input_blocks) rows by construction, so the single node never sees
+    the raw data."""
     keys = list(keys)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -54,6 +65,24 @@ def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
+
+    if combine == "driver":
+        aliases = list(sum_cols.values())
+
+        def fold(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.groupby(keys, as_index=False, sort=False).agg(
+                **{a: (a, "sum") for a in aliases},
+                **{(count_alias or "n"): ("__pn", "sum")})
+            return out
+
+        # batch_size=None: the fold must see the whole single block at
+        # once (the default batch size would split groups across calls)
+        out = partials.repartition(1).map_batches(fold, batch_size=None,
+                                                  batch_format="pandas")
+        if count_alias is None:
+            out = out.drop_columns(["n"])
+        return out
+
     aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
     aggs.append(Sum("__pn", alias_name=count_alias or "n"))
     out = partials.groupby(keys).aggregate(*aggs)
@@ -106,7 +135,9 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
         return batch
 
     windowed = ds.map_batches(add_window, batch_format="pandas")
-    return grouped_agg(windowed, ["window_start", *keys], sum_cols)
+    # window keys are bounded by the time range -> driver-fold combine
+    return grouped_agg(windowed, ["window_start", *keys], sum_cols,
+                       combine="driver")
 
 
 def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
@@ -137,7 +168,9 @@ def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
         return pd.concat(frames, ignore_index=True)
 
     exploded = ds.map_batches(explode, batch_format="pandas")
-    return grouped_agg(exploded, ["window_start", *keys], sum_cols)
+    # hop-window keys are bounded by the time range -> driver-fold combine
+    return grouped_agg(exploded, ["window_start", *keys], sum_cols,
+                       combine="driver")
 
 
 def broadcast_anti_join(ds: "rd.Dataset", keys: set, on: str) -> "rd.Dataset":
@@ -387,7 +420,7 @@ def histogram(ds: "rd.Dataset", col: str, lo: float, hi: float,
         return out
 
     return grouped_agg(ds.map_batches(bucketize, batch_format="pandas"),
-                       ["bucket"], {}, count_alias="n")
+                       ["bucket"], {}, count_alias="n", combine="driver")
 
 
 def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":
@@ -398,7 +431,8 @@ def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":
 
 
 def grouped_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
-                           alias: str = "n_distinct") -> "rd.Dataset":
+                           alias: str = "n_distinct",
+                           combine: str = "shuffle") -> "rd.Dataset":
     """COUNT(DISTINCT col) per key, exact, as two combiner shuffles: first
     dedup (keys, col) — per-batch ``drop_duplicates`` partials mean only
     unique pairs cross the wire — then a grouped count of the uniques.
@@ -410,7 +444,7 @@ def grouped_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
 
     uniq = distinct(ds.map_batches(partial_dedup, batch_format="pandas"),
                     keys + [col])
-    return grouped_agg(uniq, keys, {}, count_alias=alias)
+    return grouped_agg(uniq, keys, {}, count_alias=alias, combine=combine)
 
 
 def broadcast_semi_join(ds: "rd.Dataset", keys: set, on: str) -> "rd.Dataset":
@@ -616,7 +650,8 @@ def deterministic_sample(ds: "rd.Dataset", key_col: str,
 
 def rollup_agg(ds: "rd.Dataset", keys: Sequence[str],
                sum_cols: dict[str, str],
-               count_alias: str = "n") -> "rd.Dataset":
+               count_alias: str = "n",
+               combine: str = "shuffle") -> "rd.Dataset":
     """GROUP BY ROLLUP(keys): aggregates at every key-prefix level (finest,
     each coarser prefix, grand total), NULL-filling the rolled-up key
     columns. One full combiner shuffle computes the finest level; every
@@ -624,7 +659,8 @@ def rollup_agg(ds: "rd.Dataset", keys: Sequence[str],
     raw data is read and shuffled exactly once. Keys must be string-typed
     so the NULL fill is type-stable across levels."""
     keys = list(keys)
-    finest = grouped_agg(ds, keys, sum_cols, count_alias=count_alias)
+    finest = grouped_agg(ds, keys, sum_cols, count_alias=count_alias,
+                         combine=combine)
     vals = [*sum_cols.values(), count_alias]
     levels = [finest]
     for k in range(len(keys) - 1, -1, -1):
@@ -645,7 +681,7 @@ def rollup_agg(ds: "rd.Dataset", keys: Sequence[str],
                    .map_batches(total_final, batch_format="pandas"))
         else:
             lvl = grouped_agg(finest, keys[:k], sub_sums,
-                              count_alias="__lvl")
+                              count_alias="__lvl", combine=combine)
 
             def fill(b: pd.DataFrame, _k=k) -> pd.DataFrame:
                 b = b.drop(columns=["__lvl"])
