@@ -128,12 +128,20 @@ def _shard_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs(ds: "rd.Dataset", text_col: str = "text",
-                            id_col: str = "doc_id", bands: int = 16) -> "rd.Dataset":
+                            id_col: str = "doc_id", bands: int = 16,
+                            dedup: bool = True) -> "rd.Dataset":
+    """LSH candidate pairs. ``dedup=True`` removes cross-band duplicate
+    pairs with one more coarse shuffle; pass ``dedup=False`` when the
+    CONSUMER dedups anyway (e.g. after exact verification) — a pair found
+    by b bands is verified b times instead, which is cheaper than a full
+    sort shuffle whenever true-duplicate density is low."""
     sig = ds.map_batches(
         lambda b: add_minhash(b, text_col=text_col, id_col=id_col, bands=bands),
         batch_format="pyarrow")
     pairs = sig.groupby(["band_id", "shard"]).map_groups(
         lambda g: _shard_pairs(g, id_col), batch_format="pandas")
+    if not dedup:
+        return pairs
 
     # dedup cross-band duplicates: one more COARSE shuffle (256 pair-shards),
     # drop_duplicates vectorized inside each
@@ -167,8 +175,11 @@ def minhash_dedup_pairs(ds: "rd.Dataset", text_col: str = "text",
         out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
-    cands = minhash_candidate_pairs(ds, text_col, id_col, bands)
-    return cands.map_batches(verify, batch_format="pyarrow").to_pandas()
+    cands = minhash_candidate_pairs(ds, text_col, id_col, bands, dedup=False)
+    out = cands.map_batches(verify, batch_format="pyarrow").to_pandas()
+    # cross-band duplicates verify to identical rows; dedup driver-side on
+    # the (verified, threshold-filtered, driver-sized) result
+    return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def cluster_pairs(pairs: pd.DataFrame) -> dict[int, int]:
