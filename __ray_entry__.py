@@ -651,6 +651,27 @@ def _q_documents_sample(sf_dir: str):
     return deterministic_sample(ds, "doc_id", 0.1)
 
 
+def _q_heavy_hitter_terms(sf_dir: str):
+    """Approximate heavy-hitter tokens via count-min sketch + exact
+    verification — the sketch companion to the exact ``top_terms``."""
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.sketch import cms_heavy_hitters
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        import re
+        ws = re.compile(r"\s+")
+        toks = []
+        for txt in t["text"].to_pylist():
+            if txt:
+                toks.extend(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    ds = (rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+            .map_batches(tokenize, batch_format="pyarrow"))
+    return cms_heavy_hitters(ds, "token", k=20)
+
+
 def _q_top_terms(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import top_terms
@@ -1180,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_ntile": _q_order_price_ntile,
         "documents_sample": _q_documents_sample,
         "top_terms": _q_top_terms,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
         "user_top_event_type": _q_user_top_event_type,
         "asof_next_event": _q_asof_next_event,
         "approx_user_count": _q_approx_user_count,

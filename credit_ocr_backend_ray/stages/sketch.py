@@ -73,6 +73,86 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+_CMS_W = 8192        # count-min width: eps ~ e/W ~ 0.03% of total count
+_CMS_D = 4           # depth: failure prob ~ e^-D
+
+
+def _cms_rows(values) -> np.ndarray:
+    """Count-min sketch (int64[D, W]) of a value list: D row-hashes from
+    one blake2b digest per value (salted per row)."""
+    sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    if len(values) == 0:
+        return sk
+    for d in range(_CMS_D):
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                str(v).encode("utf-8"), digest_size=8,
+                salt=d.to_bytes(8, "big")).digest(), "big") % _CMS_W
+             for v in values),
+            dtype=np.int64, count=len(values))
+        np.add.at(sk[d], h, 1)
+    return sk
+
+
+def cms_heavy_hitters(ds: "rd.Dataset", col: str, k: int = 20,
+                      candidate_pool: int = 200) -> pd.DataFrame:
+    """Approximate top-k heavy hitters of ``col`` via a mergeable
+    count-min sketch: each batch emits ONE (D x W) counter block plus its
+    local top-``candidate_pool`` values (a global heavy hitter is a local
+    heavy hitter in at least one batch); sketches sum across batches; the
+    candidate union is scored against the merged sketch and the top-k are
+    verified with an exact count (one broadcast-set filtered aggregation).
+    Shuffle volume: one fixed 256 KB sketch row per batch + small
+    candidate lists — independent of cardinality."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = [str(v) for v in t[col].to_pylist()]
+        sk = _cms_rows(vals)
+        uniq, counts = np.unique(np.asarray(vals, dtype=object),
+                                 return_counts=True)
+        top = uniq[np.argsort(-counts)][:candidate_pool]
+        return pa.table({
+            "sketch": pa.array([sk.tobytes()], pa.binary()),
+            "cands": pa.array([list(map(str, top))],
+                              pa.list_(pa.string())),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .repartition(1).to_pandas())
+    sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    cands: set[str] = set()
+    for b, c in zip(parts["sketch"], parts["cands"]):
+        sk += np.frombuffer(b, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+        cands.update(c)
+
+    def estimate(v: str) -> int:
+        return int(min(
+            sk[d][int.from_bytes(hashlib.blake2b(
+                v.encode("utf-8"), digest_size=8,
+                salt=d.to_bytes(8, "big")).digest(), "big") % _CMS_W]
+            for d in range(_CMS_D)))
+
+    scored = sorted(cands, key=lambda v: (-estimate(v), v))[:k]
+
+    # exact verification pass for the k winners (broadcast set filter)
+    ref = ray.put(set(scored))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        vals = [str(v) for v in t[col].to_pylist()]
+        hits = [v for v in vals if v in keep]
+        u, c = np.unique(np.asarray(hits, dtype=object), return_counts=True)
+        return pa.table({"value": pa.array(list(map(str, u)), pa.string()),
+                         "n": pa.array(c.astype("int64"), pa.int64())})
+
+    exact = (ds.map_batches(count_hits, batch_format="pyarrow").to_pandas()
+               .groupby("value", as_index=False)["n"].sum())
+    exact["est"] = exact["value"].map(estimate).astype("int64")
+    return (exact.sort_values(["n", "value"], ascending=[False, True])
+                 .reset_index(drop=True))
+
+
 _QBINS = 4096
 
 

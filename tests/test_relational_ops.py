@@ -472,3 +472,21 @@ def test_kmeans_fit_monotone_and_separates_blobs(ray_session):
     norm_centers = centers / la.norm(centers, axis=1, keepdims=True)
     best = np.argmax(norm_centers @ cent.T, axis=1)
     assert len(set(best)) == 3
+
+
+def test_cms_heavy_hitters_finds_true_top(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.sketch import cms_heavy_hitters
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: a few heavy values + a long uniform tail
+    heavy = np.repeat([f"hot{i}" for i in range(5)], [900, 700, 500, 300, 200])
+    tail = [f"cold{i}" for i in rng.integers(0, 5000, 4000)]
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    out = cms_heavy_hitters(rd.from_pandas(df), "v", k=5)
+    assert out["value"].tolist() == ["hot0", "hot1", "hot2", "hot3", "hot4"]
+    assert out["n"].tolist() == [900, 700, 500, 300, 200]   # exact counts
+    # CMS estimate only overcounts, within eps*total
+    assert ((out["est"] >= out["n"]) & (out["est"] - out["n"] < 50)).all()
