@@ -1043,6 +1043,17 @@ def _q_extraction_prompts(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def _q_curate_documents(sf_dir: str):
+    """The composite training-data curation funnel (lang/quality gates ->
+    exact dedup -> near-dup cluster reps) over documents + planted dups."""
+    from credit_ocr_backend_ray.pipelines.curation import curate_documents
+
+    curated, funnel = curate_documents(_planted_docs(sf_dir))
+    out = curated.to_pandas()[["doc_id", "lang", "pred_lang", "quality"]]
+    out["quality"] = out["quality"].round(3)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import lang_id_batch
@@ -1069,7 +1080,7 @@ def _planted_docs(sf_dir: str):
     import ray.data as rd
 
     base = pq.read_table(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"]).to_pandas()
+                         columns=["doc_id", "text", "lang"]).to_pandas()
     mod = base[base["doc_id"] % 10 == 0].copy()
     mod["doc_id"] = mod["doc_id"] + 1_000_000
     mod["text"] = mod["text"].map(lambda t: " ".join(t.split()[:-2]))
@@ -1225,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotation_thumbnails": _q_annotation_thumbnails,
         "video_frame_sample": _q_video_frame_sample,
         "extraction_prompts": _q_extraction_prompts,
+        "curate_documents": _q_curate_documents,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,

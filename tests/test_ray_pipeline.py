@@ -375,3 +375,38 @@ def test_frame_sampler_poison_isolation(ray_session):
                     out["frame_index"].to_pylist()))
     assert ("ok", 0) in rows
     assert ("bad", -1) in rows          # marker row, task did not fail
+
+
+def test_curation_funnel_gates(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.pipelines.curation import curate_documents
+
+    def body(i):
+        # english stopwords (for lang id) + per-doc unique content words
+        return ("the and for with from this that " +
+                " ".join(f"word{i}x{k}" for k in range(25)))
+
+    docs = [
+        *[(i, body(i), "en") for i in range(10)],   # 10 distinct docs
+        # exact duplicate of doc 0 (different id, same text)
+        (100, body(0), "en"),
+        # near-duplicate of doc 1 (last two words dropped)
+        (101, body(1).rsplit(" ", 2)[0], "en"),
+        # junk: digit soup -> low quality
+        (102, "1234 5678 9012 3456 7890 " * 10, "en"),
+        # wrong label: english text labeled de
+        (103, body(3) + " mislabeled tail", "de"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text", "lang"])
+    curated, funnel = curate_documents(rd.from_pandas(df),
+                                       min_quality=0.5,
+                                       jaccard_threshold=0.7)
+    ids = set(curated.to_pandas()["doc_id"])
+    assert funnel["input"] == 14
+    assert 102 not in ids          # quality gate
+    assert 103 not in ids          # lang-agreement gate
+    assert 100 not in ids and 0 in ids   # exact dedup keeps smallest id
+    assert 101 not in ids and 1 in ids   # near-dup cluster rep
+    assert ids == set(range(10))
+    assert funnel["output"] == len(ids) == 10
+    assert funnel["after_exact_dedup"] == funnel["after_quality_lang"] - 1
