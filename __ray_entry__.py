@@ -175,6 +175,26 @@ def _q_latest_event_per_user(sf_dir: str):
     return latest_per_key(ds, "user_id", ["ts", "event_id"])
 
 
+def _q_top_lineitems_global(sf_dir: str):
+    """Global top-k via per-batch pruning — contrast with newest_orders,
+    which exercises the full cluster sort path."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import global_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b["lid"] = b["l_orderkey"] * 10 + b["l_linenumber"]
+        return b
+
+    out = global_topk(ds.map_batches(key, batch_format="pandas"),
+                      ["l_extendedprice", "lid"], k=100,
+                      ascending=[False, True])
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "l_extendedprice"])
+
+
 def _q_newest_orders(sf_dir: str):
     import ray.data as rd
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
@@ -1185,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_orders_pushdown": _q_recent_orders_pushdown,
         "latest_event_per_user": _q_latest_event_per_user,
         "newest_orders": _q_newest_orders,
+        "top_lineitems_global": _q_top_lineitems_global,
         "customer_nation": _q_customer_nation,
         "top_brands_revenue": _q_top_brands_revenue,
         "orders_lineitem_join": _q_orders_lineitem_join,
@@ -1280,6 +1301,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (
                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
                 FROM events) WHERE rn = 1
+        """,
+        "top_lineitems_global": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC,
+                     l_orderkey * 10 + l_linenumber ASC
+            LIMIT 100
         """,
         "newest_orders": """
             SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice

@@ -713,6 +713,21 @@ def grouped_concat(ds: "rd.Dataset", key: str, order_cols: list[str],
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def global_topk(ds: "rd.Dataset", order_cols: list[str], k: int,
+                ascending: list[bool] | None = None) -> "rd.Dataset":
+    """Global ORDER BY ... LIMIT k without a cluster-wide sort: every
+    batch keeps its local top-k (a global top-k row is a local top-k row),
+    the surviving O(k x blocks) rows collapse to one block, and only that
+    tiny set is sorted. ``order_cols`` must end in a unique tie-break."""
+    asc = ascending if ascending is not None else [False] * len(order_cols)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(order_cols, ascending=asc).head(k)
+
+    pruned = ds.map_batches(local, batch_format="pandas").repartition(1)
+    return pruned.map_batches(local, batch_size=None, batch_format="pandas")
+
+
 def mode_per_key(ds: "rd.Dataset", key: str, col: str,
                  alias: str = "mode", count_alias: str = "n") -> "rd.Dataset":
     """Most frequent ``col`` value per key (ties to the smallest value):

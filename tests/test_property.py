@@ -137,3 +137,34 @@ def test_validate_german_number_strings_never_crash(s):
     out = validate_field(s, {"type": "number", "min": 0})
     assert isinstance(out["is_valid"], bool)
     assert isinstance(out["errors"], list)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_extract_document_never_raises(payload):
+    """Total robustness: ANY byte payload (garbage, truncated JSON, partial
+    UTF-8, empty) must produce a status row, never an exception — the
+    poison-pill contract every block depends on."""
+    from credit_ocr_backend_ray.config import default_config
+    from credit_ocr_backend_ray.functions.document import extract_document
+
+    cfg = default_config()["credit_request"]
+    out = extract_document(payload, cfg)
+    assert out["status"] in ("Fertig", "Fehlerhaft")
+    assert isinstance(out["missing_fields"], list)
+    if out["status"] == "Fehlerhaft":
+        assert out["error"]
+
+
+@given(st.text(max_size=300).map(lambda s: ("{" + s).encode("utf-8")))
+@settings(max_examples=40, deadline=None)
+def test_extract_document_handles_jsonish_payloads(payload):
+    # payloads sniffed as layout JSON (leading '{') take the json.loads
+    # path; malformed ones must land in Fehlerhaft, valid-but-wrong-shape
+    # ones too — never an exception
+    from credit_ocr_backend_ray.config import default_config
+    from credit_ocr_backend_ray.functions.document import extract_document
+
+    cfg = default_config()["credit_request"]
+    out = extract_document(payload, cfg)
+    assert out["status"] in ("Fertig", "Fehlerhaft")
