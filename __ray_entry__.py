@@ -1074,6 +1074,32 @@ def _q_curate_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_training_batches(sf_dir: str):
+    """The training-ingest consumption path: stream the documents table
+    through ``iter_batches`` (fixed batch size, zero-copy Arrow) the way a
+    trainer's data loader would, emitting per-batch descriptors. Streaming
+    consumption — no take_all/to_pandas of the corpus."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+    rows = []
+    for i, b in enumerate(ds.iter_batches(batch_size=64,
+                                          batch_format="pyarrow")):
+        ids = b["doc_id"].to_pylist()
+        rows.append({"batch_index": i, "n_rows": b.num_rows,
+                     "min_doc_id": min(ids), "max_doc_id": max(ids),
+                     "sum_chars": int(sum(b["n_chars"].to_pylist()))})
+    out = pd.DataFrame(rows)
+    # batch boundaries depend on block layout; aggregate to stable totals
+    return pd.DataFrame({
+        "n_batches": [len(out)],
+        "n_rows": [int(out["n_rows"].sum())],
+        "sum_chars": [int(out["sum_chars"].sum())],
+        "max_batch_rows": [int(out["n_rows"].max())],
+    })
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import lang_id_batch
@@ -1258,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": _q_video_frame_sample,
         "extraction_prompts": _q_extraction_prompts,
         "curate_documents": _q_curate_documents,
+        "training_batches": _q_training_batches,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,
@@ -1549,6 +1576,13 @@ def oracle_sql() -> dict[str, str]:
                    e.event_id, e.ts
             FROM orders o ASOF JOIN e1 e
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        """,
+        "training_batches": """
+            SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_batches,
+                   count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(LEAST(count(*), 64) AS BIGINT) AS max_batch_rows
+            FROM documents
         """,
         "dedup_exact_documents": """
             SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id
