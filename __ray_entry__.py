@@ -1004,6 +1004,50 @@ def _q_video_frame_sample(sf_dir: str):
     return frames.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_audio_resample(sf_dir: str):
+    """Audio path: deterministic synthetic raw-PCM 'recordings' (sine
+    keyed by doc_id) -> PcmResampler actor stage -> digests."""
+    import hashlib
+    import json
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import PcmResampler
+
+    def synth_audio(t: pa.Table) -> pa.Table:
+        ids, payloads, metas = [], [], []
+        for d in t["doc_id"].to_pylist():
+            hz = 200 + (d % 50) * 10          # per-doc tone
+            n = 8000                          # 0.25 s at 32 kHz
+            x = np.arange(n) / 32_000.0
+            wave = (np.sin(2 * np.pi * hz * x) * 18_000).astype("<i2")
+            ids.append(str(d))
+            payloads.append(wave.tobytes())
+            metas.append(json.dumps({"sample_rate": 32_000}))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        })
+
+    ds = (rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+            .map_batches(synth_audio, batch_format="pyarrow"))
+    res = ds.map_batches(PcmResampler, batch_format="pyarrow",
+                         fn_constructor_kwargs={"dst_hz": 16_000},
+                         batch_size=64, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["resampled"].to_pylist()
+        return pa.table({
+            "media_id": t["media_id"],
+            "n_samples": t["n_samples"],
+            "sha256": pa.array([hashlib.sha256(b or b"").hexdigest()
+                                for b in blobs], pa.string()),
+        })
+
+    return res.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_annotation_plans(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.multimodal import PageAnnotator
@@ -1282,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotation_render": _q_annotation_render,
         "annotation_thumbnails": _q_annotation_thumbnails,
         "video_frame_sample": _q_video_frame_sample,
+        "audio_resample": _q_audio_resample,
         "extraction_prompts": _q_extraction_prompts,
         "curate_documents": _q_curate_documents,
         "training_batches": _q_training_batches,

@@ -410,3 +410,32 @@ def test_curation_funnel_gates(ray_session):
     assert ids == set(range(10))
     assert funnel["output"] == len(ids) == 10
     assert funnel["after_exact_dedup"] == funnel["after_quality_lang"] - 1
+
+
+def test_pcm_resample_halves_and_preserves_tone(ray_session):
+    import json
+    import numpy as np
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.multimodal import (
+        PcmResampler, resample_pcm)
+
+    # 440 Hz sine at 32 kHz, one second
+    t = np.arange(32_000) / 32_000
+    wave = (np.sin(2 * np.pi * 440 * t) * 20_000).astype("<i2")
+    out = resample_pcm(wave.tobytes(), 32_000, 16_000)
+    y = np.frombuffer(out, dtype="<i2")
+    assert len(y) == 16_000                      # half the samples
+    # the dominant frequency survives resampling
+    spec = np.abs(np.fft.rfft(y.astype(np.float64)))
+    assert abs(int(np.argmax(spec[1:])) + 1 - 440) <= 2
+
+    batch = pa.table({
+        "media_id": pa.array(["a", "bad"], pa.string()),
+        "payload": pa.array([wave.tobytes(), b"\x01"], pa.binary()),
+        "meta": pa.array([json.dumps({"sample_rate": 32_000}), "{}"],
+                         pa.string()),
+    })
+    res = PcmResampler(dst_hz=16_000)(batch)
+    assert res["n_samples"].to_pylist() == [16_000, None]
+    assert res["error"].to_pylist()[0] is None
+    assert res["error"].to_pylist()[1] is not None   # per-row capture
