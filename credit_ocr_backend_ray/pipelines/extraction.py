@@ -171,20 +171,29 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     manifest = RunManifest(out_dir)
     summary = {"groups_total": 0, "groups_skipped": 0, "groups_run": 0,
-               "rows": 0, "wall_s": 0.0}
+               "rows": 0, "wall_s": 0.0,
+               # metrics survive resume: completed groups contribute their
+               # recorded wall/docs-rate from the manifest (north rule:
+               # "resumed from checkpoint with metrics intact")
+               "completed_wall_s": 0.0, "completed_docs_per_s": 0.0}
 
     todo: list[tuple[str, list[str]]] = []
     for k, group in enumerate(shard_groups(files, n_groups)):
         key = f"{k:05d}"
         summary["groups_total"] += 1
         if manifest.is_complete(key):
+            entry = manifest.entries[key]
             summary["groups_skipped"] += 1
-            summary["rows"] += manifest.entries[key]["rows"]
+            summary["rows"] += entry["rows"]
+            summary["completed_wall_s"] += entry.get("wall_s", 0.0)
             continue
         manifest.reset_incomplete(key)
         todo.append((key, group))
 
     if not todo:
+        if summary["completed_wall_s"] > 0:
+            summary["completed_docs_per_s"] = round(
+                summary["rows"] / summary["completed_wall_s"], 1)
         return summary
 
     k_eff = (concurrent_groups if concurrent_groups is not None
@@ -217,6 +226,7 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
             })
             summary["groups_run"] += 1
             summary["rows"] += rows
+            summary["completed_wall_s"] += wall
             summary["wall_s"] += wall
 
     if k_eff == 1:
@@ -226,5 +236,9 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=k_eff) as pool:
             list(pool.map(run_group, todo))
+
+    if summary["completed_wall_s"] > 0:
+        summary["completed_docs_per_s"] = round(
+            summary["rows"] / summary["completed_wall_s"], 1)
 
     return summary
