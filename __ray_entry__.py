@@ -149,7 +149,6 @@ def _q_recent_orders_pushdown(sf_dir: str):
     parquet row-group statistics before any block leaves storage ("prune
     at the read"), composed with column pruning."""
     import pyarrow.compute as pc
-    import pyarrow.dataset as pads
     import ray.data as rd
 
     expr = (pc.field("o_orderdate") >= pa_timestamp("1998-01-01")) & (

@@ -20,8 +20,6 @@ Scale notes (the partitioning assumptions, per north rule):
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

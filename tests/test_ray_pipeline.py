@@ -3,7 +3,6 @@ similarity. One shared Ray session (conftest)."""
 
 import glob
 import os
-import shutil
 
 import numpy as np
 import pandas as pd
