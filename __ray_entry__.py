@@ -466,6 +466,21 @@ def _q_customer_running_total(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_event_value_zscore(sf_dir: str):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_zscore
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+    out = grouped_zscore(ds, ["user_id"], "value")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["zscore"] = b["zscore"].round(4)
+        return b[["user_id", "event_id", "zscore"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_event_value_delta(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import lag_delta
@@ -1287,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": _q_customers_without_events,
         "customer_running_total": _q_customer_running_total,
         "event_value_delta": _q_event_value_delta,
+        "event_value_zscore": _q_event_value_zscore,
         "brand_price_median": _q_brand_price_median,
         "order_price_histogram": _q_order_price_histogram,
         "distinct_event_types": _q_distinct_event_types,
@@ -1488,6 +1504,12 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id), 4)
                        AS delta
             FROM events
+        """,
+        "event_value_zscore": """
+            SELECT user_id, event_id,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 4) AS zscore
+            FROM events WINDOW w AS (PARTITION BY user_id)
         """,
         "brand_price_median": """
             SELECT p_brand,

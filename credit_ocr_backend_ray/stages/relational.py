@@ -713,6 +713,45 @@ def grouped_concat(ds: "rd.Dataset", key: str, order_cols: list[str],
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def grouped_zscore(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                   alias: str = "zscore", ddof: int = 1) -> "rd.Dataset":
+    """Per-group standardization (feature scaling): two passes — a
+    combiner moment aggregation (n, Σx, Σx²) to tiny per-group stats,
+    broadcast back (`ray.put` once), then a vectorized normalize map.
+    NO shuffle of the data itself; the all-to-all moves one stats row
+    per (group, batch). ``ddof=1`` matches SQL ``stddev_samp``.
+    Single-member groups (std undefined) get null."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[keys].copy()
+        v = b[col].to_numpy(dtype=np.float64)
+        d["__n"] = 1.0
+        d["__s"] = v
+        d["__ss"] = v * v
+        return d.groupby(keys, as_index=False, sort=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(keys).aggregate(
+                 Sum("__n", alias_name="__n"), Sum("__s", alias_name="__s"),
+                 Sum("__ss", alias_name="__ss")).to_pandas())
+    n = agg["__n"]
+    mean = agg["__s"] / n
+    var = (agg["__ss"] - agg["__s"] ** 2 / n) / (n - ddof)
+    stats = agg[keys].copy()
+    stats["__mean"] = mean
+    stats["__std"] = np.sqrt(var)
+    ref = ray.put(stats)
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        b = b.merge(s, on=keys, how="left")
+        b[alias] = (b[col] - b["__mean"]) / b["__std"]
+        return b.drop(columns=["__mean", "__std"])
+
+    return ds.map_batches(normalize, batch_format="pandas")
+
+
 def global_topk(ds: "rd.Dataset", order_cols: list[str], k: int,
                 ascending: list[bool] | None = None) -> "rd.Dataset":
     """Global ORDER BY ... LIMIT k without a cluster-wide sort: every

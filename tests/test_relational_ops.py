@@ -490,3 +490,24 @@ def test_cms_heavy_hitters_finds_true_top(ray_session):
     assert out["n"].tolist() == [900, 700, 500, 300, 200]   # exact counts
     # CMS estimate only overcounts, within eps*total
     assert ((out["est"] >= out["n"]) & (out["est"] - out["n"] < 50)).all()
+
+
+def test_grouped_zscore_matches_pandas(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_zscore
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 200),
+                       "id": np.arange(200),
+                       "v": rng.normal(50, 10, 200)})
+    # add a single-member group: std undefined -> null zscore
+    df = pd.concat([df, pd.DataFrame({"g": [99], "id": [999], "v": [1.0]})],
+                   ignore_index=True)
+    out = (grouped_zscore(_ds(df), ["g"], "v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values("id").reset_index(drop=True)
+    gstats = df.groupby("g")["v"].agg(["mean", "std"])
+    expected = (exp["v"] - exp["g"].map(gstats["mean"])) / exp["g"].map(
+        gstats["std"])
+    ok = expected.notna()
+    assert np.allclose(out["zscore"][ok], expected[ok], atol=1e-9)
+    assert out.loc[out["g"] == 99, "zscore"].isna().all()
