@@ -187,6 +187,11 @@ def run_scaling_nodes(sf_dir: str) -> dict:
         """n_nodes concurrent pinned nodes; ``solo_slice_of=j`` instead
         runs ONE node over a 1/j shard slice with the rest of the host
         idle — the control that isolates shared-memory-bus/disk cost."""
+        # settle the disk between legs: pending writeback from the
+        # previous leg's output competes with this leg's reads and was
+        # measured to swing node walls by 30-50%
+        os.sync()
+        time.sleep(3)
         slices = solo_slice_of or n_nodes
         procs = []
         for k in range(n_nodes):
