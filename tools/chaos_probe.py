@@ -44,8 +44,11 @@ def main() -> int:
     killed: dict[str, int] = {}
 
     def _mapworker_pids() -> list[int]:
-        """Ray sets worker process titles to ray::<ActorClass>; scan /proc
-        (the dashboard state API is disabled in this environment)."""
+        """Ray titles a worker process ray::<task or actor name> while it
+        executes; scan /proc (the dashboard state API is disabled here).
+        Matches both the stateless-task stage (ray::ReadParquet->...
+        MapBatches(extract_batches)) and the actor-pool variant
+        (ray::MapWorker...)."""
         pids = []
         for p in os.listdir("/proc"):
             if not p.isdigit():
@@ -55,7 +58,8 @@ def main() -> int:
                     cmd = f.read()
             except OSError:
                 continue
-            if b"ray::MapWorker" in cmd:
+            if (b"extract_batches" in cmd or b"ray::MapWorker" in cmd
+                    or b"ray::MapBatches" in cmd):
                 pids.append(int(p))
         return sorted(pids)
 
