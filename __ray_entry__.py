@@ -16,6 +16,13 @@ Column-name and rounding discipline: every aggregate/computed column is
 aliased identically in the Ray code and the SQL; money sums (exact
 2-decimal inputs) round to 2, discounted-revenue sums (4-decimal) to 4,
 random-real sums to 4, cosines to 5.
+
+Decimal-exact money sums: a float SUM's association order differs between
+engines (~2e-4 drift on 5e9-scale sums at sf0.1 — right at the rounding
+granularity), so every fixed-decimal SUM converts to int64 units with the
+IDENTICAL floor(x*scale + 0.5) expression on both sides and sums exactly;
+see agg_pricing. Unbounded-precision sums (random reals) stay float with
+rounding margins sized to their magnitude.
 """
 
 from __future__ import annotations
