@@ -1195,7 +1195,10 @@ def _planted_docs(sf_dir: str):
     mod = base[base["doc_id"] % 10 == 0].copy()
     mod["doc_id"] = mod["doc_id"] + 1_000_000
     mod["text"] = mod["text"].map(lambda t: " ".join(t.split()[:-2]))
-    return rd.from_pandas(pd.concat([base, mod], ignore_index=True))
+    # from_pandas yields ONE block; repartition so the signature stages
+    # parallelize (single-block input ran minhash on one core)
+    return rd.from_pandas(pd.concat([base, mod],
+                                    ignore_index=True)).repartition(32)
 
 
 def _q_dedup_ngram_jaccard(sf_dir: str):
