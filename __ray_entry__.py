@@ -1243,7 +1243,8 @@ def _q_embedding_near_dup(sf_dir: str):
     mod["vec_id"] = mod["vec_id"] + 1_000_000
     mod["embedding"] = mod["embedding"].map(
         lambda v: (np.asarray(v, dtype=np.float32) + 1e-3).tolist())
-    ds = rd.from_pandas(pd.concat([base, mod], ignore_index=True))
+    ds = rd.from_pandas(pd.concat([base, mod],
+                                  ignore_index=True)).repartition(16)
     pairs = embedding_near_dup(ds, threshold=0.98)
     if not pairs.empty:
         pairs["cos"] = pairs["cos"].round(4)
