@@ -1,0 +1,58 @@
+"""Regenerate QUERIES.md from the driver contract — run after adding or
+changing queries so the index never drifts from the code.
+
+Usage: python tools/gen_queries_md.py
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    lines = [
+        "# Query index",
+        "",
+        f"All {len(q)} driver-contract queries (`__ray_entry__.queries()`); "
+        f"{len(o)} have DuckDB oracles (`oracle_sql()`) hash-checked at "
+        "sf0.001 / sf0.01 / sf0.1 by `tools/check_correctness.py`. "
+        "Rows-only queries carry their assertions in `tests/`.",
+        "",
+        "| query | oracle | what it runs |",
+        "|---|---|---|",
+    ]
+    for name, fn in q.items():
+        doc = inspect.getdoc(fn)
+        if doc:
+            desc = " ".join(doc.split("\n\n")[0].split())
+        else:
+            src = inspect.getsource(fn)
+            m = re.search(
+                r"from credit_ocr_backend_ray[.\w]* import ([\w, ]+)", src)
+            desc = f"see `{fn.__name__}`" + (
+                f" ({m.group(1).strip()})" if m else "")
+        desc = desc.replace("|", "/")
+        if len(desc) > 160:
+            desc = desc[:157] + "..."
+        lines.append(
+            f"| `{name}` | {'SQL' if name in o else 'rows-only'} | {desc} |")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUERIES.md")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out} ({len(q)} queries, {len(o)} oracled)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
