@@ -63,9 +63,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # settle the disk (synth writeback competes with the timed run) and
-    # spin up Ray worker processes + the FULL actor pool once (2 blocks per
-    # actor so every actor executes, not just the first few) — steady-state
-    # cluster, not process cold-start, is what throughput means here
+    # warm every Ray worker process once (the UDF deserializes per worker
+    # on first use) — steady-state cluster, not process cold-start, is
+    # what throughput means here
     os.sync()
     from credit_ocr_backend_ray.pipelines.extraction import build_extraction_ds
     build_extraction_ds(files[:2 * max(2, num_cpus - 2)],
