@@ -429,6 +429,31 @@ def _q_asof_latest_order(sf_dir: str):
     return out.map_batches(rename, batch_format="pandas")
 
 
+def _q_asof_latest_order_broadcast(sf_dir: str):
+    """Same semantics as ``asof_latest_order`` via the shuffle-free
+    broadcast variant (right side is dimension-sized here); shares the
+    same DuckDB oracle, proving the two compositions agree."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import asof_join_broadcast
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts"])
+    od = pq.read_table(_t(sf_dir, "orders"),
+                       columns=["o_custkey", "o_orderkey",
+                                "o_orderdate"]).to_pandas()
+    out = asof_join_broadcast(ev, od, left_key="user_id",
+                              right_key="o_custkey", left_ts="ts",
+                              right_ts="o_orderdate",
+                              right_cols=["o_orderkey", "o_orderdate"])
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b["o_orderdate"] = b["o_orderdate"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_events_hopping_window(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import hopping_window_agg
@@ -1309,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": _q_top_orders_per_priority,
         "sessionize_events": _q_sessionize_events,
         "asof_latest_order": _q_asof_latest_order,
+        "asof_latest_order_broadcast": _q_asof_latest_order_broadcast,
         "events_hopping_window": _q_events_hopping_window,
         "customers_without_events": _q_customers_without_events,
         "customer_running_total": _q_customer_running_total,
@@ -1479,6 +1505,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "asof_latest_order": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_orderdate
+            FROM events e ASOF JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "asof_latest_order_broadcast": """
             WITH o1 AS (
                 SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                 FROM orders GROUP BY o_custkey, o_orderdate)

@@ -361,6 +361,59 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
     return l.union(r).groupby("__key").map_groups(merge, batch_format="pandas")
 
 
+def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
+                        left_key: str, right_key: str,
+                        left_ts: str, right_ts: str,
+                        right_cols: list[str],
+                        direction: str = "backward") -> "rd.Dataset":
+    """As-of join with a broadcast right side: when the right table is
+    dimension-sized (fits the object store), pre-sort it per key ONCE on
+    the driver, ``ray.put`` the per-key arrays, and every left batch
+    resolves its matches with vectorized ``searchsorted`` — NO shuffle of
+    either side (the streaming analogue of `broadcast_join`). Tie rule
+    matches ``asof_join``: last (backward) / first (forward) in
+    ``right_cols[0]`` order within equal timestamps. Unmatched left rows
+    drop (inner). Use the shuffle ``asof_join`` when the right side is
+    fact-sized."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+    rs = right.sort_values([right_key, right_ts, right_cols[0]])
+    lookup: dict = {}
+    for k, g in rs.groupby(right_key, sort=False):
+        lookup[k] = (g[right_ts].to_numpy(),
+                     {c: g[c].to_numpy() for c in right_cols})
+    ref = ray.put(lookup)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        keep_rows = []
+        out_cols: dict[str, list] = {c: [] for c in right_cols}
+        keys = b[left_key].to_numpy()
+        tss = b[left_ts].to_numpy()
+        for i in range(len(b)):
+            ent = lk.get(keys[i])
+            if ent is None:
+                continue
+            r_ts, cols = ent
+            if direction == "backward":
+                j = np.searchsorted(r_ts, tss[i], side="right") - 1
+                if j < 0:
+                    continue
+            else:
+                j = int(np.searchsorted(r_ts, tss[i], side="left"))
+                if j >= len(r_ts):
+                    continue
+            keep_rows.append(i)
+            for c in right_cols:
+                out_cols[c].append(cols[c][j])
+        out = b.iloc[keep_rows].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = out_cols[c]
+        return out
+
+    return left.map_batches(probe, batch_format="pandas")
+
+
 def running_sum(ds: "rd.Dataset", key: str, order_cols: list[str],
                 val_col: str, alias: str = "running_total") -> "rd.Dataset":
     """Per-key running (cumulative) sum in ``order_cols`` order — the

@@ -121,3 +121,26 @@ def test_running_sum_matches_pandas_window(ray_session):
     exp = df.sort_values(["k", "o"]).reset_index(drop=True)
     exp["running_total"] = exp.groupby("k")["v"].cumsum()
     assert ours["running_total"].tolist() == exp["running_total"].tolist()
+
+
+def test_asof_broadcast_matches_shuffle_version(ray_session):
+    from credit_ocr_backend_ray.stages.relational import (
+        asof_join, asof_join_broadcast)
+
+    for seed in range(6):
+        left, right = _rand_frames(200 + seed)
+        shuffle = (asof_join(_ds(left), _ds(right), "k", "k", "lts", "rts",
+                             ["lid"], ["rid"])
+                   .to_pandas().sort_values("lid").reset_index(drop=True))
+        bc = (asof_join_broadcast(_ds(left), right, "k", "k", "lts", "rts",
+                                  ["rid"])
+              .to_pandas().sort_values("lid").reset_index(drop=True))
+        assert shuffle["lid"].tolist() == bc["lid"].tolist(), f"seed {seed}"
+        assert shuffle["rid"].tolist() == bc["rid"].tolist(), f"seed {seed}"
+        fwd_s = (asof_join(_ds(left), _ds(right), "k", "k", "lts", "rts",
+                           ["lid"], ["rid"], direction="forward")
+                 .to_pandas().sort_values("lid").reset_index(drop=True))
+        fwd_b = (asof_join_broadcast(_ds(left), right, "k", "k", "lts",
+                                     "rts", ["rid"], direction="forward")
+                 .to_pandas().sort_values("lid").reset_index(drop=True))
+        assert fwd_s["rid"].tolist() == fwd_b["rid"].tolist(), f"seed {seed}"
