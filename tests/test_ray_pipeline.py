@@ -438,3 +438,27 @@ def test_pcm_resample_halves_and_preserves_tone(ray_session):
     assert res["n_samples"].to_pylist() == [16_000, None]
     assert res["error"].to_pylist()[0] is None
     assert res["error"].to_pylist()[1] is not None   # per-row capture
+
+
+def test_partitioned_sink_by_lang(ray_session, tmp_path):
+    """Hive-partitioned output (write_parquet partition_cols): the
+    column-partitioned sink layout for downstream per-language consumers."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "lang": ["en", "de", "fr", "es"] * 10,
+        "n": range(40),
+    })
+    out = str(tmp_path / "by_lang")
+    rd.from_pandas(df).repartition(4).write_parquet(
+        out, partition_cols=["lang"])
+    subdirs = sorted(os.path.basename(p) for p in glob.glob(out + "/*"))
+    assert subdirs == ["lang=de", "lang=en", "lang=es", "lang=fr"]
+    back = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert len(back) == 40
+    assert set(back["lang"]) == {"en", "de", "fr", "es"}
+    # partition pruning: reading one partition touches only its files
+    en = pads.dataset(out + "/lang=en").to_table().to_pandas()
+    assert len(en) == 10
