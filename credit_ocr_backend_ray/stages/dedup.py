@@ -7,18 +7,29 @@ document id + sha256 content hash (/root/reference/src/ocr/extraction.py:
 absent in the reference).
 
 Scale notes (the partitioning assumptions, per north rule):
-- ``dedup_latest`` default path avoids shuffling multi-MB payloads: it
-  aggregates winners over a (key, order) projection — a small all-to-all —
-  then broadcast-filters the payload stream (``ray.put`` once). Ties on
-  (key, order) both survive; ``strict=True`` instead hash-shuffles whole
-  rows through ``groupby(key).map_groups`` with a total tie-break.
+- ``dedup_latest`` default path is a combiner-pruned shuffle: each batch
+  keeps only its local max-``order_col`` rows per key, then one
+  ``groupby(key)`` keeps the global max rows — shuffle volume is at most
+  one winner-candidate row per (key, batch), driver memory O(1). Ties on
+  (key, order) both survive (matching the broadcast path's semantics).
+  ``small_keys=True`` keeps the old broadcast-winners map (cheaper when
+  the distinct-key set is known-small AND payloads are too wide to
+  shuffle); ``strict=True`` adds a total tie-break via
+  ``groupby(key).map_groups`` head-1.
 - MinHash/SimHash banding shuffles only (band_key, id) pairs — signatures,
-  never text. Candidate verification broadcasts the id->text map; at 100 TB
-  replace with a bucket-partitioned self-join on id (same band keys), noted
-  inline.
+  never text. Candidate verification joins the (small) candidate-pair set
+  back to the texts by id with two hash-shuffle joins — the corpus is
+  never materialized on the driver or broadcast; only rows whose id
+  appears in a candidate pair carry text past the join.
+- Degenerate hot buckets are capped at ``_BUCKET_CAP`` ids; the number of
+  dropped ids is carried through the pair stream (``n_trunc``) and
+  surfaced as a logging.warning by every public entry point — no silent
+  truncation.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -33,32 +44,55 @@ from credit_ocr_backend_ray.functions.hashing import (
     shingle_hashes_batch, simhash64,
 )
 
+logger = logging.getLogger(__name__)
+
 
 # ---------------------------------------------------------------- exact
 
 def dedup_latest(ds: "rd.Dataset", key: str = "url",
-                 order_col: str = "warc_ts", strict: bool = False) -> "rd.Dataset":
+                 order_col: str = "warc_ts", strict: bool = False,
+                 small_keys: bool = False) -> "rd.Dataset":
     """Keep the newest row per key (reference J4/S12: latest job per
-    document, last-write-wins upsert)."""
+    document, last-write-wins upsert).
+
+    Default: combiner-pruned hash shuffle — scale-safe for unbounded key
+    cardinality (per-url dedup over the whole web). ``small_keys=True``
+    switches to a broadcast winners map (one small aggregate + a
+    shuffle-free filter of the payload stream) — only valid when the
+    distinct keys fit driver memory. ``strict=True`` breaks (key, order)
+    ties to exactly one row; otherwise ties both survive (deterministic
+    set semantics, same in all paths)."""
     if strict:
         def pick_latest(g: pd.DataFrame) -> pd.DataFrame:
             return g.sort_values([order_col, key], ascending=False).head(1)
         return ds.groupby(key).map_groups(pick_latest, batch_format="pandas")
 
-    winners = (ds.select_columns([key, order_col])
-                 .groupby(key).aggregate(Max(order_col, alias_name="__max_ord")))
-    wdf = winners.to_pandas()  # iter_rows is row-at-a-time; this is columnar
-    wmap = dict(zip(wdf[key], wdf["__max_ord"]))
-    ref = ray.put(wmap)
+    if small_keys:
+        winners = (ds.select_columns([key, order_col])
+                     .groupby(key).aggregate(Max(order_col,
+                                                 alias_name="__max_ord")))
+        wdf = winners.to_pandas()  # bounded by assumption (small_keys)
+        wmap = dict(zip(wdf[key], wdf["__max_ord"]))
+        ref = ray.put(wmap)
 
-    def keep_winner(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        keys = batch[key].to_pylist()
-        orders = batch[order_col].to_pylist()
-        mask = pa.array([w.get(k) == o for k, o in zip(keys, orders)])
-        return batch.filter(mask)
+        def keep_winner(batch: pa.Table) -> pa.Table:
+            w = ray.get(ref)
+            keys = batch[key].to_pylist()
+            orders = batch[order_col].to_pylist()
+            mask = pa.array([w.get(k) == o for k, o in zip(keys, orders)])
+            return batch.filter(mask)
 
-    return ds.map_batches(keep_winner, batch_format="pyarrow")
+        return ds.map_batches(keep_winner, batch_format="pyarrow")
+
+    def local_max(b: pd.DataFrame) -> pd.DataFrame:
+        mx = b.groupby(key, sort=False)[order_col].transform("max")
+        return b[b[order_col] == mx]
+
+    def group_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g[g[order_col] == g[order_col].max()]
+
+    pruned = ds.map_batches(local_max, batch_format="pandas")
+    return pruned.groupby(key).map_groups(group_max, batch_format="pandas")
 
 
 def dedup_exact(ds: "rd.Dataset", hash_col: str,
@@ -81,6 +115,7 @@ def dedup_exact(ds: "rd.Dataset", hash_col: str,
 # ---------------------------------------------------------------- minhash
 
 _BAND_SHARDS = 64  # shuffle granularity: bands x shards parallel units
+_BUCKET_CAP = 200  # max ids per LSH bucket fed to the O(n²) pair expansion
 
 
 def add_minhash(batch: pa.Table, text_col: str = "text",
@@ -109,30 +144,39 @@ def add_minhash(batch: pa.Table, text_col: str = "text",
 def _shard_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     """All in-bucket pairs for one (band_id, shard) group — pandas groupby
     over band_key inside, so Ray sees few coarse groups instead of millions
-    of tiny ones (map_groups-per-bucket measured 20x slower)."""
+    of tiny ones (map_groups-per-bucket measured 20x slower).
+
+    Hot buckets are capped at ``_BUCKET_CAP`` ids; the FIRST pair emitted
+    for a truncated bucket carries the dropped-id count in ``n_trunc``
+    (0 elsewhere), so summing the column downstream gives the exact total
+    of silently-unpaired ids — no silent caps."""
     a_out: list[int] = []
     b_out: list[int] = []
+    t_out: list[int] = []
     for _, bucket in g.groupby("band_key", sort=False):
         ids = sorted(set(bucket[id_col].tolist()))
-        # cap blowup from a degenerate hot bucket (salt in a later pass if
-        # a real corpus ever hits this)
-        ids = ids[:200]
+        dropped = max(0, len(ids) - _BUCKET_CAP)
+        ids = ids[:_BUCKET_CAP]
+        first = True
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
+                t_out.append(dropped if first else 0)
+                first = False
     return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
-                         "id_b": pd.Series(b_out, dtype="int64")})
+                         "id_b": pd.Series(b_out, dtype="int64"),
+                         "n_trunc": pd.Series(t_out, dtype="int64")})
 
 
 def minhash_candidate_pairs(ds: "rd.Dataset", text_col: str = "text",
                             id_col: str = "doc_id", bands: int = 16,
                             dedup: bool = True) -> "rd.Dataset":
-    """LSH candidate pairs. ``dedup=True`` removes cross-band duplicate
-    pairs with one more coarse shuffle; pass ``dedup=False`` when the
-    CONSUMER dedups anyway (e.g. after exact verification) — a pair found
-    by b bands is verified b times instead, which is cheaper than a full
-    sort shuffle whenever true-duplicate density is low."""
+    """LSH candidate pairs (columns id_a, id_b, n_trunc). ``dedup=True``
+    removes cross-band duplicate pairs with one more coarse shuffle; pass
+    ``dedup=False`` when the CONSUMER dedups anyway — a pair found by b
+    bands is verified b times instead, which is cheaper than a full sort
+    shuffle whenever true-duplicate density is low."""
     sig = ds.map_batches(
         lambda b: add_minhash(b, text_col=text_col, id_col=id_col, bands=bands),
         batch_format="pyarrow")
@@ -142,42 +186,152 @@ def minhash_candidate_pairs(ds: "rd.Dataset", text_col: str = "text",
         return pairs
 
     # dedup cross-band duplicates: one more COARSE shuffle (256 pair-shards),
-    # drop_duplicates vectorized inside each
+    # drop_duplicates vectorized inside each; n_trunc survives as the max
+    # over duplicates of the same pair (the first-pair sentinel row wins)
     def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
         b["pair_shard"] = ((b["id_a"] * 31 + b["id_b"]) % 256).astype("int32")
         return b
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+        return (g.groupby(["id_a", "id_b"], as_index=False, sort=False)
+                 .agg(n_trunc=("n_trunc", "max")))
 
     return (pairs.map_batches(add_pair_shard, batch_format="pandas")
                  .groupby("pair_shard")
                  .map_groups(dedup_pairs, batch_format="pandas"))
 
 
+def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
+                          id_col: str, text_col: str, threshold: float,
+                          n: int = 3,
+                          num_partitions: int | None = None) -> pd.DataFrame:
+    """Join the (small) candidate-pair set back to the texts by id with two
+    hash-shuffle joins, verify exact Jaccard per surviving row, and return
+    the verified pairs driver-side. The corpus is NEVER collected or
+    broadcast: texts are hash-partitioned by id, and only rows whose id
+    occurs in a candidate pair flow past the inner join. Also sums the
+    ``n_trunc`` truncation counters and logs a warning when any LSH bucket
+    overflowed ``_BUCKET_CAP``."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, min(cpus, 32))
+
+    # The hash-join shuffle broadcasts the left schema via the FIRST shuffle
+    # task's empty shards — but an all-empty input block early-returns before
+    # broadcasting (ray hash_shuffle.py:223), leaving no-left-row partitions
+    # schema-less and crashing pa.Table.join. The LSH pair stream is full of
+    # empty blocks (buckets with no pairs), so: pin the pair schema, then
+    # materialize + repartition the (small, ids-only — never text) candidate
+    # set into guaranteed non-empty blocks. Candidates are a vanishing
+    # fraction of the corpus by construction, so this stays object-store
+    # sized at any scale; the TEXTS are never collected anywhere.
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("n_trunc", pa.int64())])
+
+    def coerce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        return t.select(["id_a", "id_b", "n_trunc"]).cast(pair_schema)
+
+    cands = cands.map_batches(coerce, batch_format="pyarrow").materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    cands = cands.repartition(max(1, min(num_partitions,
+                                         -(-n_cands // 64))))
+
+    # Prune the corpus to candidate ids with a broadcast semi-join BEFORE
+    # the shuffle joins: one streaming filter pass over the texts (no
+    # shuffle, nothing driver-side but the id set), so only texts that a
+    # candidate pair actually references enter the join at all. The pruned
+    # side is then bounded by the candidate count, so materializing it into
+    # evenly-filled blocks is object-store-cheap and sidesteps the same
+    # empty-first-block schema-broadcast bug on the right side.
+    idp = cands.to_pandas()
+    need_ids = np.unique(np.concatenate([idp["id_a"].to_numpy(np.int64),
+                                         idp["id_b"].to_numpy(np.int64)]))
+    sref = ray.put(need_ids)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        need = ray.get(sref)
+        rid = t[id_col].cast(pa.int64())
+        mask = pa.array(np.isin(rid.to_numpy(zero_copy_only=False), need))
+        return pa.table({"__rid": rid, "__text": t[text_col]}).filter(mask)
+
+    texts_needed = (ds.select_columns([id_col, text_col])
+                      .map_batches(keep_needed, batch_format="pyarrow")
+                      .materialize())
+    n_texts = max(1, texts_needed.count())
+    texts_needed = texts_needed.repartition(
+        max(1, min(num_partitions, -(-n_texts // 64))))
+
+    def as_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"__rid_{side}": t["__rid"],
+                             f"__text_{side}": t["__text"]})
+        return fn
+
+    ta = texts_needed.map_batches(as_side("a"), batch_format="pyarrow")
+    tb = texts_needed.map_batches(as_side("b"), batch_format="pyarrow")
+    joined = cands.join(ta, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("id_a",), right_on=("__rid_a",))
+    # same empty-first-block guard between the joins: join-1 partitions that
+    # matched nothing emit empty blocks, which would again suppress the
+    # schema broadcast of join-2's left side
+    joined = joined.materialize()
+    n_j = max(1, joined.count())
+    joined = joined.repartition(max(1, min(num_partitions, -(-n_j // 64))))
+    joined = joined.join(tb, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("id_b",), right_on=("__rid_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ja = [jaccard(a or "", b or "", n)
+              for a, b in zip(batch["__text_a"].to_pylist(),
+                              batch["__text_b"].to_pylist())]
+        drop = [c for c in ("__text_a", "__text_b", "__rid_a", "__rid_b")
+                if c in batch.column_names]
+        out = batch.drop_columns(drop)
+        out = out.append_column("jaccard", pa.array(ja, pa.float64()))
+        keep = pc.greater_equal(out["jaccard"], threshold)
+        out = out.append_column("__verified", keep)
+        # truncation counters must survive even when their carrier pair
+        # fails verification — keep those rows flagged unverified so the
+        # driver-side n_trunc fold still sees the count
+        return out.filter(pc.or_(keep, pc.greater(out["n_trunc"], 0)))
+
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    total_trunc = int(out["n_trunc"].sum())
+    if total_trunc:
+        logger.warning(
+            "near-dup LSH: %d ids dropped by the %d-id bucket cap "
+            "(hot buckets; salt the band keys or raise _BUCKET_CAP)",
+            total_trunc, _BUCKET_CAP)
+    out = out[out["__verified"]]
+    out = out.drop(columns=["n_trunc", "__verified"])
+    # cross-band duplicates verify to identical rows; dedup driver-side on
+    # the (verified, threshold-filtered, driver-sized) result
+    return (out.drop_duplicates(["id_a", "id_b"])
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def minhash_dedup_pairs(ds: "rd.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.8,
                         bands: int = 16) -> pd.DataFrame:
     """Verified near-dup pairs (jaccard >= threshold) as a small driver-side
-    DataFrame. Text lookup is broadcast (fine while the corpus of *texts in
-    candidate pairs* fits the object store; at larger scale join candidates
-    back by id via a bucket-partitioned shuffle instead)."""
-    tdf = ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(tdf[id_col], tdf[text_col]))
-    ref = ray.put(texts)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        ja = [jaccard(t.get(a, "") or "", t.get(b, "") or "")
-              for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())]
-        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
-
-    cands = minhash_candidate_pairs(ds, text_col, id_col, bands, dedup=False)
-    out = cands.map_batches(verify, batch_format="pyarrow").to_pandas()
-    # cross-band duplicates verify to identical rows; dedup driver-side on
-    # the (verified, threshold-filtered, driver-sized) result
-    return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    DataFrame. Verification is a bucket-partitioned join back to the texts
+    by id (see ``_verify_pairs_by_join``) — no driver-side or broadcast
+    materialization of the corpus at any point."""
+    cands = minhash_candidate_pairs(ds, text_col, id_col, bands, dedup=True)
+    return _verify_pairs_by_join(cands, ds, id_col, text_col, threshold)
 
 
 def cluster_pairs(pairs: pd.DataFrame) -> dict[int, int]:
@@ -209,9 +363,10 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", text_col: str = "text",
     each doc's blocking keys are the ``bottom_k`` smallest shingle hashes
     (a pair with J >= t shares a bottom-k key with prob ~1-(1-t)^k); one
     coarse shuffle over (key-shard), in-bucket candidate pairs, then exact
-    Jaccard over the full shingle sets. Distinct from MinHash banding: no
-    permutation bank, and the verify step is the true Jaccard, so there are
-    no false positives by construction."""
+    Jaccard over the full shingle sets via the same join-back-by-id verify
+    as MinHash. Distinct from MinHash banding: no permutation bank, and the
+    verify step is the true Jaccard, so there are no false positives by
+    construction."""
     def add_blocks(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
         texts = t[text_col].to_pylist()
@@ -238,28 +393,14 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", text_col: str = "text",
         return b
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+        return (g.groupby(["id_a", "id_b"], as_index=False, sort=False)
+                 .agg(n_trunc=("n_trunc", "max")))
 
     cands = (pairs.map_batches(add_pair_shard, batch_format="pandas")
                   .groupby("pair_shard")
                   .map_groups(dedup_pairs, batch_format="pandas"))
 
-    tdf = ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(tdf[id_col], tdf[text_col]))
-    ref = ray.put(texts)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        ja = [jaccard(t.get(a, "") or "", t.get(b, "") or "", n)
-              for a, b in zip(batch["id_a"].to_pylist(),
-                              batch["id_b"].to_pylist())]
-        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
-
-    out = cands.map_batches(verify, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        return out
-    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return _verify_pairs_by_join(cands, ds, id_col, text_col, threshold, n)
 
 
 # ---------------------------------------------------------------- simhash
@@ -277,7 +418,8 @@ def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
     """Near-dup pairs within ``max_hamming`` bits: explode each signature
     into its 4 16-bit chunk keys (two signatures within distance 3 share at
     least one chunk), ONE coarse shuffle over (chunk_id, shard), vectorized
-    in-bucket verification."""
+    in-bucket verification. Hot chunk buckets are capped at ``_BUCKET_CAP``
+    rows; the dropped count is reported via logging.warning."""
     sigs = ds.map_batches(
         lambda b: add_simhash(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow")
@@ -302,25 +444,38 @@ def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
         })
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b, h = [], [], []
+        a, b, h, t = [], [], [], []
         for _, bucket in g.groupby("chunk_key", sort=False):
             rows = sorted(set(zip(bucket[id_col].astype("int64"),
                                   bucket["simhash"].astype("uint64"))))
-            rows = rows[:200]
+            dropped = max(0, len(rows) - _BUCKET_CAP)
+            rows = rows[:_BUCKET_CAP]
+            first = True
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
                     if d <= max_hamming:
                         a.append(rows[i][0]); b.append(rows[j][0]); h.append(d)
+                        t.append(dropped if first else 0)
+                        first = False
+            if dropped and first:  # truncated bucket with zero pairs: keep
+                a.append(-1); b.append(-1); h.append(-1); t.append(dropped)
         return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
                              "id_b": pd.Series(b, dtype="int64"),
-                             "hamming": pd.Series(h, dtype="int64")})
+                             "hamming": pd.Series(h, dtype="int64"),
+                             "n_trunc": pd.Series(t, dtype="int64")})
 
     allp = (sigs.map_batches(explode_chunks, batch_format="pyarrow")
                 .groupby(["chunk_id", "shard"])
                 .map_groups(shard_pairs, batch_format="pandas")
                 .to_pandas())
     if allp.empty:
-        return allp
+        return allp.reindex(columns=["id_a", "id_b", "hamming"])
+    total_trunc = int(allp["n_trunc"].sum())
+    if total_trunc:
+        logger.warning(
+            "simhash: %d rows dropped by the %d-row chunk-bucket cap",
+            total_trunc, _BUCKET_CAP)
+    allp = allp[allp["id_a"] >= 0].drop(columns=["n_trunc"])
     return (allp.sort_values(["id_a", "id_b"])
                 .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True))

@@ -462,3 +462,50 @@ def test_partitioned_sink_by_lang(ray_session, tmp_path):
     # partition pruning: reading one partition touches only its files
     en = pads.dataset(out + "/lang=en").to_table().to_pandas()
     assert len(en) == 10
+
+
+def test_dedup_latest_ties_survive_default_not_strict(ray_session):
+    """Default path keeps ALL rows tying the max order per key (set
+    semantics, deterministic under any partitioning); strict breaks the
+    tie to exactly one row; small_keys matches the default."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import dedup_latest
+
+    df = pd.DataFrame({
+        "url": ["a", "a", "a", "b"],
+        "warc_ts": pd.to_datetime(
+            ["2024-01-02", "2024-01-02", "2024-01-01", "2024-01-01"]),
+        "payload": list("1234"),
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    out = dedup_latest(ds, key="url", order_col="warc_ts").to_pandas()
+    assert sorted(out["payload"]) == ["1", "2", "4"]  # both ties survive
+    out_sk = dedup_latest(ds, key="url", order_col="warc_ts",
+                          small_keys=True).to_pandas()
+    assert sorted(out_sk["payload"]) == ["1", "2", "4"]
+    out_strict = dedup_latest(ds, key="url", order_col="warc_ts",
+                              strict=True).to_pandas()
+    assert len(out_strict) == 2  # exactly one row per key
+
+
+def test_near_dup_hot_bucket_truncation_reported(ray_session, caplog):
+    """A bucket hotter than _BUCKET_CAP must be reported (no silent caps):
+    the dropped-id count flows through the pair stream and surfaces as a
+    driver-side logging.warning."""
+    import logging
+
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import (
+        _BUCKET_CAP, minhash_dedup_pairs)
+
+    n = _BUCKET_CAP + 30
+    rows = [{"doc_id": i, "text": "alpha beta gamma delta epsilon zeta"}
+            for i in range(n)]
+    with caplog.at_level(logging.WARNING,
+                         logger="credit_ocr_backend_ray.stages.dedup"):
+        pairs = minhash_dedup_pairs(rd.from_items(rows).repartition(8),
+                                    threshold=0.8)
+    assert any("bucket cap" in r.message for r in caplog.records)
+    # pairs among the surviving capped ids are still found and exact
+    assert len(pairs) > 0
+    assert (pairs["jaccard"] == 1.0).all()
