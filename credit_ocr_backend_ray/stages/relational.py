@@ -56,15 +56,19 @@ def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
     input_blocks) rows by construction, so the single node never sees
     the raw data."""
     keys = list(keys)
+    in_cols = list(sum_cols)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, as_index=False, sort=False).agg(
-            **{alias: (col, "sum") for col, alias in sum_cols.items()},
-            __pn=(keys[0], "size"),
-        )
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native combiner: pa.Table.group_by runs over the FULL input
+        # (every batch), so it must not pay an Arrow->pandas->Arrow round
+        # trip per batch (pandas partials measured as a pure conversion tax)
+        g = t.select(keys + in_cols).group_by(keys).aggregate(
+            [(c, "sum") for c in in_cols] + [([], "count_all")])
+        rename = {f"{c}_sum": alias for c, alias in sum_cols.items()}
+        rename["count_all"] = "__pn"
+        return g.rename_columns([rename.get(n, n) for n in g.column_names])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     if combine == "driver":
         aliases = list(sum_cols.values())
@@ -123,11 +127,21 @@ def latest_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
 
 
 def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
-                 window: str, sum_cols: dict[str, str]) -> "rd.Dataset":
+                 window: str, sum_cols: dict[str, str],
+                 combine: str | None = None) -> "rd.Dataset":
     """Tumbling event-time windows: truncate ``ts_col`` to the window
     (pandas freq alias, e.g. "D", "h") and run the combiner aggregate over
-    (window_start, *keys)."""
+    (window_start, *keys).
+
+    ``combine`` passes through to ``grouped_agg``. Default: ``"driver"``
+    only when there are NO extra keys (window starts alone are bounded by
+    the time range); with caller keys the cardinality is window x keys and
+    potentially unbounded (per-user windows), so the distributed
+    ``"shuffle"`` combine is the default — pass ``combine="driver"``
+    explicitly for known-bounded keys (enums)."""
     keys = list(keys)
+    if combine is None:
+        combine = "driver" if not keys else "shuffle"
 
     def add_window(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -135,14 +149,14 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
         return batch
 
     windowed = ds.map_batches(add_window, batch_format="pandas")
-    # window keys are bounded by the time range -> driver-fold combine
     return grouped_agg(windowed, ["window_start", *keys], sum_cols,
-                       combine="driver")
+                       combine=combine)
 
 
 def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
                        size_s: int, hop_s: int,
-                       sum_cols: dict[str, str]) -> "rd.Dataset":
+                       sum_cols: dict[str, str],
+                       combine: str | None = None) -> "rd.Dataset":
     """Hopping (sliding) event-time windows: every event lands in
     ``size_s/hop_s`` overlapping windows, derived per batch with integer
     MICROSECOND arithmetic (exactly reproducible in SQL — float epoch math
@@ -168,9 +182,12 @@ def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
         return pd.concat(frames, ignore_index=True)
 
     exploded = ds.map_batches(explode, batch_format="pandas")
-    # hop-window keys are bounded by the time range -> driver-fold combine
+    # same combine default as windowed_agg: driver-fold only when the
+    # window starts (bounded by the time range) are the sole keys
+    if combine is None:
+        combine = "driver" if not keys else "shuffle"
     return grouped_agg(exploded, ["window_start", *keys], sum_cols,
-                       combine="driver")
+                       combine=combine)
 
 
 def broadcast_anti_join(ds: "rd.Dataset", keys: set, on: str) -> "rd.Dataset":
@@ -368,9 +385,10 @@ def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
                         direction: str = "backward") -> "rd.Dataset":
     """As-of join with a broadcast right side: when the right table is
     dimension-sized (fits the object store), pre-sort it per key ONCE on
-    the driver, ``ray.put`` the per-key arrays, and every left batch
-    resolves its matches with vectorized ``searchsorted`` — NO shuffle of
-    either side (the streaming analogue of `broadcast_join`). Tie rule
+    the driver, ``ray.put`` the per-key arrays, and every left batch sorts
+    by key once and resolves each distinct key's run with ONE vectorized
+    ``searchsorted`` — NO shuffle of either side (the streaming analogue
+    of `broadcast_join`) and no per-row Python in the probe. Tie rule
     matches ``asof_join``: last (backward) / first (forward) in
     ``right_cols[0]`` order within equal timestamps. Unmatched left rows
     drop (inner). Use the shuffle ``asof_join`` when the right side is
@@ -385,30 +403,50 @@ def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
     ref = ray.put(lookup)
 
     def probe(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: sort the batch by key once, then resolve each
+        # DISTINCT key's whole run with a single array searchsorted against
+        # that key's sorted right-side timestamps — no per-row Python work
         lk = ray.get(ref)
-        keep_rows = []
-        out_cols: dict[str, list] = {c: [] for c in right_cols}
         keys = b[left_key].to_numpy()
         tss = b[left_ts].to_numpy()
-        for i in range(len(b)):
-            ent = lk.get(keys[i])
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        ts_sorted = tss[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+
+        kept_segments: list[np.ndarray] = []   # positions into `order`
+        seg_vals: dict[str, list[np.ndarray]] = {c: [] for c in right_cols}
+        for s, e in zip(starts, ends):
+            ent = lk.get(ks[s])
             if ent is None:
                 continue
             r_ts, cols = ent
+            seg_ts = ts_sorted[s:e]
             if direction == "backward":
-                j = np.searchsorted(r_ts, tss[i], side="right") - 1
-                if j < 0:
-                    continue
+                j = np.searchsorted(r_ts, seg_ts, side="right") - 1
+                ok = j >= 0
             else:
-                j = int(np.searchsorted(r_ts, tss[i], side="left"))
-                if j >= len(r_ts):
-                    continue
-            keep_rows.append(i)
+                j = np.searchsorted(r_ts, seg_ts, side="left")
+                ok = j < len(r_ts)
+            if not ok.any():
+                continue
+            jj = j[ok]
+            kept_segments.append(np.arange(s, e)[ok])
             for c in right_cols:
-                out_cols[c].append(cols[c][j])
-        out = b.iloc[keep_rows].reset_index(drop=True)
+                seg_vals[c].append(cols[c][jj])
+
+        if not kept_segments:
+            out = b.iloc[:0].copy()
+            for c in right_cols:
+                out[c] = pd.Series(dtype=object)
+            return out
+        kept_sorted = np.concatenate(kept_segments)
+        kept_orig = order[kept_sorted]
+        perm = np.argsort(kept_orig, kind="stable")  # restore batch order
+        out = b.iloc[kept_orig[perm]].reset_index(drop=True)
         for c in right_cols:
-            out[c] = out_cols[c]
+            out[c] = np.concatenate(seg_vals[c])[perm]
         return out
 
     return left.map_batches(probe, batch_format="pandas")
@@ -467,12 +505,12 @@ def histogram(ds: "rd.Dataset", col: str, lo: float, hi: float,
     the shuffle. Values outside [lo, hi) clamp into the edge buckets."""
     width = (hi - lo) / n_bins
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        ids = np.floor((b[col].to_numpy() - lo) / width).astype("int64")
-        out = pd.DataFrame({"bucket": np.clip(ids, 0, n_bins - 1)})
-        return out
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        ids = np.floor((v - lo) / width).astype("int64")
+        return pa.table({"bucket": pa.array(np.clip(ids, 0, n_bins - 1))})
 
-    return grouped_agg(ds.map_batches(bucketize, batch_format="pandas"),
+    return grouped_agg(ds.map_batches(bucketize, batch_format="pyarrow"),
                        ["bucket"], {}, count_alias="n", combine="driver")
 
 
@@ -559,15 +597,17 @@ def pivot_sum(ds: "rd.Dataset", index: Sequence[str], pivot_col: str,
     index = list(index)
     values = list(values)
 
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[index].copy()
-        v = b[value_col].to_numpy()
-        p = b[pivot_col].to_numpy()
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.cast(t[value_col], pa.float64())
+        zero = pa.scalar(0.0, pa.float64())
+        cols: dict = {c: t[c] for c in index}
         for name in values:
-            out[f"{prefix}{name}"] = np.where(p == name, v, 0.0)
-        return out
+            cols[f"{prefix}{name}"] = pc.if_else(
+                pc.equal(t[pivot_col], name), v, zero)
+        return pa.table(cols)
 
-    return grouped_agg(ds.map_batches(derive, batch_format="pandas"), index,
+    return grouped_agg(ds.map_batches(derive, batch_format="pyarrow"), index,
                        {f"{prefix}{v}": f"{prefix}{v}" for v in values},
                        count_alias=None)
 
@@ -773,8 +813,14 @@ def grouped_zscore(ds: "rd.Dataset", keys: Sequence[str], col: str,
     broadcast back (`ray.put` once), then a vectorized normalize map.
     NO shuffle of the data itself; the all-to-all moves one stats row
     per (group, batch). ``ddof=1`` matches SQL ``stddev_samp``.
-    Single-member groups (std undefined) get null."""
+    Single-member groups (std undefined) get null.
+
+    The input is materialized first so the stats pass and the normalize
+    pass read the SAME cached blocks — without it an expensive (or
+    non-deterministic) upstream would execute twice and could diverge
+    between passes."""
     keys = list(keys)
+    ds = ds.materialize()
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b[keys].copy()

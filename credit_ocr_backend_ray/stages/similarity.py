@@ -30,8 +30,23 @@ _LSH_SEED = 0xA11CE
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    pylist = col.to_pylist()
-    return np.asarray(pylist, dtype=np.float64)
+    """(n, dim) float64 matrix from a list<float> column — zero-copy
+    through the Arrow list buffers (flatten + reshape) when the lists are
+    equal-length, which embedding columns are by construction; the
+    ``to_pylist`` path only remains as the ragged-input fallback."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), arr.type.list_size).astype(
+            np.float64, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), int(widths[0])).astype(
+                np.float64, copy=False)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -307,8 +322,13 @@ def knn_ivf(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
 
 def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       bits: int = 6) -> pd.DataFrame:
-    """Near-identical vector pairs via LSH buckets + in-bucket exact check."""
+                       bits: int = 6, bucket_cap: int = 500) -> pd.DataFrame:
+    """Near-identical vector pairs via LSH buckets + in-bucket exact check.
+    Buckets hotter than ``bucket_cap`` rows are capped before the O(n²)
+    in-bucket check; the dropped-row count is carried through the pair
+    stream and reported with a logging.warning — no silent truncation
+    (raise ``bits`` to thin hot buckets instead)."""
+    import logging
     planes_holder: dict[str, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -323,24 +343,38 @@ def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
         })
 
     def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)  # deterministic under the cap
         ids = g[id_col].to_numpy()
-        vecs = _norm_rows(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        dropped = max(0, len(ids) - bucket_cap)
+        n = min(len(ids), bucket_cap)
+        vecs = _norm_rows(np.asarray(g[vec_col].iloc[:n].tolist(),
+                                     dtype=np.float64))
         sims = vecs @ vecs.T
-        a, b, c = [], [], []
-        n = min(len(ids), 500)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a.append(int(ids[i])); b.append(int(ids[j]))
-                    c.append(float(sims[i, j]))
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64"),
-                             "cos": pd.Series(c, dtype="float64")})
+        # vectorized upper-triangle threshold scan (no per-pair loop)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sims[iu, ju] >= threshold
+        a = ids[iu[hit]].astype("int64")
+        b = ids[ju[hit]].astype("int64")
+        c = sims[iu[hit], ju[hit]].astype("float64")
+        t = np.zeros(len(a), dtype="int64")
+        if dropped and len(a):
+            t[0] = dropped
+        out = pd.DataFrame({"id_a": a, "id_b": b, "cos": c, "n_trunc": t})
+        if dropped and not len(a):  # truncated bucket with zero pairs
+            out = pd.DataFrame({"id_a": [-1], "id_b": [-1], "cos": [-1.0],
+                                "n_trunc": [dropped]})
+        return out
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(
         in_bucket_pairs, batch_format="pandas").to_pandas()
     if pairs.empty:
-        return pairs
+        return pairs.reindex(columns=["id_a", "id_b", "cos"])
+    total_trunc = int(pairs["n_trunc"].sum())
+    if total_trunc:
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup: %d rows dropped by the %d-row bucket cap",
+            total_trunc, bucket_cap)
+    pairs = pairs[pairs["id_a"] >= 0].drop(columns=["n_trunc"])
     return (pairs.sort_values(["id_a", "id_b"])
                  .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True))
