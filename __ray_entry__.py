@@ -1318,7 +1318,56 @@ def _q_kmeans_assign(sf_dir: str):
     return ivf_assign(ds, nlist=16)
 
 
+def _q_dedup_latest_events(sf_dir: str):
+    """``dedup_latest``'s default combiner-pruned shuffle path under the
+    SQL oracle (reference S12 last-write-wins upsert, generalized): keep
+    every row tying the max ts per user — ties-survive set semantics,
+    deterministic under any partitioning."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import dedup_latest
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    out = dedup_latest(ds, key="user_id", order_col="ts")
+    return out.select_columns(["user_id", "event_id", "ts",
+                               "event_type", "value"])
+
+
+def _q_llm_field_extract(sf_dir: str):
+    """The reference's PRIMARY path — model-backed field mapping
+    (field_extractor.py:307-442 consuming a client, client.py:16-45) — as
+    an actor-pool stage: client built once per actor in __init__, prompt
+    assembly / fenced-JSON parsing / grounding per batch. Deterministic
+    offline client (no model weights in this container); rows-only by
+    nature (model scoring has no SQL equivalent)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.llm_map import LLMFieldMapper
+
+    inp = _flagship_input(sf_dir)
+    ds = rd.read_parquet(inp, columns=["url", "html"])
+    return ds.map_batches(
+        LLMFieldMapper, batch_format="pyarrow", batch_size=64,
+        concurrency=4,
+    ).select_columns(["url", "n_extracted", "n_missing",
+                      "fields_sha256", "status"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered: every SQL-oracled query FIRST (in oracle_sql() order), then
+    # the rows-only ones. The round-1 driver recorded exactly the first 50
+    # registration-order entries in CORRECTNESS_r01.json (it stopped at
+    # position 50, knn_cosine), dropping two oracled queries that were
+    # registered later in the dict — oracled-first ordering guarantees
+    # every oracle-checkable query is inside any enumeration cap.
+    q = _all_queries()
+    oracled = oracle_sql()
+    ordered = {k: q[k] for k in oracled if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in oracled})
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "agg_pricing": _q_agg_pricing,
         "filter_revenue": _q_filter_revenue,
@@ -1365,6 +1414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_from_jsonl": _q_events_from_jsonl,
         "events_from_csv": _q_events_from_csv,
         "dedup_exact_documents": _q_dedup_exact_documents,
+        "dedup_latest_events": _q_dedup_latest_events,
+        "llm_field_extract": _q_llm_field_extract,
         "doc_text_stats": _q_doc_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_counts": _q_lang_counts,
@@ -1698,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": """
             SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_latest_events": """
+            SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
+            FROM events e
+            JOIN (SELECT user_id, max(ts) AS mts
+                  FROM events GROUP BY user_id) m
+              ON e.user_id = m.user_id AND e.ts = m.mts
         """,
         "doc_text_stats": """
             SELECT doc_id,

@@ -26,20 +26,44 @@ _INSTRUCTIONS = """Instructions:
 6. For dates, use the format DD.MM.YYYY
 7. For numbers, include any units or currency symbols"""
 
+_EXAMPLE = """Example response format:
+{
+    "extracted_fields": {
+        "company_name": "Demo Tech GmbH",
+        "legal_form": "GmbH",
+        "founding_date": "01.01.2020",
+        "business_address": "Musterstraße 123, 12345 Berlin",
+        "purchase_price": "500.000 €",
+        "term": "20 Jahre",
+        "interest_rate": "3,5%"
+    },
+    "missing_fields": ["website", "vat_id"],
+    "validation_results": {
+        "company_name": {"valid": true},
+        "legal_form": {"valid": true},
+        "founding_date": {"valid": true}
+    }
+}
+
+Please extract the fields from the document content above and return a JSON object in this format."""
+
 
 def create_extraction_prompt(items: list[dict[str, Any]],
                              cfg: DocTypeConfig) -> str:
-    """Per-document prompt: field descriptions (German name lifted from the
-    trailing parenthetical of each description), the label mapping table,
-    then the document content — ``label: value`` for pairs, raw text for
-    lines (parity: field_extractor.py:168-233; the reference formats
-    ``label_value``/``text_line``/``line`` item types identically)."""
+    """Per-document prompt, byte-for-byte the reference's
+    ``create_extraction_prompt`` (field_extractor.py:168-233): field
+    descriptions (German name lifted from the trailing parenthetical of
+    each description), the label mapping table (unicode ``→`` arrows), the
+    document content — ``label: value`` for pairs, raw text for
+    ``text_line``/``line`` items — then the instruction block and the
+    literal example-response JSON. Pinned by a differential test that
+    executes the reference function on the same inputs."""
     descriptions = []
     for fname, desc in cfg.field_descriptions.items():
         german = desc.split("(")[-1].strip(")") if "(" in desc else ""
         descriptions.append(f"- {fname} ({german}): {desc}")
 
-    mappings = [f"- {german} -> {english}"
+    mappings = [f"- {german} → {english}"
                 for german, english in cfg.field_mappings.items()]
 
     content = []
@@ -58,8 +82,7 @@ def create_extraction_prompt(items: list[dict[str, Any]],
         f"{nl.join(mappings)}\n\n"
         f"Document Content:\n{nl.join(content)}\n\n"
         f"{_INSTRUCTIONS}\n\n"
-        "Return a JSON object with keys extracted_fields, missing_fields "
-        "and validation_results."
+        f"{_EXAMPLE}"
     )
 
 

@@ -171,7 +171,13 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     manifest = RunManifest(out_dir)
     summary = {"groups_total": 0, "groups_skipped": 0, "groups_run": 0,
-               "rows": 0, "wall_s": 0.0,
+               "rows": 0,
+               # wall_s: ONE elapsed measurement around this invocation's
+               # whole todo batch — the throughput denominator even when
+               # groups overlap (summing per-group walls double-counts
+               # overlapped wall-clock). group_wall_s keeps the per-group
+               # sum as detail.
+               "wall_s": 0.0, "group_wall_s": 0.0,
                # metrics survive resume: completed groups contribute their
                # recorded wall/docs-rate from the manifest (north rule:
                # "resumed from checkpoint with metrics intact")
@@ -226,9 +232,9 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
             })
             summary["groups_run"] += 1
             summary["rows"] += rows
-            summary["completed_wall_s"] += wall
-            summary["wall_s"] += wall
+            summary["group_wall_s"] += wall
 
+    t_batch = time.perf_counter()
     if k_eff == 1:
         for item in todo:
             run_group(item)
@@ -236,6 +242,10 @@ def run_extraction(input_paths: list[str] | str, out_dir: str,
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=k_eff) as pool:
             list(pool.map(run_group, todo))
+    summary["wall_s"] = time.perf_counter() - t_batch
+    # resumed-run continuity: prior groups' recorded walls + this batch's
+    # single elapsed wall (NOT the overlap-double-counting per-group sum)
+    summary["completed_wall_s"] += summary["wall_s"]
 
     if summary["completed_wall_s"] > 0:
         summary["completed_docs_per_s"] = round(

@@ -86,10 +86,44 @@ def test_create_extraction_prompt_structure(credit_cfg):
     assert "freier Text" in p and "noch eine Zeile" in p
     assert "ignored-type-word" not in p
     # the mapping table lists German -> English pairs
-    assert "- Firmenname -> company_name" in p
+    assert "- Firmenname → company_name" in p  # unicode arrow, as the reference
     # content preserves item order
     assert p.find("Firmenname: X GmbH") < p.find("freier Text") < p.find(
         "noch eine Zeile")
+
+
+def test_create_extraction_prompt_byte_identical_to_reference(credit_cfg):
+    """Differential parity pin: execute the REFERENCE's own
+    create_extraction_prompt (field_extractor.py:168-233, extracted via
+    ast so its aiohttp-importing module never loads) on the same items and
+    require byte-identical prompts."""
+    import ast
+
+    src = open("/root/reference/src/llm/field_extractor.py",
+               encoding="utf-8").read()
+    tree = ast.parse(src)
+    fn = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+          and n.name == "create_extraction_prompt"][0]
+    for a in fn.args.args:
+        a.annotation = None
+    fn.returns = None
+    ns: dict = {}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref>", "exec"), ns)
+    ref_fn = ns["create_extraction_prompt"]
+
+    from credit_ocr_backend_ray.functions.llm_seam import (
+        create_extraction_prompt)
+
+    items = [
+        {"type": "label_value", "label": "Firmenname", "value": "X GmbH"},
+        {"type": "label_value", "label": "Laufzeit", "value": "20 Jahre"},
+        {"type": "text_line", "text": "freier Text"},
+        {"type": "line", "text": "noch eine Zeile"},
+        {"type": "word", "text": "ignored"},
+    ]
+    assert create_extraction_prompt(items, credit_cfg) == ref_fn(
+        items, credit_cfg)
+    assert create_extraction_prompt([], credit_cfg) == ref_fn([], credit_cfg)
 
 
 def test_extract_json_from_response_fences_and_comments():
