@@ -39,6 +39,9 @@ import pyarrow.parquet as pq
 
 # ----------------------------------------------------------------- helpers
 
+from credit_ocr_backend_ray.sources.pq_read import read_parquet_clean as _rp
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -97,7 +100,7 @@ def _q_agg_pricing(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_agg
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+    ds = _rp(_t(sf_dir, "lineitem"), columns=[
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount"])
 
@@ -146,7 +149,7 @@ def _q_filter_revenue(sf_dir: str):
             "revenue": rev,
         })
 
-    return rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+    return _rp(_t(sf_dir, "lineitem"), columns=[
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
         "l_shipdate"]).map_batches(fn, batch_format="pyarrow")
 
@@ -160,7 +163,7 @@ def _q_recent_orders_pushdown(sf_dir: str):
 
     expr = (pc.field("o_orderdate") >= pa_timestamp("1998-01-01")) & (
         pc.field("o_totalprice") > 300_000.0)
-    ds = rd.read_parquet(
+    ds = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderdate", "o_totalprice"],
         filter=expr)
@@ -176,7 +179,7 @@ def _q_latest_event_per_user(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import latest_per_key
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=[
+    ds = _rp(_t(sf_dir, "events"), columns=[
         "user_id", "event_id", "ts", "event_type", "value"])
     return latest_per_key(ds, "user_id", ["ts", "event_id"])
 
@@ -187,7 +190,7 @@ def _q_top_lineitems_global(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import global_topk
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+    ds = _rp(_t(sf_dir, "lineitem"), columns=[
         "l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
@@ -203,7 +206,7 @@ def _q_top_lineitems_global(sf_dir: str):
 
 def _q_newest_orders(sf_dir: str):
     import ray.data as rd
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+    ds = _rp(_t(sf_dir, "orders"), columns=[
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     return ds.sort(["o_orderdate", "o_orderkey"],
                    descending=[True, False]).limit(100)
@@ -219,7 +222,7 @@ def _q_customer_nation(sf_dir: str):
     dim = dim[["n_nationkey", "n_name", "r_name"]].rename(
         columns={"n_nationkey": "c_nationkey"})
 
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = _rp(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_name", "c_nationkey"])
     out = broadcast_join(ds, dim, on="c_nationkey")
     return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
@@ -232,7 +235,7 @@ def _q_top_brands_revenue(sf_dir: str):
     part = pq.read_table(_t(sf_dir, "part"),
                          columns=["p_partkey", "p_brand"]).to_pandas()
     part = part.rename(columns={"p_partkey": "l_partkey"})
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+    ds = _rp(_t(sf_dir, "lineitem"), columns=[
         "l_partkey", "l_extendedprice", "l_discount"])
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
@@ -267,7 +270,7 @@ def _q_dedup_exact_documents(sf_dir: str):
              for x in t["text"].to_pylist()]
         return t.append_column("text_hash", pa.array(h, pa.string()))
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(add_hash, batch_format="pyarrow")
     out = dedup_exact(ds, hash_col="text_hash", tie_col="doc_id")
     return out.select_columns(["text_hash", "doc_id"])
@@ -277,7 +280,7 @@ def _q_doc_text_stats(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import text_stats_batch
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_chars_calc", "n_tokens",
                                "n_bpe_tokens", "n_digits"])
@@ -287,7 +290,7 @@ def _q_doc_fingerprint(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import fingerprint_batch
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"])
 
@@ -296,7 +299,7 @@ def _q_lang_counts(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_agg
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
     return grouped_agg(ds, ["lang"], {"n_chars": "sum_chars"},
                        count_alias="n_docs", combine="driver")
 
@@ -305,7 +308,7 @@ def _q_events_daily_window(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import windowed_agg
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])
     out = windowed_agg(ds, "ts", ["event_type"], "D", {"value": "sum_value"})
 
@@ -321,9 +324,9 @@ def _q_orders_lineitem_join(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import shuffle_join
 
-    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li = _rp(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_linenumber", "l_quantity"])
-    od = rd.read_parquet(_t(sf_dir, "orders"),
+    od = _rp(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_orderpriority"])
     out = shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
     return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
@@ -337,8 +340,8 @@ def _q_customer_order_counts(sf_dir: str):
     from credit_ocr_backend_ray.stages.relational import (
         grouped_agg, shuffle_join)
 
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
-    od = rd.read_parquet(_t(sf_dir, "orders"),
+    cust = _rp(_t(sf_dir, "customer"), columns=["c_custkey"])
+    od = _rp(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_orderkey"])
     joined = shuffle_join(cust, od, on="c_custkey", right_on="o_custkey",
                           join_type="left_outer")
@@ -356,7 +359,7 @@ def _q_supplier_acctbal_stats(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_stats
 
-    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+    ds = _rp(_t(sf_dir, "supplier"),
                          columns=["s_nationkey", "s_acctbal"])
 
     def to_cents(b: pd.DataFrame) -> pd.DataFrame:
@@ -382,7 +385,7 @@ def _q_top_orders_per_priority(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import topk_per_group
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+    ds = _rp(_t(sf_dir, "orders"), columns=[
         "o_orderpriority", "o_orderkey", "o_totalprice"])
     return topk_per_group(ds, "o_orderpriority",
                           ["o_totalprice", "o_orderkey"], k=3,
@@ -393,7 +396,7 @@ def _q_sessionize_events(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import sessionize
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts", "value"])
     out = sessionize(ds, "user_id", "ts", gap_s=4 * 3600,
                      tie_col="event_id", value_col="value")
@@ -411,9 +414,9 @@ def _q_asof_latest_order(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import asof_join
 
-    ev = rd.read_parquet(_t(sf_dir, "events"),
+    ev = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts"])
-    od = rd.read_parquet(_t(sf_dir, "orders"),
+    od = _rp(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_orderkey", "o_orderdate"])
     out = asof_join(ev, od, left_key="user_id", right_key="o_custkey",
                     left_ts="ts", right_ts="o_orderdate",
@@ -436,7 +439,7 @@ def _q_asof_latest_order_broadcast(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import asof_join_broadcast
 
-    ev = rd.read_parquet(_t(sf_dir, "events"),
+    ev = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts"])
     od = pq.read_table(_t(sf_dir, "orders"),
                        columns=["o_custkey", "o_orderkey",
@@ -458,7 +461,7 @@ def _q_events_hopping_window(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import hopping_window_agg
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])
     out = hopping_window_agg(ds, "ts", ["event_type"], size_s=3600,
                              hop_s=900, sum_cols={"value": "sum_value"})
@@ -477,7 +480,7 @@ def _q_customers_without_events(sf_dir: str):
 
     users = set(pq.read_table(_t(sf_dir, "events"),
                               columns=["user_id"])["user_id"].to_pylist())
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = _rp(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"])
     return broadcast_anti_join(ds, users, on="c_custkey")
 
@@ -486,7 +489,7 @@ def _q_customer_running_total(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import running_sum
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+    ds = _rp(_t(sf_dir, "orders"), columns=[
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
     out = running_sum(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
                       "o_totalprice")
@@ -502,7 +505,7 @@ def _q_event_value_zscore(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_zscore
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "value"])
     out = grouped_zscore(ds, ["user_id"], "value")
 
@@ -517,7 +520,7 @@ def _q_event_value_delta(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import lag_delta
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts", "value"])
     out = lag_delta(ds, "user_id", ["ts", "event_id"], "value")
 
@@ -533,7 +536,7 @@ def _q_brand_price_median(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_quantile
 
-    ds = rd.read_parquet(_t(sf_dir, "part"),
+    ds = _rp(_t(sf_dir, "part"),
                          columns=["p_brand", "p_retailprice"])
     out = grouped_quantile(ds, ["p_brand"], "p_retailprice", 0.5,
                            alias="median_price")
@@ -549,7 +552,7 @@ def _q_order_price_histogram(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import histogram
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    ds = _rp(_t(sf_dir, "orders"), columns=["o_totalprice"])
     return histogram(ds, "o_totalprice", lo=0.0, hi=600_000.0, n_bins=20)
 
 
@@ -557,7 +560,7 @@ def _q_distinct_event_types(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import distinct
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type"])
     return distinct(ds, ["event_type"])
 
 
@@ -574,10 +577,10 @@ def _q_union_hot_lineitems(sf_dir: str):
             return out
         return fn
 
-    a = (rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+    a = (_rp(_t(sf_dir, "lineitem"), columns=cols)
            .filter(expr="l_returnflag == 'R' and l_quantity > 45")
            .map_batches(tag("a"), batch_format="pandas"))
-    b = (rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+    b = (_rp(_t(sf_dir, "lineitem"), columns=cols)
            .filter(expr="l_discount > 0.09 and l_quantity < 5")
            .map_batches(tag("b"), batch_format="pandas"))
     return a.union(b)
@@ -587,7 +590,7 @@ def _q_event_user_count_distinct(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_count_distinct
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
     return grouped_count_distinct(ds, ["event_type"], "user_id",
                                   alias="n_users", combine="driver")
@@ -599,14 +602,14 @@ def _q_customers_with_events(sf_dir: str):
 
     users = set(pq.read_table(_t(sf_dir, "events"),
                               columns=["user_id"])["user_id"].to_pylist())
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = _rp(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"])
     return broadcast_semi_join(ds, users, on="c_custkey")
 
 
 def _click_purchase_sides(sf_dir: str):
     import ray.data as rd
-    ev = rd.read_parquet(_t(sf_dir, "events"),
+    ev = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_type"])
     a = ev.filter(expr="event_type == 'click'")
     b = ev.filter(expr="event_type == 'purchase'")
@@ -625,10 +628,10 @@ def _q_order_customers_no_events(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import set_op
 
-    od = (rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    od = (_rp(_t(sf_dir, "orders"), columns=["o_custkey"])
             .map_batches(lambda b: b.rename(columns={"o_custkey": "user_id"}),
                          batch_format="pandas"))
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ev = _rp(_t(sf_dir, "events"), columns=["user_id"])
     return set_op(od, ev, ["user_id"], "except")
 
 
@@ -636,7 +639,7 @@ def _q_user_event_pivot(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import pivot_sum
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_type", "value"])
     out = pivot_sum(ds, ["user_id"], "event_type", "value",
                     ["click", "view", "purchase"])
@@ -660,7 +663,7 @@ def _q_orders_price_band_join(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import range_join_broadcast
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = _rp(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_totalprice"])
     out = range_join_broadcast(ds, _PRICE_BANDS, "o_totalprice")
     return out.select_columns(["o_orderkey", "band"])
@@ -670,7 +673,7 @@ def _q_returnflag_qty_price_corr(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_corr
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = _rp(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_quantity",
                                   "l_extendedprice"])
     out = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_extendedprice",
@@ -687,7 +690,7 @@ def _q_priority_price_quartiles(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_multi_quantile
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = _rp(_t(sf_dir, "orders"),
                          columns=["o_orderpriority", "o_totalprice"])
     out = grouped_multi_quantile(ds, ["o_orderpriority"], "o_totalprice",
                                  {"p25": 0.25, "p50": 0.5, "p75": 0.75})
@@ -704,7 +707,7 @@ def _q_order_price_ntile(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import ntile
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+    ds = _rp(_t(sf_dir, "orders"), columns=[
         "o_orderkey", "o_orderpriority", "o_totalprice"])
     return ntile(ds, "o_orderpriority", ["o_totalprice", "o_orderkey"], 4)
 
@@ -713,7 +716,7 @@ def _q_documents_sample(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import deterministic_sample
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
     return deterministic_sample(ds, "doc_id", 0.1)
 
 
@@ -733,7 +736,7 @@ def _q_heavy_hitter_terms(sf_dir: str):
                 toks.extend(tok for tok in ws.split(txt.strip()) if tok)
         return pa.table({"token": pa.array(toks, pa.string())})
 
-    ds = (rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = (_rp(_t(sf_dir, "documents"), columns=["text"])
             .map_batches(tokenize, batch_format="pyarrow"))
     return cms_heavy_hitters(ds, "token", k=20)
 
@@ -742,7 +745,7 @@ def _q_top_terms(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import top_terms
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
     return top_terms(ds, k=50)
 
 
@@ -750,7 +753,7 @@ def _q_user_top_event_type(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import mode_per_key
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_type"])
     return mode_per_key(ds, "user_id", "event_type", alias="top_event_type")
 
@@ -761,9 +764,9 @@ def _q_asof_next_event(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import asof_join
 
-    od = rd.read_parquet(_t(sf_dir, "orders"),
+    od = _rp(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_orderkey", "o_orderdate"])
-    ev = rd.read_parquet(_t(sf_dir, "events"),
+    ev = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts"])
     out = asof_join(od, ev, left_key="o_custkey", right_key="user_id",
                     left_ts="o_orderdate", right_ts="ts",
@@ -784,7 +787,7 @@ def _q_approx_user_count(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.sketch import approx_count_distinct
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
     return approx_count_distinct(ds, ["event_type"], "user_id",
                                  alias="approx_users")
@@ -794,7 +797,7 @@ def _q_pricing_rollup(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import rollup_agg
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = _rp(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus",
                                   "l_quantity"])
 
@@ -819,7 +822,7 @@ def _q_user_event_history(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import grouped_concat
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts", "event_type"])
     return grouped_concat(ds, "user_id", ["ts", "event_id"], "event_type",
                           alias="history")
@@ -829,7 +832,7 @@ def _q_approx_price_quantiles(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.sketch import approx_quantile
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    ds = _rp(_t(sf_dir, "orders"), columns=["o_totalprice"])
     return approx_quantile(ds, "o_totalprice",
                            {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99},
                            lo=0.0, hi=600_000.0)
@@ -890,7 +893,7 @@ def _q_knn_cosine(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.similarity import knn_bruteforce
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _rp(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     return knn_bruteforce(ds, _knn_queries(sf_dir), k=10)
 
@@ -911,7 +914,7 @@ def _q_media_features(sf_dir: str):
             "meta": pa.array(["{}"] * len(texts), pa.string()),
         })
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = ds.map_batches(to_media, batch_format="pyarrow")
     out = media.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
                             batch_size=64, concurrency=2)
@@ -923,7 +926,7 @@ def _q_media_features(sf_dir: str):
 def _q_extract_flagship(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(_flagship_output(sf_dir))
+    ds = _rp(_flagship_output(sf_dir))
     return ds.select_columns([
         "url", "content_sha256", "extracted_text", "n_lines", "n_pairs",
         "status"])
@@ -933,7 +936,7 @@ def _q_extract_fields_long(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    ds = rd.read_parquet(_flagship_output(sf_dir))
+    ds = _rp(_flagship_output(sf_dir))
 
     def explode(t: pa.Table) -> pa.Table:
         urls, names, values, confs, valids = [], [], [], [], []
@@ -962,7 +965,7 @@ def _q_annotation_render(sf_dir: str):
     from credit_ocr_backend_ray.stages.multimodal import PageRenderer
 
     # render a bounded subset: each page raster is ~6 MB of pixels
-    ds = (rd.read_parquet(_flagship_output(sf_dir),
+    ds = (_rp(_flagship_output(sf_dir),
                           columns=["url", "fields"])
             .sort("url").limit(24))
     imgs = ds.map_batches(PageRenderer, batch_format="pyarrow",
@@ -987,7 +990,7 @@ def _q_annotation_thumbnails(sf_dir: str):
     from credit_ocr_backend_ray.stages.multimodal import (
         PageRenderer, ThumbnailMaker)
 
-    ds = (rd.read_parquet(_flagship_output(sf_dir),
+    ds = (_rp(_flagship_output(sf_dir),
                           columns=["url", "fields"])
             .sort("url").limit(24))
     imgs = ds.map_batches(PageRenderer, batch_format="pyarrow",
@@ -1032,7 +1035,7 @@ def _q_video_frame_sample(sf_dir: str):
             "payload": pa.array(payloads, pa.binary()),
         })
 
-    ds = (rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = (_rp(_t(sf_dir, "documents"), columns=["doc_id"])
             .map_batches(synth_videos, batch_format="pyarrow"))
     frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
                             fn_constructor_kwargs={"stride": 3},
@@ -1076,7 +1079,7 @@ def _q_audio_resample(sf_dir: str):
             "meta": pa.array(metas, pa.string()),
         })
 
-    ds = (rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = (_rp(_t(sf_dir, "documents"), columns=["doc_id"])
             .map_batches(synth_audio, batch_format="pyarrow"))
     res = ds.map_batches(PcmResampler, batch_format="pyarrow",
                          fn_constructor_kwargs={"dst_hz": 16_000},
@@ -1098,7 +1101,7 @@ def _q_annotation_plans(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.multimodal import PageAnnotator
 
-    ds = rd.read_parquet(_flagship_output(sf_dir),
+    ds = _rp(_flagship_output(sf_dir),
                          columns=["url", "fields"])
     return ds.map_batches(PageAnnotator, batch_format="pyarrow",
                           batch_size=64, concurrency=2)
@@ -1110,7 +1113,7 @@ def _q_document_status_listing(sf_dir: str):
     erstellt_am DESC listings) over the extraction output: newest first."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_flagship_output(sf_dir),
+    ds = _rp(_flagship_output(sf_dir),
                          columns=["url", "warc_ts", "status", "n_pairs",
                                   "error"])
     return ds.sort(["warc_ts", "url"], descending=[True, False]).limit(100)
@@ -1149,7 +1152,7 @@ def _q_extraction_prompts(sf_dir: str):
             "prompt_chars": pa.array(sizes, pa.int64()),
         })
 
-    ds = rd.read_parquet(inp, columns=["url", "html"])
+    ds = _rp(inp, columns=["url", "html"])
     return ds.map_batches(build, batch_format="pyarrow")
 
 
@@ -1171,7 +1174,7 @@ def _q_training_batches(sf_dir: str):
     consumption — no take_all/to_pandas of the corpus."""
     import ray.data as rd
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = _rp(_t(sf_dir, "documents"),
                          columns=["doc_id", "n_chars"])
     rows = []
     for i, b in enumerate(ds.iter_batches(batch_size=64,
@@ -1194,7 +1197,7 @@ def _q_lang_id(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import lang_id_batch
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(lang_id_batch,
                           batch_format="pyarrow").select_columns(
         ["doc_id", "pred_lang"])
@@ -1204,7 +1207,7 @@ def _q_quality(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.text import quality_batch
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(quality_batch,
                           batch_format="pyarrow").select_columns(
         ["doc_id", "quality"])
@@ -1239,7 +1242,7 @@ def _q_knn_ivf(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.similarity import knn_ivf
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _rp(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     return knn_ivf(ds, _knn_queries(sf_dir), k=10)
 
@@ -1280,7 +1283,7 @@ def _q_knn_lsh(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.similarity import knn_lsh
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _rp(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     return knn_lsh(ds, _knn_queries(sf_dir), k=10)
 
@@ -1300,7 +1303,7 @@ def _q_kmeans_fit_history(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.similarity import kmeans_fit
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _rp(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     cent, history = kmeans_fit(ds, nlist=8, iters=4)
     return pd.DataFrame({
@@ -1313,7 +1316,7 @@ def _q_kmeans_assign(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.similarity import ivf_assign
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = _rp(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     return ivf_assign(ds, nlist=16)
 
@@ -1326,7 +1329,7 @@ def _q_dedup_latest_events(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.dedup import dedup_latest
 
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _rp(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "ts",
                                   "event_type", "value"])
     out = dedup_latest(ds, key="user_id", order_col="ts")
@@ -1345,7 +1348,7 @@ def _q_llm_field_extract(sf_dir: str):
     from credit_ocr_backend_ray.stages.llm_map import LLMFieldMapper
 
     inp = _flagship_input(sf_dir)
-    ds = rd.read_parquet(inp, columns=["url", "html"])
+    ds = _rp(inp, columns=["url", "html"])
     return ds.map_batches(
         LLMFieldMapper, batch_format="pyarrow", batch_size=64,
         concurrency=4,
