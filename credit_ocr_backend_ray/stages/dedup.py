@@ -201,17 +201,22 @@ def minhash_candidate_pairs(ds: "rd.Dataset", text_col: str = "text",
                  .map_groups(dedup_pairs, batch_format="pandas"))
 
 
+_BROADCAST_VERIFY_BYTES = 256 << 20   # small-side cutoff for the verify
+
+
 def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
                           id_col: str, text_col: str, threshold: float,
                           n: int = 3,
                           num_partitions: int | None = None) -> pd.DataFrame:
-    """Join the (small) candidate-pair set back to the texts by id with two
-    hash-shuffle joins, verify exact Jaccard per surviving row, and return
-    the verified pairs driver-side. The corpus is NEVER collected or
-    broadcast: texts are hash-partitioned by id, and only rows whose id
-    occurs in a candidate pair flow past the inner join. Also sums the
-    ``n_trunc`` truncation counters and logs a warning when any LSH bucket
-    overflowed ``_BUCKET_CAP``."""
+    """Resolve candidate pairs back to their texts BY ID, verify exact
+    Jaccard, and return the verified pairs driver-side. The corpus is never
+    collected or broadcast: one streaming semi-join pass prunes the texts
+    to candidate-referenced ids only, then — classic join-strategy
+    selection — the pruned side is either broadcast (when it fits
+    ``_BROADCAST_VERIFY_BYTES``; its size is bounded by the candidate set,
+    not the corpus) or hash-shuffle-joined back to the pairs in two
+    distributed joins. Also sums the ``n_trunc`` truncation counters and
+    logs a warning when any LSH bucket overflowed ``_BUCKET_CAP``."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, min(cpus, 32))
@@ -264,29 +269,6 @@ def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
                       .map_batches(keep_needed, batch_format="pyarrow")
                       .materialize())
     n_texts = max(1, texts_needed.count())
-    texts_needed = texts_needed.repartition(
-        max(1, min(num_partitions, -(-n_texts // 64))))
-
-    def as_side(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({f"__rid_{side}": t["__rid"],
-                             f"__text_{side}": t["__text"]})
-        return fn
-
-    ta = texts_needed.map_batches(as_side("a"), batch_format="pyarrow")
-    tb = texts_needed.map_batches(as_side("b"), batch_format="pyarrow")
-    joined = cands.join(ta, join_type="inner",
-                        num_partitions=num_partitions,
-                        on=("id_a",), right_on=("__rid_a",))
-    # same empty-first-block guard between the joins: join-1 partitions that
-    # matched nothing emit empty blocks, which would again suppress the
-    # schema broadcast of join-2's left side
-    joined = joined.materialize()
-    n_j = max(1, joined.count())
-    joined = joined.repartition(max(1, min(num_partitions, -(-n_j // 64))))
-    joined = joined.join(tb, join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("id_b",), right_on=("__rid_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -303,6 +285,51 @@ def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
         # fails verification — keep those rows flagged unverified so the
         # driver-side n_trunc fold still sees the count
         return out.filter(pc.or_(keep, pc.greater(out["n_trunc"], 0)))
+
+    small_side = (texts_needed.size_bytes() or 0) < _BROADCAST_VERIFY_BYTES
+    if small_side:
+        # broadcast path: the candidate-referenced texts (NOT the corpus)
+        # fit the object store comfortably — skip the two shuffle joins and
+        # their aggregator-pool spin-up; resolve both sides per pair batch
+        # from the broadcast map
+        tdf = texts_needed.to_pandas()
+        tref = ray.put(dict(zip(tdf["__rid"], tdf["__text"])))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            tm = ray.get(tref)
+            return (batch.append_column("__text_a", pa.array(
+                        [tm.get(i) for i in batch["id_a"].to_pylist()],
+                        pa.string()))
+                         .append_column("__text_b", pa.array(
+                        [tm.get(i) for i in batch["id_b"].to_pylist()],
+                        pa.string())))
+
+        joined = cands.map_batches(attach, batch_format="pyarrow")
+    else:
+        texts_needed = texts_needed.repartition(
+            max(1, min(num_partitions, -(-n_texts // 64))))
+
+        def as_side(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({f"__rid_{side}": t["__rid"],
+                                 f"__text_{side}": t["__text"]})
+            return fn
+
+        ta = texts_needed.map_batches(as_side("a"), batch_format="pyarrow")
+        tb = texts_needed.map_batches(as_side("b"), batch_format="pyarrow")
+        joined = cands.join(ta, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("id_a",), right_on=("__rid_a",))
+        # same empty-first-block guard between the joins: join-1 partitions
+        # that matched nothing emit empty blocks, which would again suppress
+        # the schema broadcast of join-2's left side
+        joined = joined.materialize()
+        n_j = max(1, joined.count())
+        joined = joined.repartition(
+            max(1, min(num_partitions, -(-n_j // 64))))
+        joined = joined.join(tb, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("id_b",), right_on=("__rid_b",))
 
     out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:

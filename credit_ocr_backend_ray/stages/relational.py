@@ -395,18 +395,22 @@ def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
     fact-sized."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
+    # columnar broadcast payload: sorted flat arrays + per-key segment
+    # bounds. A {key: per-key-arrays} dict was measured ~3.5 s to build +
+    # (de)serialize at 15k keys; plain numpy arrays build vectorized and
+    # ship zero-copy through the object store.
     rs = right.sort_values([right_key, right_ts, right_cols[0]])
-    lookup: dict = {}
-    for k, g in rs.groupby(right_key, sort=False):
-        lookup[k] = (g[right_ts].to_numpy(),
-                     {c: g[c].to_numpy() for c in right_cols})
-    ref = ray.put(lookup)
+    rkeys = rs[right_key].to_numpy()
+    uk, key_start = np.unique(rkeys, return_index=True)
+    bounds = np.r_[key_start, len(rkeys)]
+    ref = ray.put((uk, bounds, rs[right_ts].to_numpy(),
+                   {c: rs[c].to_numpy() for c in right_cols}))
 
     def probe(b: pd.DataFrame) -> pd.DataFrame:
         # vectorized: sort the batch by key once, then resolve each
         # DISTINCT key's whole run with a single array searchsorted against
         # that key's sorted right-side timestamps — no per-row Python work
-        lk = ray.get(ref)
+        r_uk, r_bounds, r_ts_all, r_cols = ray.get(ref)
         keys = b[left_key].to_numpy()
         tss = b[left_ts].to_numpy()
         order = np.argsort(keys, kind="stable")
@@ -418,10 +422,11 @@ def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
         kept_segments: list[np.ndarray] = []   # positions into `order`
         seg_vals: dict[str, list[np.ndarray]] = {c: [] for c in right_cols}
         for s, e in zip(starts, ends):
-            ent = lk.get(ks[s])
-            if ent is None:
+            ki = int(np.searchsorted(r_uk, ks[s]))
+            if ki >= len(r_uk) or r_uk[ki] != ks[s]:
                 continue
-            r_ts, cols = ent
+            lo, hi = int(r_bounds[ki]), int(r_bounds[ki + 1])
+            r_ts = r_ts_all[lo:hi]
             seg_ts = ts_sorted[s:e]
             if direction == "backward":
                 j = np.searchsorted(r_ts, seg_ts, side="right") - 1
@@ -431,10 +436,10 @@ def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
                 ok = j < len(r_ts)
             if not ok.any():
                 continue
-            jj = j[ok]
+            jj = j[ok] + lo
             kept_segments.append(np.arange(s, e)[ok])
             for c in right_cols:
-                seg_vals[c].append(cols[c][jj])
+                seg_vals[c].append(r_cols[c][jj])
 
         if not kept_segments:
             out = b.iloc[:0].copy()

@@ -509,3 +509,27 @@ def test_near_dup_hot_bucket_truncation_reported(ray_session, caplog):
     # pairs among the surviving capped ids are still found and exact
     assert len(pairs) > 0
     assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_near_dup_join_path_matches_broadcast_path(ray_session, monkeypatch):
+    """The verify stage picks broadcast vs distributed-join by the pruned
+    side's size; force the join path (cutoff=0) and require identical
+    verified pairs — the scale path is exercised, not just designed."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages import dedup
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    texts = [" ".join(rng.choice(vocab, 50)) for _ in range(30)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(4):
+        rows.append({"doc_id": 200 + i,
+                     "text": " ".join(texts[i].split()[:-1])})
+    ds = rd.from_items(rows).repartition(8)
+
+    a = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    monkeypatch.setattr(dedup, "_BROADCAST_VERIFY_BYTES", 0)
+    b = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    pd.testing.assert_frame_equal(a, b)
+    assert {(i, 200 + i) for i in range(4)} <= set(zip(b["id_a"], b["id_b"]))
