@@ -160,15 +160,17 @@ def run_scaling(sf_dir: str) -> dict:
     return result
 
 
-def run_scaling_nodes(sf_dir: str) -> dict:
+def run_scaling_nodes(sf_dir: str, n_nodes: int = 4) -> dict:
     """Multi-NODE scaling evidence (closer to the north rule's 'N vs 4N
     nodes' than two parallelism levels inside ONE cluster): leg A is one
     independent 8-CPU Ray cluster (own raylet/scheduler/object store via a
-    private temp dir) running the whole input; leg B is FOUR such clusters
-    running concurrently, each over a quarter of the shards (T = slowest
-    node). Per-node fixed costs (cluster startup amortization, executor,
-    store) replicate per node exactly as on a real cluster; only the host's
-    disk/memory bus are shared, which a real cluster would not share."""
+    private temp dir) running the whole input; leg B is ``n_nodes`` such
+    clusters running concurrently, each over a 1/n slice of the shards
+    (T = slowest node). Per-node fixed costs (cluster startup amortization,
+    executor, store) replicate per node exactly as on a real cluster; only
+    the host's disk/memory bus are shared, which a real cluster would not
+    share — ``n_nodes=2`` leaves half the host idle, so bus sharing is
+    minimal and the RAW ratio needs no normalization."""
     import shutil
 
     from credit_ocr_backend_ray.sources.synth import rows_for_sf, synthesize_pages
@@ -219,20 +221,22 @@ def run_scaling_nodes(sf_dir: str) -> dict:
 
     # two repetitions each, min (same policy as run_bench)
     t1 = min(leg(1) for _ in range(2))
-    t4 = min(leg(4) for _ in range(2))
-    # control: one pinned node over a QUARTER slice with the host
-    # otherwise idle — same work per node as the 4-node leg, but with the
-    # full memory bus / disk to itself (as on real, non-shared hardware)
-    t_solo = min(leg(1, solo_slice_of=4) for _ in range(2))
+    tn = min(leg(n_nodes) for _ in range(2))
+    # control: one pinned node over a 1/n slice with the host otherwise
+    # idle — same work per node as the n-node leg, but with the full
+    # memory bus / disk to itself (as on real, non-shared hardware)
+    t_solo = min(leg(1, solo_slice_of=n_nodes) for _ in range(2))
     n_docs = rows_for_sf(sf)
-    eff = t1 / (4 * t4)
-    eff_hw = t1 / (4 * t_solo)
+    eff = t1 / (n_nodes * tn)
+    eff_hw = t1 / (n_nodes * t_solo)
     result = {
-        "metric": "scaling_nodes", "sf": sf, "docs": n_docs,
-        "sec_1node": t1, "sec_4nodes": t4, "sec_solo_quarter": t_solo,
+        "metric": f"scaling_nodes_{n_nodes}", "sf": sf, "docs": n_docs,
+        "n_nodes": n_nodes,
+        "sec_1node": t1, f"sec_{n_nodes}nodes": tn,
+        "sec_solo_slice": t_solo,
         "docs_per_s_1node": round(n_docs / t1, 1),
-        "docs_per_s_4nodes": round(n_docs / t4, 1),
-        "host_sharing_slowdown": round(t4 / t_solo, 3),
+        f"docs_per_s_{n_nodes}nodes": round(n_docs / tn, 1),
+        "host_sharing_slowdown": round(tn / t_solo, 3),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_hw_normalized": round(eff_hw, 3),
     }
@@ -240,20 +244,22 @@ def run_scaling_nodes(sf_dir: str) -> dict:
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     with open("BENCH/BASELINE.md", "a", encoding="utf-8") as f:
         f.write(
-            f"\n## Node-sim scaling run {stamp} (sf={sf}, {n_docs} docs)\n\n"
+            f"\n## Node-sim scaling run {stamp} (sf={sf}, {n_docs} docs, "
+            f"1 vs {n_nodes} nodes)\n\n"
             f"Independent 8-CPU Ray clusters, each pinned to its own 8 "
             f"physical cores (own raylet/object store/driver):\n\n"
             f"| leg | wall s | docs/s |\n|---|---|---|\n"
             f"| 1 node, full input | {t1} | {round(n_docs / t1, 1)} |\n"
-            f"| 4 nodes concurrent, quarter each (max) | {t4} | "
-            f"{round(n_docs / t4, 1)} |\n"
-            f"| 1 node SOLO, quarter input (control) | {t_solo} | — |\n\n"
-            f"Node scaling efficiency T1/(4*T4) = "
+            f"| {n_nodes} nodes concurrent, 1/{n_nodes} each (max) | {tn} |"
+            f" {round(n_docs / tn, 1)} |\n"
+            f"| 1 node SOLO, 1/{n_nodes} input (control) | {t_solo} | — "
+            f"|\n\n"
+            f"Node scaling efficiency T1/({n_nodes}*T{n_nodes}) = "
             f"**{result['scaling_efficiency']}**. The solo control shows a "
-            f"node runs {result['host_sharing_slowdown']}x slower when 3 "
-            f"other nodes share this host's memory bus/disk — resources a "
-            f"real cluster does not share; normalizing for it, "
-            f"T1/(4*T_solo) = "
+            f"node runs {result['host_sharing_slowdown']}x slower when "
+            f"{n_nodes - 1} other node(s) share this host's memory bus/"
+            f"disk — resources a real cluster does not share; normalizing "
+            f"for it, T1/({n_nodes}*T_solo) = "
             f"**{result['scaling_efficiency_hw_normalized']}** "
             f"(target >= 0.8)\n")
     return result
@@ -261,7 +267,9 @@ def run_scaling_nodes(sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling-nodes" in sys.argv:
+    if "--scaling-nodes2" in sys.argv:
+        print(json.dumps(run_scaling_nodes(sf_dir, n_nodes=2)))
+    elif "--scaling-nodes" in sys.argv:
         print(json.dumps(run_scaling_nodes(sf_dir)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))

