@@ -734,6 +734,10 @@ def deterministic_sample(ds: "rd.Dataset", key_col: str,
     the same side — usable for consistent train/test splits."""
     cut = int(frac * (1 << 32))
     import hashlib
+    # md5 stays a per-key loop on purpose: the oracle contract is DuckDB's
+    # md5() and no vectorized md5 kernel exists in numpy/pyarrow/polars —
+    # swapping to the fast non-cryptographic hash bank would break the
+    # engine-independence property this operator exists for
 
     def filt(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_pylist()
