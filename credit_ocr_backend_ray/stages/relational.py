@@ -300,14 +300,25 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
     """As-of join: each left row picks the nearest right row for the same
     key — ``backward``: greatest ``right_ts`` <= ``left_ts``; ``forward``:
     smallest ``right_ts`` >= ``left_ts`` (inner: unmatched left rows drop).
-    Implemented as aligned-schema union + ONE co-grouping shuffle on the
-    key + per-group numpy ``searchsorted`` — the standard composition when
-    the engine has no as-of primitive. Right-side ties on (key, ts) resolve
-    to the row last (backward) / first (forward) in ``right_cols[0]``
-    order, so make that a unique id for determinism."""
+    Implemented as aligned-schema union + ONE co-grouping shuffle over
+    COARSE key-hash shards (64 groups instead of one Ray group per key —
+    per-key map_groups overhead dominated at high key cardinality) + a
+    vectorized ``pd.merge_asof(by=key)`` inside each shard — the standard
+    composition when the engine has no as-of primitive. Right-side ties on
+    (key, ts) resolve to the row last (backward) / first (forward) in
+    ``right_cols[0]`` order, so make that a unique id for determinism."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
     all_payload = left_cols + right_cols
+    n_shards = 64
+
+    def _shards_of(arr) -> np.ndarray:
+        a = arr.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.number):
+            return ((a.astype(np.int64) % n_shards) + n_shards) % n_shards
+        from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+        return (hash_strings_u64([str(x) for x in a])
+                % np.uint64(n_shards)).astype(np.int64)
 
     def _arrow_types(ds_: "rd.Dataset", cols: list[str]) -> dict[str, pa.DataType]:
         s = ds_.schema().base_schema
@@ -334,6 +345,7 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
                 "__key": t[key],
                 "__ts": t[ts],
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                "__shard": pa.array(_shards_of(t[key])),
             }
             for c in all_payload:
                 cols[c] = t[c] if c in cols_present else pa.nulls(n, types[c])
@@ -354,28 +366,31 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
     out_cols = ["__key", "__ts", *left_cols, *right_cols]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse shard: many keys co-located; pd.merge_asof(by=__key)
+        # resolves every key's matches in one vectorized C pass. Tie rule:
+        # right pre-sorted by (__ts, right_cols[0]) stable, and merge_asof
+        # picks the LAST valid right row (backward) / FIRST (forward)
+        # among equal timestamps — exactly the documented contract.
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=out_dtypes[c]) for c in out_cols})
         lf = g[g["__side"] == 0]
-        rf = g[g["__side"] == 1].sort_values(["__ts", right_cols[0]])
+        rf = g[g["__side"] == 1]
         if lf.empty or rf.empty:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=out_dtypes[c]) for c in out_cols})
-        r_ts = rf["__ts"].to_numpy()
-        if direction == "backward":
-            idx = np.searchsorted(r_ts, lf["__ts"].to_numpy(),
-                                  side="right") - 1
-            ok = idx >= 0
-        else:
-            idx = np.searchsorted(r_ts, lf["__ts"].to_numpy(), side="left")
-            ok = idx < len(r_ts)
-            idx = np.clip(idx, 0, len(r_ts) - 1)
-        lf = lf[ok]
-        picked = rf.iloc[idx[ok]]
-        out = lf[["__key", "__ts", *left_cols]].reset_index(drop=True)
-        for c in right_cols:
-            out[c] = picked[c].to_numpy()
-        return out.astype(out_dtypes)
+            return empty
+        lf = (lf[["__key", "__ts", *left_cols]]
+              .sort_values("__ts", kind="stable"))
+        rf = (rf[["__key", "__ts", *right_cols]]
+              .sort_values(["__ts", right_cols[0]], kind="stable")
+              .rename(columns={"__ts": "__rts"}))
+        out = pd.merge_asof(lf, rf, left_on="__ts", right_on="__rts",
+                            by="__key", direction=direction)
+        out = out[out[right_cols[0]].notna()]
+        if out.empty:
+            return empty
+        return out[out_cols].astype(out_dtypes)
 
-    return l.union(r).groupby("__key").map_groups(merge, batch_format="pandas")
+    return (l.union(r).groupby("__shard")
+            .map_groups(merge, batch_format="pandas"))
 
 
 def asof_join_broadcast(left: "rd.Dataset", right: pd.DataFrame,
