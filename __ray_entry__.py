@@ -1321,6 +1321,68 @@ def _q_kmeans_assign(sf_dir: str):
     return ivf_assign(ds, nlist=16)
 
 
+def _q_order_rolling_sum(sf_dir: str):
+    """Rolling window frame (SUM ... ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW) per customer in order-date order — decimal-exact via int64 cents
+    (pandas rolling returns float; values < 2^53 so the cast back is
+    exact)."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.relational import rolling_agg
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5).astype("int64")
+        return t.drop_columns(["o_totalprice"]).append_column(
+            "price_cents", pa.array(c))
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = rolling_agg(cents, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "price_cents", 3, how="sum",
+                      alias="rolling_sum_cents")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["rolling_sum_cents"] = b["rolling_sum_cents"].astype("int64")
+        return b[["o_custkey", "o_orderkey", "rolling_sum_cents"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_order_rank_in_customer(sf_dir: str):
+    """RANK / DENSE_RANK / PERCENT_RANK per customer by price descending —
+    one shuffle, vectorized run-boundary scan per group."""
+    from credit_ocr_backend_ray.stages.relational import rank_per_key
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = rank_per_key(ds, "o_custkey", ["o_totalprice"],
+                       ascending=[False], alias="rnk",
+                       dense_alias="drnk", pct_alias="prnk")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["prnk"] = b["prnk"].round(6)
+        return b[["o_custkey", "o_orderkey", "rnk", "drnk", "prnk"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_user_first_last_event(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE per user in (ts, event_id) order, combiner-
+    pruned: at most two rows per (user, batch) cross the shuffle."""
+    from credit_ocr_backend_ray.stages.relational import first_last_per_key
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "event_id", "ts", "value"])
+    out = first_last_per_key(ds, "user_id", ["ts", "event_id"],
+                             ["value", "event_id"])
+    return out.map_batches(
+        lambda b: b[["user_id", "first_value", "last_value",
+                     "first_event_id", "last_event_id", "n"]],
+        batch_format="pandas")
+
+
 def _q_dedup_latest_events(sf_dir: str):
     """``dedup_latest``'s default combiner-pruned shuffle path under the
     SQL oracle (reference S12 last-write-wins upsert, generalized): keep
@@ -1418,6 +1480,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_from_csv": _q_events_from_csv,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_latest_events": _q_dedup_latest_events,
+        "order_rolling_sum": _q_order_rolling_sum,
+        "order_rank_in_customer": _q_order_rank_in_customer,
+        "user_first_last_event": _q_user_first_last_event,
         "llm_field_extract": _q_llm_field_extract,
         "doc_text_stats": _q_doc_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1759,6 +1824,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, max(ts) AS mts
                   FROM events GROUP BY user_id) m
               ON e.user_id = m.user_id AND e.ts = m.mts
+        """,
+        "order_rolling_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling_sum_cents
+            FROM orders
+        """,
+        "order_rank_in_customer": """
+            SELECT o_custkey, o_orderkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   round(percent_rank() OVER w, 6) AS prnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        """,
+        "user_first_last_event": """
+            SELECT f.user_id,
+                   f.value AS first_value, l.value AS last_value,
+                   f.event_id AS first_event_id,
+                   l.event_id AS last_event_id, f.n
+            FROM (SELECT user_id, value, event_id,
+                         count(*) OVER (PARTITION BY user_id) AS n,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events) f
+            JOIN (SELECT user_id, value, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rn
+                  FROM events) l
+              ON f.user_id = l.user_id AND f.rn = 1 AND l.rn = 1
         """,
         "doc_text_stats": """
             SELECT doc_id,

@@ -901,3 +901,115 @@ def mode_per_key(ds: "rd.Dataset", key: str, col: str,
                          ascending=[False, True])
     return top.map_batches(
         lambda b: b.rename(columns={col: alias}), batch_format="pandas")
+
+
+def _sharded_per_key(ds: "rd.Dataset", key: str, scan,
+                     n_shards: int = 64) -> "rd.Dataset":
+    """Coarse-shard a per-key scan: hash the key into ``n_shards`` groups
+    so Ray co-groups ~keys/n_shards keys per task, then run ``scan`` per
+    key INSIDE the shard — per-group Ray task overhead dominates wall time
+    at high key cardinality (measured ~5x on 15k keys for the as-of join;
+    same shape here). The scan still sees exactly one whole key at a time,
+    so semantics match a per-key map_groups."""
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[key].to_numpy()
+        if np.issubdtype(a.dtype, np.number):
+            s = ((a.astype(np.int64) % n_shards) + n_shards) % n_shards
+        else:
+            from credit_ocr_backend_ray.functions.hashing import (
+                hash_strings_u64)
+            s = (hash_strings_u64([str(x) for x in a])
+                 % np.uint64(n_shards)).astype(np.int64)
+        b = b.copy()
+        b["__shard"] = s
+        return b
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        outs = [scan(grp) for _, grp in g.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(add_shard, batch_format="pandas")
+              .groupby("__shard").map_groups(per_shard,
+                                             batch_format="pandas"))
+
+
+def rolling_agg(ds: "rd.Dataset", key: str, order_cols: list[str],
+                val_col: str, window_rows: int, how: str = "sum",
+                alias: str | None = None) -> "rd.Dataset":
+    """Rolling window frame — ``agg(val) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` —
+    as one hash shuffle + a sorted per-group pandas rolling kernel
+    (``min_periods=1``: partial frames at the partition head aggregate
+    what exists, SQL window semantics). ``order_cols`` must end in a
+    unique tie-break. ``how``: "sum" | "mean" | "min" | "max"."""
+    a = alias or f"rolling_{how}"
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        r = g[val_col].rolling(window_rows, min_periods=1)
+        g = g.copy()
+        g[a] = getattr(r, how)()
+        return g
+
+    return _sharded_per_key(ds, key, scan)
+
+
+def rank_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
+                 ascending: list[bool] | None = None,
+                 alias: str = "rank", dense_alias: str | None = None,
+                 pct_alias: str | None = None) -> "rd.Dataset":
+    """RANK() / DENSE_RANK() / PERCENT_RANK() OVER (PARTITION BY key ORDER
+    BY order_cols) in one hash shuffle + sorted per-group scan. Rows tying
+    on ALL order columns share a rank (SQL semantics); the scan itself is
+    vectorized (run-boundary cumsum, no Python per row)."""
+    asc = ascending if ascending is not None else [True] * len(order_cols)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=asc).reset_index(drop=True)
+        n = len(g)
+        first_of_run = (g[order_cols] != g[order_cols].shift()).any(axis=1)
+        first_of_run.iloc[0] = True
+        pos = pd.Series(np.arange(1, n + 1), dtype="int64")
+        g[alias] = pos.where(first_of_run).ffill().astype("int64")
+        if dense_alias:
+            g[dense_alias] = first_of_run.cumsum().astype("int64")
+        if pct_alias:
+            g[pct_alias] = ((g[alias] - 1) / (n - 1)) if n > 1 else 0.0
+        return g
+
+    return _sharded_per_key(ds, key, scan)
+
+
+def first_last_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
+                       val_cols: list[str]) -> "rd.Dataset":
+    """FIRST_VALUE / LAST_VALUE per key in ``order_cols`` order, one row
+    per key (``first_<c>`` / ``last_<c>`` for each value column, plus
+    ``n``). Combiner-shaped: each batch pre-prunes to its local first+last
+    rows per key, so at most two rows per (key, batch) cross the shuffle;
+    n is summed from per-batch partial counts. ``order_cols`` must end in
+    a unique tie-break."""
+    def locals_(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(order_cols)
+        g = b.groupby(key, sort=False)
+        out = pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+        counts = g.size().rename("__pn")
+        out = out.merge(counts, left_on=key, right_index=True)
+        # the batch's count rides on exactly ONE of the (up to two)
+        # surviving rows per key, so the global fold can plain-sum it
+        out = out.sort_values(order_cols)
+        dup = out.duplicated(key, keep="first")
+        out.loc[dup, "__pn"] = 0
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        out = g.iloc[:1][[key]].copy()
+        for c in val_cols:
+            out[f"first_{c}"] = g[c].iloc[0]
+            out[f"last_{c}"] = g[c].iloc[-1]
+        out["n"] = int(g["__pn"].sum())
+        return out
+
+    pruned = ds.map_batches(locals_, batch_format="pandas")
+    return pruned.groupby(key).map_groups(fold, batch_format="pandas")

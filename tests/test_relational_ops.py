@@ -511,3 +511,60 @@ def test_grouped_zscore_matches_pandas(ray_session):
     ok = expected.notna()
     assert np.allclose(out["zscore"][ok], expected[ok], atol=1e-9)
     assert out.loc[out["g"] == 99, "zscore"].isna().all()
+
+
+def test_rolling_agg_matches_pandas(ray_session):
+    from credit_ocr_backend_ray.stages.relational import rolling_agg
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 400),
+        "o": np.arange(400),
+        "v": rng.integers(0, 1000, 400).astype("int64"),
+    })
+    out = (rolling_agg(_ds(df), "k", ["o"], "v", 3, how="sum", alias="rs")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    want["rs"] = (want.groupby("k")["v"]
+                  .transform(lambda s: s.rolling(3, min_periods=1).sum()))
+    assert (out["rs"].to_numpy() == want["rs"].to_numpy()).all()
+
+
+def test_rank_per_key_sql_tie_semantics(ray_session):
+    from credit_ocr_backend_ray.stages.relational import rank_per_key
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "id": [10, 11, 12, 13, 20],
+        "v": [5.0, 5.0, 3.0, 1.0, 9.0],
+    })
+    out = (rank_per_key(_ds(df), "k", ["v"], ascending=[False],
+                        alias="r", dense_alias="d", pct_alias="p")
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    k1 = out[out["k"] == 1].sort_values("id")
+    assert k1["r"].tolist() == [1, 1, 3, 4]       # RANK with gap
+    assert k1["d"].tolist() == [1, 1, 2, 3]       # DENSE_RANK
+    assert k1["p"].tolist() == [0.0, 0.0, 2 / 3, 1.0]  # PERCENT_RANK
+    assert out[out["k"] == 2]["p"].tolist() == [0.0]   # single-row group
+
+
+def test_first_last_per_key_combiner(ray_session):
+    from credit_ocr_backend_ray.stages.relational import first_last_per_key
+
+    rng = np.random.default_rng(42)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, 300),
+        "ts": rng.permutation(300),
+        "v": rng.random(300),
+    })
+    out = (first_last_per_key(_ds(df), "k", ["ts"], ["v", "ts"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    g = df.sort_values("ts").groupby("k")
+    want_first = g["v"].first()
+    want_last = g["v"].last()
+    want_n = g.size()
+    for _, row in out.iterrows():
+        k = row["k"]
+        assert row["first_v"] == want_first[k]
+        assert row["last_v"] == want_last[k]
+        assert row["n"] == want_n[k]
