@@ -310,7 +310,9 @@ def _q_events_daily_window(sf_dir: str):
 
     ds = _rp(_t(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])
-    out = windowed_agg(ds, "ts", ["event_type"], "D", {"value": "sum_value"})
+    out = windowed_agg(ds, "ts", ["event_type"], "D",
+                       {"value": "sum_value"},
+                       combine="driver")  # event_type: bounded enum
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b["sum_value"] = b["sum_value"].round(4)
@@ -464,7 +466,8 @@ def _q_events_hopping_window(sf_dir: str):
     ds = _rp(_t(sf_dir, "events"),
                          columns=["ts", "event_type", "value"])
     out = hopping_window_agg(ds, "ts", ["event_type"], size_s=3600,
-                             hop_s=900, sum_cols={"value": "sum_value"})
+                             hop_s=900, sum_cols={"value": "sum_value"},
+                             combine="driver")  # event_type: bounded enum
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b["sum_value"] = b["sum_value"].round(4)
@@ -1321,6 +1324,40 @@ def _q_kmeans_assign(sf_dir: str):
     return ivf_assign(ds, nlist=16)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-run incremental dedup against a persisted hash index
+    (stages/incremental.py): run 1 indexes the first half of the corpus;
+    run 2 processes the FULL corpus and must drop every document whose
+    hash run 1 already indexed — within-run dedup + index anti-join +
+    append-only index update, end-to-end."""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.incremental import (
+        incremental_dedup_run)
+
+    base = f"/tmp/hash_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)  # fresh index per invocation
+
+    tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id"])
+    thr = int(pd.Series(tbl["doc_id"].to_pylist()).max()) // 2
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+              for x in t["text"].to_pylist()]
+        return t.append_column("text_hash", pa.array(hs, pa.string()))
+
+    def docs():
+        return (_rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+                .map_batches(add_hash, batch_format="pyarrow"))
+
+    incremental_dedup_run(docs().filter(expr=f"doc_id < {thr}"),
+                          base, "001")
+    out = incremental_dedup_run(docs(), base, "002")
+    return out.select_columns(["doc_id", "text_hash"])
+
+
 def _q_order_rolling_sum(sf_dir: str):
     """Rolling window frame (SUM ... ROWS BETWEEN 2 PRECEDING AND CURRENT
     ROW) per customer in order-date order — decimal-exact via int64 cents
@@ -1480,6 +1517,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_from_csv": _q_events_from_csv,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_latest_events": _q_dedup_latest_events,
+        "incremental_dedup": _q_incremental_dedup,
         "order_rolling_sum": _q_order_rolling_sum,
         "order_rank_in_customer": _q_order_rank_in_customer,
         "user_first_last_event": _q_user_first_last_event,
@@ -1824,6 +1862,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, max(ts) AS mts
                   FROM events GROUP BY user_id) m
               ON e.user_id = m.user_id AND e.ts = m.mts
+        """,
+        "incremental_dedup": """
+            WITH thr AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)
+                             AS t FROM documents),
+                 r1 AS (SELECT DISTINCT sha256(text) AS h
+                        FROM documents, thr WHERE doc_id < thr.t),
+                 r2 AS (SELECT min(doc_id) AS doc_id, sha256(text) AS h
+                        FROM documents GROUP BY sha256(text))
+            SELECT r2.doc_id, r2.h AS text_hash
+            FROM r2 LEFT JOIN r1 ON r2.h = r1.h
+            WHERE r1.h IS NULL
         """,
         "order_rolling_sum": """
             SELECT o_custkey, o_orderkey,

@@ -23,6 +23,11 @@ def main() -> int:
         "# Query index",
         "",
         f"All {len(q)} driver-contract queries (`__ray_entry__.queries()`); "
+        f"queries() lists the oracled entries FIRST because the round-1 "
+        f"driver recorded only the first 50 registration-order entries in "
+        f"CORRECTNESS_r01.json — any oracled query beyond an enumeration "
+        f"cap is still verified at three scale factors by "
+        f"`python tools/check_correctness.py <sf_dir>`. "
         f"{len(o)} have DuckDB oracles (`oracle_sql()`) hash-checked at "
         "sf0.001 / sf0.01 / sf0.1 by `tools/check_correctness.py`. "
         "Rows-only queries carry their assertions in `tests/`.",
