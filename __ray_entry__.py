@@ -1324,6 +1324,36 @@ def _q_kmeans_assign(sf_dir: str):
     return ivf_assign(ds, nlist=16)
 
 
+def _q_documents_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (language-balanced split):
+    different md5 cut per lang, engine-independent."""
+    from credit_ocr_backend_ray.stages.relational import stratified_sample
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang",
+                             {"de": 0.3, "en": 0.15}, default_frac=0.05)
+
+
+def _q_recent_lineitems_bloom(sf_dir: str):
+    """Exact semi join with a Bloom pre-filter: lineitems of 1998+ orders.
+    The bloom (fixed 1 MiB, built as mergeable per-batch bitmaps) drops
+    non-matching lineitems before any shuffle; survivors verify exactly
+    via the co-grouped semi join."""
+    from credit_ocr_backend_ray.stages.sketch import bloom_semi_join
+
+    import pyarrow.compute as pc
+
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    keys = _rp(_t(sf_dir, "orders"),
+               columns=["o_orderkey", "o_orderdate"],
+               filter=(pc.field("o_orderdate")
+                       >= pa_timestamp("1998-01-01")))
+    out = bloom_semi_join(li, keys, on="l_orderkey",
+                          right_on="o_orderkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup against a persisted hash index
     (stages/incremental.py): run 1 indexes the first half of the corpus;
@@ -1517,6 +1547,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_from_csv": _q_events_from_csv,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_latest_events": _q_dedup_latest_events,
+        "documents_stratified_sample": _q_documents_stratified_sample,
+        "recent_lineitems_bloom": _q_recent_lineitems_bloom,
         "incremental_dedup": _q_incremental_dedup,
         "order_rolling_sum": _q_order_rolling_sum,
         "order_rank_in_customer": _q_order_rank_in_customer,
@@ -1862,6 +1894,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, max(ts) AS mts
                   FROM events GROUP BY user_id) m
               ON e.user_id = m.user_id AND e.ts = m.mts
+        """,
+        "documents_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT)
+                  < CASE lang WHEN 'de' THEN 1288490188
+                              WHEN 'en' THEN 644245094
+                              ELSE 214748364 END
+        """,
+        "recent_lineitems_bloom": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01')
         """,
         "incremental_dedup": """
             WITH thr AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)

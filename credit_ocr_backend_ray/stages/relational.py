@@ -1013,3 +1013,93 @@ def first_last_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
 
     pruned = ds.map_batches(locals_, batch_format="pandas")
     return pruned.groupby(key).map_groups(fold, batch_format="pandas")
+
+
+def stratified_sample(ds: "rd.Dataset", key_col: str, strata_col: str,
+                      fracs: dict[str, float],
+                      default_frac: float = 0.0) -> "rd.Dataset":
+    """Deterministic per-stratum sampling (train/test splits balanced by
+    language/source): keep a row iff the first 32 bits of
+    ``md5(str(key))`` fall below its stratum's cut — the stratified
+    generalization of ``deterministic_sample``, engine-independent and
+    stable under repartitioning, the same key always lands on the same
+    side. Strata absent from ``fracs`` use ``default_frac``."""
+    cuts = {s: int(f * (1 << 32)) for s, f in fracs.items()}
+    dcut = int(default_frac * (1 << 32))
+    import hashlib
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        strata = t[strata_col].to_pylist()
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4],
+                            "big") for k in keys),
+            dtype=np.int64, count=len(keys))
+        cut = np.fromiter((cuts.get(s, dcut) for s in strata),
+                          dtype=np.int64, count=len(strata))
+        return t.filter(pa.array(hv < cut))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def semi_join_cogroup(left: "rd.Dataset", right: "rd.Dataset", on: str,
+                      right_on: str | None = None,
+                      n_shards: int = 64) -> "rd.Dataset":
+    """Exact semi join (SQL ``IN`` with full left rows out) for the case
+    where NEITHER side fits the object store: union both sides tagged,
+    co-group on coarse key-hash shards (empty-block-safe sort machinery,
+    unlike ``Dataset.join``), and keep each shard's left rows whose key
+    appears on the right. One all-to-all of left payload + right keys."""
+    right_on = right_on or on
+    s = left.schema().base_schema
+    left_cols = list(s.names)
+    if isinstance(s, pa.Schema):
+        types = {c: s.field(c).type for c in left_cols}
+    else:  # pandas-block schema: numpy dtypes (object -> string)
+        types = {}
+        for name, dt in zip(s.names, s.types):
+            try:
+                types[name] = pa.from_numpy_dtype(dt)
+            except (pa.ArrowNotImplementedError, TypeError):
+                types[name] = pa.string()
+
+    def _shards(arr) -> np.ndarray:
+        a = arr.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.number):
+            return ((a.astype(np.int64) % n_shards) + n_shards) % n_shards
+        from credit_ocr_backend_ray.functions.hashing import (
+            hash_strings_u64)
+        return (hash_strings_u64([str(x) for x in a])
+                % np.uint64(n_shards)).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_cols}
+        cols["__key"] = t[on]
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["__shard"] = pa.array(_shards(t[on]))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: pa.nulls(n, types[c]) for c in left_cols}
+        cols["__key"] = t[right_on].cast(types[on])
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        cols["__shard"] = pa.array(_shards(t[right_on]))
+        return pa.table(cols)
+
+    l = left.map_batches(tag_left, batch_format="pyarrow")
+    r = (right.select_columns([right_on])
+              .map_batches(tag_right, batch_format="pyarrow"))
+
+    # the union's typed nulls promote int payload columns to float in the
+    # per-group pandas view — pin the output dtypes back (asof_join does
+    # the same)
+    out_dtypes = {c: types[c].to_pandas_dtype() for c in left_cols}
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["__side"] == 1, "__key"].unique()
+        out = g[(g["__side"] == 0) & g["__key"].isin(keys)]
+        return out[left_cols].astype(out_dtypes)
+
+    return l.union(r).groupby("__shard").map_groups(
+        per_shard, batch_format="pandas")

@@ -244,3 +244,77 @@ def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
 
     return partials.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------- bloom filter
+
+_BLOOM_BITS = 1 << 23    # 1 MiB bitmap; ~0.02% fp at 100k keys, k=4
+_BLOOM_K = 4
+
+
+def _bloom_positions(base: np.ndarray, n_bits: int) -> np.ndarray:
+    """(K, n) bit positions from one base hash per value (multiply-shift
+    derived rows, same construction as the CMS)."""
+    mixed = base[None, :] * _CMS_A[:_BLOOM_K, None] + _CMS_B[:_BLOOM_K, None]
+    mixed ^= mixed >> np.uint64(33)
+    return (mixed >> np.uint64(24)).astype(np.int64) % n_bits
+
+
+def bloom_build(keys_ds: "rd.Dataset", col: str,
+                n_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Mergeable distributed Bloom filter of a key column: every batch
+    emits ONE fixed-size partial bitmap; bitmaps OR-fold on the driver.
+    Shuffle volume is O(batches) bitmaps regardless of key cardinality
+    (tree-merge the fold across nodes when batches number in the
+    millions). Returns the uint8 bitmap."""
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        vals = [str(v) for v in t[col].to_pylist()]
+        if vals:
+            pos = _bloom_positions(_hash64(vals), n_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(1, pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = keys_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+    return acc
+
+
+def bloom_might_contain(bits: np.ndarray, values: list) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (fp possible),
+    False = definitely absent."""
+    if not values:
+        return np.zeros(0, dtype=bool)
+    n_bits = len(bits) * 8
+    pos = _bloom_positions(_hash64([str(v) for v in values]), n_bits)
+    hit = (bits[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)) != 0
+    return hit.all(axis=0)
+
+
+def bloom_semi_join(ds: "rd.Dataset", keys_ds: "rd.Dataset", on: str,
+                    right_on: str | None = None,
+                    n_bits: int = _BLOOM_BITS) -> "rd.Dataset":
+    """EXACT semi join with a Bloom pre-filter: build the (fixed-size,
+    mergeable) bloom over the right keys, broadcast it once, drop every
+    left row the bloom rejects (no false negatives, so nothing valid is
+    lost), then verify the tiny surviving fraction exactly with the
+    co-group semi join. At scale this cuts the all-to-all to
+    selectivity + fp-rate of the left volume, for one 1 MiB broadcast —
+    the classic join pre-filter, composed from the engine's own parts."""
+    import ray
+
+    right_on = right_on or on
+    bits = bloom_build(keys_ds, right_on, n_bits)
+    bref = ray.put(bits)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        return t.filter(pa.array(
+            bloom_might_contain(b, t[on].to_pylist())))
+
+    from credit_ocr_backend_ray.stages.relational import semi_join_cogroup
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+    return semi_join_cogroup(survivors, keys_ds, on, right_on)

@@ -568,3 +568,62 @@ def test_first_last_per_key_combiner(ray_session):
         assert row["first_v"] == want_first[k]
         assert row["last_v"] == want_last[k]
         assert row["n"] == want_n[k]
+
+
+def test_semi_join_cogroup_matches_isin(ray_session):
+    from credit_ocr_backend_ray.stages.relational import semi_join_cogroup
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 500),
+                         "v": rng.random(500)})
+    right = pd.DataFrame({"rk": rng.integers(50, 80, 60)})
+    out = (semi_join_cogroup(_ds(left), _ds(right), on="k", right_on="rk")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = (left[left["k"].isin(set(right["rk"]))]
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_bloom_semi_join_exact_and_prefilter_sound(ray_session):
+    """Bloom has false positives but NO false negatives; the exact verify
+    makes the composed join exact. Also check the bloom itself never
+    rejects a present key."""
+    from credit_ocr_backend_ray.stages.sketch import (
+        bloom_build, bloom_might_contain, bloom_semi_join)
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 10_000, 2000),
+                         "v": np.arange(2000)})
+    right = pd.DataFrame({"k": rng.choice(left["k"].unique(), 150,
+                                          replace=False)})
+    out = (bloom_semi_join(_ds(left), _ds(right), on="k")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    want = (left[left["k"].isin(set(right["k"]))]
+            .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want)
+
+    bits = bloom_build(_ds(right), "k")
+    present = bloom_might_contain(bits, right["k"].tolist())
+    assert present.all()  # no false negatives, ever
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    from credit_ocr_backend_ray.stages.relational import stratified_sample
+
+    n = 6000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "s": np.tile(["a", "b", "c"], n // 3)})
+    ds = _ds(df)
+    out1 = stratified_sample(ds, "id", "s",
+                             {"a": 0.5, "b": 0.1}).to_pandas()
+    out2 = stratified_sample(ds, "id", "s",
+                             {"a": 0.5, "b": 0.1}).to_pandas()
+    assert sorted(out1["id"]) == sorted(out2["id"])  # deterministic
+    rates = out1.groupby("s").size() / (n // 3)
+    assert abs(rates.get("a", 0) - 0.5) < 0.05
+    assert abs(rates.get("b", 0) - 0.1) < 0.03
+    assert "c" not in set(out1["s"])  # default_frac=0 drops the stratum
+    # same key keeps the same fate across runs/strata fracs supersets
+    out3 = stratified_sample(ds, "id", "s",
+                             {"a": 0.5, "b": 0.1, "c": 0.0}).to_pandas()
+    assert sorted(out3["id"]) == sorted(out1["id"])
