@@ -1354,6 +1354,46 @@ def _q_recent_lineitems_bloom(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
 
 
+def _q_event_session_components(sf_dir: str):
+    """Distributed connected components (min-label propagation over two
+    coarse-shard shuffles per round, stages/graph.py) on the per-user
+    session-star graph: every event connects to the first event of its
+    gap-based session (the sessionize rule). The component id is the
+    minimum event_id of the session — which the oracle computes
+    analytically with window functions, so the fixpoint of the
+    distributed iteration is pinned exactly."""
+    from credit_ocr_backend_ray.stages.graph import (
+        connected_components, session_star_edges)
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    edges = session_star_edges(ds, gap_s=4 * 3600)
+    labels, _rounds = connected_components(edges, "src", "dst")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"node": "event_id"})
+
+    return labels.map_batches(fin, batch_format="pandas")
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build: token -> (df, sorted posting list) via
+    combiner-deduped (token, id) pairs + one groupby(token)."""
+    from credit_ocr_backend_ray.stages.text import inverted_index
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
+def _q_doc_top_tfidf(sf_dir: str):
+    """Top tf-idf token per document (integer micro-unit scores,
+    token-ascending tie-break); df via combiner groupby, broadcast back,
+    per-doc argmax computed locally — term vectors never shuffle."""
+    from credit_ocr_backend_ray.stages.text import tfidf_top_term
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_top_term(ds)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup against a persisted hash index
     (stages/incremental.py): run 1 indexes the first half of the corpus;
@@ -1550,6 +1590,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "documents_stratified_sample": _q_documents_stratified_sample,
         "recent_lineitems_bloom": _q_recent_lineitems_bloom,
         "incremental_dedup": _q_incremental_dedup,
+        "event_session_components": _q_event_session_components,
+        "inverted_index": _q_inverted_index,
+        "doc_top_tfidf": _q_doc_top_tfidf,
         "order_rolling_sum": _q_order_rolling_sum,
         "order_rank_in_customer": _q_order_rank_in_customer,
         "user_first_last_event": _q_user_first_last_event,
@@ -1919,6 +1962,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT r2.doc_id, r2.h AS text_hash
             FROM r2 LEFT JOIN r1 ON r2.h = r1.h
             WHERE r1.h IS NULL
+        """,
+        "event_session_components": """
+            WITH m AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+            SELECT event_id,
+                   min(event_id) OVER (PARTITION BY user_id, sid) AS comp
+            FROM s
+        """,
+        "inverted_index": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS token
+                    FROM documents WHERE text IS NOT NULL)
+                WHERE token <> '')
+            SELECT token, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tok GROUP BY token
+        """,
+        "doc_top_tfidf": """
+            WITH pairs AS (
+                SELECT doc_id, token, count(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS token
+                    FROM documents WHERE text IS NOT NULL)
+                WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(*) AS df FROM (
+                    SELECT DISTINCT doc_id, token FROM (
+                        SELECT doc_id,
+                               unnest(regexp_split_to_array(trim(text),
+                                                            '\\s+')) AS token
+                        FROM documents WHERE text IS NOT NULL)
+                    WHERE token <> '') GROUP BY token
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT p.doc_id, p.token,
+                       CAST(floor(p.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                  * 1000000 + 0.5) AS BIGINT) AS score_micro
+                FROM pairs p JOIN df ON p.token = df.token CROSS JOIN n)
+            SELECT doc_id, token AS top_token, score_micro FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_micro DESC, token ASC) AS rn
+                FROM scored)
+            WHERE rn = 1
         """,
         "order_rolling_sum": """
             SELECT o_custkey, o_orderkey,

@@ -81,6 +81,122 @@ def top_terms(ds, k: int = 50, text_col: str = "text"):
                   .sort(["n", "token"], descending=[True, False]).limit(k))
 
 
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1):
+    """Inverted index build (the canonical web-scale MapReduce): token ->
+    (document frequency, comma-joined sorted posting list). Tokenization
+    is the same whitespace split as ``top_terms``.
+
+    Shape: per-batch the (token, id) pairs are deduped (a doc contributes
+    a token once) — that's the combiner — then ONE groupby(token) builds
+    each posting list. The all-to-all moves (token, id) int/string pairs,
+    never text. Skew note: stopword-grade tokens concentrate the largest
+    groups; at extreme scale cap or segment hot postings (emit
+    (token, segment_no, postings) rows) and/or prune with ``min_df`` —
+    the combiner and groupby shapes carry over unchanged."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, ids = [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if txt:
+                for tok in set(ws.split(txt.strip())):
+                    if tok:
+                        toks.append(tok)
+                        ids.append(i)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(np.int64))
+        if len(ids) < min_df:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "postings": pd.Series([], dtype=object)})
+        return pd.DataFrame({"token": [g["token"].iloc[0]],
+                             "df": np.int64(len(ids)),
+                             "postings": [",".join(map(str, ids))]})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("token").map_groups(postings, batch_format="pandas"))
+
+
+def tfidf_top_term(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Highest-tf-idf token per document: ``score = tf * ln(N/df)``,
+    reported in integer micro-units (``floor(score*1e6 + 0.5)``) so the
+    DuckDB oracle hash-matches despite engine float association; ties
+    break token-ascending.
+
+    Shape: document frequencies come from one combiner-deduped
+    groupby(token) count (only unique (token, doc) pairs cross the wire,
+    then only (token, df) rows come back); the df table is broadcast via
+    ``ray.put`` and each batch computes its docs' argmax locally — the
+    per-document term vectors NEVER shuffle. The broadcast assumes a
+    bounded vocabulary (true for natural-language corpora after min-df
+    pruning); at open-vocabulary scale swap the broadcast for a
+    shuffle-join of (doc, token, tf) against (token, df) — the df
+    computation side is already the scale shape."""
+    import math
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+    n_docs = ds.count()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, ids = [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if txt:
+                for tok in set(ws.split(txt.strip())):
+                    if tok:
+                        toks.append(tok)
+                        ids.append(i)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "__one": pa.array(np.ones(len(toks), np.int64))})
+
+    df_tbl = grouped_agg(ds.map_batches(pairs, batch_format="pyarrow"),
+                         ["token"], {}, count_alias="df").to_pandas()
+    df_map = dict(zip(df_tbl["token"], df_tbl["df"].astype(np.int64)))
+    ref = ray.put(df_map)
+
+    def top_of(t: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        out_id, out_tok, out_score = [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if not txt:
+                continue
+            tf = Counter(tok for tok in ws.split(txt.strip()) if tok)
+            if not tf:
+                continue
+            best_tok, best = None, None
+            for tok, n in tf.items():
+                s = int(math.floor(n * math.log(n_docs / dfm[tok])
+                                   * 1e6 + 0.5))
+                if best is None or s > best or (s == best
+                                                and tok < best_tok):
+                    best_tok, best = tok, s
+            out_id.append(i)
+            out_tok.append(best_tok)
+            out_score.append(best)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "top_token": pa.array(out_tok, pa.string()),
+                         "score_micro": pa.array(out_score, pa.int64())})
+
+    return ds.map_batches(top_of, batch_format="pyarrow")
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = [t or "" for t in batch[text_col].to_pylist()]
     return (batch
