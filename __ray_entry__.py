@@ -1394,6 +1394,58 @@ def _q_doc_top_tfidf(sf_dir: str):
     return tfidf_top_term(ds)
 
 
+def _q_source_quota_sample(sf_dir: str):
+    """Per-source quota sampling (the per-domain cap of crawl curation,
+    stages/curate.py): keep at most 5 documents per source, ranked by
+    the engine-independent (md5(doc_id), doc_id) order — combiner-pruned
+    so at most 5 rows per (source, batch) cross the one shuffle."""
+    from credit_ocr_backend_ray.stages.curate import quota_sample_per_key
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "source", "n_chars"])
+    return quota_sample_per_key(ds, "source", "doc_id", 5)
+
+
+def _q_decontamination_stats(sf_dir: str):
+    """Benchmark n-gram decontamination (stages/curate.py): every 20th
+    document plays the held-out benchmark; for each corpus document
+    count its 5-gram positions and how many also occur in the benchmark
+    (Bloom-prefiltered + exact co-group verified). One row per document
+    regardless of overlap, so downstream picks the drop threshold."""
+    from credit_ocr_backend_ray.stages.curate import decontamination_stats
+
+    import pyarrow as pa
+
+    def is_bench(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bench = ds.map_batches(is_bench, batch_format="pyarrow")
+    return decontamination_stats(ds, bench, n=5)
+
+
+def _q_doc_quality_stats(sf_dir: str):
+    """Gopher-style per-document quality heuristics (stages/curate.py):
+    token count, distinct-token count, duplicate-token fraction and mean
+    token length in integer micro-units — stateless single pass."""
+    from credit_ocr_backend_ray.stages.curate import doc_quality_stats
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return doc_quality_stats(ds)
+
+
+def _q_bm25_search(sf_dir: str):
+    """Okapi BM25 top-20 documents for a fixed 3-term query
+    (stages/curate.py): corpus stats from one bounded partial pass,
+    per-term micro-unit rounding before the sum, no cluster sort for
+    the top-k."""
+    from credit_ocr_backend_ray.stages.curate import bm25_topk
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_topk(ds, ["spark", "window", "agg"], k=20)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup against a persisted hash index
     (stages/incremental.py): run 1 indexes the first half of the corpus;
@@ -1590,6 +1642,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "documents_stratified_sample": _q_documents_stratified_sample,
         "recent_lineitems_bloom": _q_recent_lineitems_bloom,
         "incremental_dedup": _q_incremental_dedup,
+        "source_quota_sample": _q_source_quota_sample,
+        "decontamination_stats": _q_decontamination_stats,
+        "doc_quality_stats": _q_doc_quality_stats,
+        "bm25_search": _q_bm25_search,
         "event_session_components": _q_event_session_components,
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -1962,6 +2018,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT r2.doc_id, r2.h AS text_hash
             FROM r2 LEFT JOIN r1 ON r2.h = r1.h
             WHERE r1.h IS NULL
+        """,
+        "source_quota_sample": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 5
+        """,
+        "decontamination_stats": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                           AS t
+                FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+                SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(t) - 4)) AS i) s
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+            SELECT gr.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated
+            FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+            GROUP BY gr.doc_id
+        """,
+        "doc_quality_stats": """
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct_tokens,
+                   CAST(floor((1 - len(list_distinct(t))
+                               / CAST(len(t) AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT) AS dup_token_frac_micro,
+                   CAST(floor(list_aggregate(
+                                  list_transform(t, x -> length(x)),
+                                  'sum')
+                              / CAST(len(t) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS mean_token_len_micro
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE len(t) > 0 AND t <> ['']
+        """,
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                           AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), stats AS (
+                SELECT count(*) AS n, sum(len(t)) AS s FROM toks
+            ), expl AS (
+                SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+                FROM expl WHERE tok IN ('spark', 'window', 'agg')
+                GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM expl WHERE tok IN ('spark', 'window', 'agg')
+                GROUP BY tok
+            ), scored AS (
+                SELECT tf.doc_id,
+                       CAST(floor(
+                           ln((stats.n - df.df + 0.5) / (df.df + 0.5)
+                              + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                  / (CAST(stats.s AS DOUBLE) / stats.n)))
+                           * 1000000 + 0.5) AS BIGINT) AS sm
+                FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats)
+            SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id ASC LIMIT 20
         """,
         "event_session_components": """
             WITH m AS (

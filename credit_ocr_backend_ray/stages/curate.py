@@ -1,0 +1,248 @@
+"""Web-corpus curation operators: per-key quotas, benchmark
+decontamination, quality heuristics, BM25 retrieval.
+
+The reference has no curation layer (its corpus is one credit request
+per document, `/root/reference/src/pipeline/document_pipeline.py`); this
+module extends the training-data-pipeline surface of SURVEY §2.10a —
+the operations a crawl-to-training-set pipeline runs between ingest and
+packing, each built from the engine's own combiner/broadcast/semi-join
+parts so the scale shapes are inherited, not re-derived:
+
+- ``quota_sample_per_key``: cap every key (host/domain/source) at N
+  rows, deterministically — the per-domain quota step of crawl curation.
+- ``decontamination_stats``: n-gram overlap of every corpus document
+  against a benchmark set (the GPT-3/C4-style train-test leakage check;
+  Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better", uses the same n-gram machinery).
+- ``doc_quality_stats``: Gopher-rule-style repetition/shape heuristics
+  (Rae et al. 2021 §A1.1): duplicate-token fraction, mean token length.
+- ``bm25_topk``: Okapi BM25 retrieval of the k best documents for a
+  term query — corpus statistics via one bounded partial pass, scores
+  vectorized per batch, global top-k without a cluster sort.
+
+Determinism contract (shared with the tf-idf op in ``stages/text.py``):
+every float score is reported in integer micro-units with per-term
+``floor(x*1e6 + 0.5)`` rounding BEFORE any summation, so the DuckDB
+oracle hash-matches despite engine float-association differences.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from credit_ocr_backend_ray.stages.relational import global_topk, grouped_agg
+from credit_ocr_backend_ray.stages.sketch import bloom_semi_join
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(txt: str | None) -> list[str]:
+    if not txt:
+        return []
+    return [t for t in _WS.split(txt.strip()) if t]
+
+
+def quota_sample_per_key(ds: "rd.Dataset", key_col: str, id_col: str,
+                         n: int) -> "rd.Dataset":
+    """Keep at most ``n`` rows per key, deterministically: rows are
+    ranked by ``(md5(str(id)), id)`` — the same engine-independent
+    pseudo-random order as ``relational.deterministic_sample``, so the
+    kept set is stable under repartitioning and reproducible in any
+    engine with an md5 (the oracle is one SQL ``row_number()``).
+
+    Combiner-pruned: each batch keeps its local top-n per key first, so
+    at most ``n`` rows per (key, batch) cross the single shuffle — the
+    per-domain quota of a crawl curation pass at O(keys·n) shuffle
+    volume, never O(rows). md5 stays a per-row loop on purpose (same
+    rationale as ``deterministic_sample``: the contract is DuckDB's
+    ``md5()`` and no vectorized md5 kernel exists in numpy/pyarrow)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(k).encode()).hexdigest() for k in b[id_col]]
+        return (b.assign(__h=h).sort_values(["__h", id_col])
+                 .groupby(key_col, sort=False).head(n))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["__h", id_col]).head(n)
+                 .drop(columns="__h"))
+
+    return (ds.map_batches(local, batch_format="pandas")
+              .groupby(key_col).map_groups(final, batch_format="pandas"))
+
+
+def ngram_pairs(ds: "rd.Dataset", n: int, text_col: str = "text",
+                id_col: str = "doc_id", dedup: bool = False) -> "rd.Dataset":
+    """(id, gram) pairs of every length-``n`` token window (whitespace
+    tokenization, space-joined grams). ``dedup=True`` emits each gram
+    once per document (document-level set semantics)."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        grams: list[str] = []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            gs = (" ".join(toks[j:j + n])
+                  for j in range(len(toks) - n + 1))
+            if dedup:
+                gs = set(gs)
+            for g in gs:
+                ids.append(i)
+                grams.append(g)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def decontamination_stats(corpus: "rd.Dataset", benchmark: "rd.Dataset",
+                          n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id") -> "rd.Dataset":
+    """Benchmark decontamination check: for every corpus document with
+    at least one ``n``-gram, count its total n-gram positions and how
+    many of them also occur in the benchmark corpus. Returned as
+    ``(id, n_grams, n_contaminated)`` — always one row per eligible
+    document, so the result is non-empty whether or not any overlap
+    exists (downstream decides the drop threshold).
+
+    Scale shape: the benchmark gram set is pre-filtered with the
+    mergeable 1 MiB Bloom broadcast and exact-verified with the
+    co-grouped semi join (``sketch.bloom_semi_join`` — no false
+    negatives, false positives verified away), so only the surviving
+    fraction of corpus grams crosses the all-to-all. The two per-doc
+    counts merge by a tagged union + one combiner groupby — no
+    Dataset.join (empty-block-safe)."""
+    grams = ngram_pairs(corpus, n, text_col, id_col)
+    bench = (ngram_pairs(benchmark, n, text_col, id_col, dedup=True)
+             .select_columns(["gram"]))
+    hits = bloom_semi_join(grams, bench, on="gram")
+
+    def _count(colname: str):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by([id_col]).aggregate([([], "count_all")])
+            cnt = g["count_all"].to_numpy(zero_copy_only=False)
+            zero = np.zeros(len(g), np.int64)
+            tot = cnt if colname == "__tot" else zero
+            con = cnt if colname == "__cont" else zero
+            return pa.table({id_col: g[id_col],
+                             "__tot": pa.array(tot, pa.int64()),
+                             "__cont": pa.array(con, pa.int64())})
+        return f
+
+    u = (grams.map_batches(_count("__tot"), batch_format="pyarrow")
+              .union(hits.map_batches(_count("__cont"),
+                                      batch_format="pyarrow")))
+    return grouped_agg(u, [id_col],
+                       {"__tot": "n_grams", "__cont": "n_contaminated"},
+                       count_alias=None)
+
+
+def doc_quality_stats(ds: "rd.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id") -> "rd.Dataset":
+    """Gopher-style repetition/shape heuristics per document (Rae et
+    al. 2021 §A1.1 family): token count, distinct-token count,
+    duplicate-token fraction and mean token length — the latter two in
+    integer micro-units (``floor(x*1e6 + 0.5)``) for engine-independent
+    hashing. Documents with no tokens are excluded (they carry no
+    signal and match the oracle's ``len > 0`` gate). Stateless
+    single-pass map — no shuffle."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, nt, nd, dup, mlen = [], [], [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            n_tok = len(toks)
+            n_dis = len(set(toks))
+            ids.append(i)
+            nt.append(n_tok)
+            nd.append(n_dis)
+            dup.append(int(math.floor((1.0 - n_dis / n_tok) * 1e6 + 0.5)))
+            mlen.append(int(math.floor(
+                sum(len(tk) for tk in toks) / n_tok * 1e6 + 0.5)))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_distinct_tokens": pa.array(nd, pa.int64()),
+                         "dup_token_frac_micro": pa.array(dup, pa.int64()),
+                         "mean_token_len_micro": pa.array(mlen, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def bm25_topk(ds: "rd.Dataset", query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> "rd.Dataset":
+    """Okapi BM25 top-``k`` documents for a bag-of-terms query:
+    ``score = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))`` with
+    ``idf(t) = ln((N-df+0.5)/(df+0.5) + 1)``. Per-term scores round to
+    integer micro-units BEFORE the sum (determinism contract above);
+    ties break doc-id-ascending. Documents containing none of the query
+    terms are never scored.
+
+    Scale shape: corpus statistics (N, Σdl, per-term df) come from ONE
+    bounded partial pass — each batch emits a single fixed-width row, so
+    the driver folds O(batches) rows no matter the corpus size (same
+    pattern as ``sketch.bloom_build``). The scoring pass is stateless
+    with the tiny (term→idf, avgdl) closure shipped once per worker;
+    the top-k needs no cluster sort (``relational.global_topk``)."""
+    terms = list(dict.fromkeys(query_terms))  # stable order, unique
+    t_index = {t: j for j, t in enumerate(terms)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_docs, sum_dl = 0, 0
+        df = np.zeros(len(terms), np.int64)
+        for txt in t[text_col].to_pylist():
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            n_docs += 1
+            sum_dl += len(toks)
+            seen = set(toks)
+            for term, j in t_index.items():
+                if term in seen:
+                    df[j] += 1
+        cols = {"__nd": pa.array([n_docs], pa.int64()),
+                "__dl": pa.array([sum_dl], pa.int64())}
+        for term, j in t_index.items():
+            cols[f"__df{j}"] = pa.array([int(df[j])], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_total = int(parts["__nd"].sum())
+    avgdl = float(parts["__dl"].sum()) / n_total
+    idf = {t: math.log((n_total - int(parts[f"__df{j}"].sum()) + 0.5)
+                       / (int(parts[f"__df{j}"].sum()) + 0.5) + 1.0)
+           for t, j in t_index.items()}
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            dl = len(toks)
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            s, any_hit = 0, False
+            for term, w in idf.items():
+                tf = toks.count(term)
+                if tf:
+                    any_hit = True
+                    s += int(math.floor(
+                        w * tf * (k1 + 1.0) / (tf + norm) * 1e6 + 0.5))
+            if any_hit:
+                ids.append(i)
+                scores.append(s)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "score_micro": pa.array(scores, pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["score_micro", id_col], k,
+                       ascending=[False, True])

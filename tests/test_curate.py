@@ -1,0 +1,147 @@
+"""Curation operators (stages/curate.py): per-key quota sampling,
+n-gram decontamination, quality heuristics, BM25 retrieval."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_quota_sample_caps_and_is_deterministic(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import quota_sample_per_key
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "source": [f"s{i % 4}" for i in range(40)],
+    })
+    out1 = quota_sample_per_key(rd.from_pandas(df).repartition(5),
+                                "source", "doc_id", 3).to_pandas()
+    out2 = quota_sample_per_key(rd.from_pandas(df).repartition(2),
+                                "source", "doc_id", 3).to_pandas()
+    assert out1.groupby("source").size().max() == 3
+    assert len(out1) == 12
+    # partitioning-independent: same kept set under a different layout
+    assert (sorted(out1["doc_id"]) == sorted(out2["doc_id"]))
+    # matches the md5 rank rule exactly
+    for src, grp in df.groupby("source"):
+        ranked = sorted(grp["doc_id"],
+                        key=lambda k: (hashlib.md5(str(k).encode())
+                                       .hexdigest(), k))
+        assert sorted(ranked[:3]) == sorted(
+            out1.loc[out1["source"] == src, "doc_id"])
+
+
+def test_quota_sample_small_group_kept_whole(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import quota_sample_per_key
+    df = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "a"]})
+    out = quota_sample_per_key(rd.from_pandas(df), "source", "doc_id", 5) \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_decontamination_planted_overlap(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import decontamination_stats
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c d e f",      # shares the bench 3-gram "a b c" (1 pos)
+            "x y z w v u",      # clean
+            "a b c a b c x",    # "a b c" occurs at positions 0 and 3
+        ],
+    })
+    bench = pd.DataFrame({"doc_id": [100], "text": ["q a b c r"]})
+    out = decontamination_stats(rd.from_pandas(corpus).repartition(2),
+                                rd.from_pandas(bench), n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "n_grams": [4, 4, 5],
+                         "n_contaminated": [1, 0, 2]})
+    pd.testing.assert_frame_equal(
+        out.astype({"n_grams": "int64", "n_contaminated": "int64"}), want)
+
+
+def test_decontamination_short_docs_excluded(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import decontamination_stats
+    corpus = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["a b", "a b c d"]})  # doc 1: no 3-gram
+    bench = pd.DataFrame({"doc_id": [9], "text": ["z z z"]})
+    out = decontamination_stats(rd.from_pandas(corpus),
+                                rd.from_pandas(bench), n=3).to_pandas()
+    assert out["doc_id"].tolist() == [2]
+
+
+def test_doc_quality_stats_planted(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import doc_quality_stats
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aa bb aa", "xyz", None],  # doc 3 excluded
+    })
+    out = doc_quality_stats(rd.from_pandas(docs).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_tokens"].tolist() == [3, 1]
+    assert out["n_distinct_tokens"].tolist() == [2, 1]
+    assert out["dup_token_frac_micro"].tolist() == [
+        int(math.floor((1 - 2 / 3) * 1e6 + 0.5)), 0]
+    assert out["mean_token_len_micro"].tolist() == [
+        2_000_000, 3_000_000]
+
+
+def test_bm25_matches_direct_formula(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import bm25_topk
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["cat dog cat", "dog dog dog fish", "fish bird", "bird"],
+    })
+    k1, b = 1.2, 0.75
+    out = bm25_topk(rd.from_pandas(docs).repartition(2), ["cat", "fish"],
+                    k=10, k1=k1, b=b).to_pandas()
+
+    # direct single-process reference
+    toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(q in set(t) for t in toks.values())
+          for q in ("cat", "fish")}
+    want = {}
+    for d, t in toks.items():
+        s, hit = 0, False
+        for q in ("cat", "fish"):
+            tf = t.count(q)
+            if tf:
+                hit = True
+                idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1)
+                s += int(math.floor(
+                    idf * tf * (k1 + 1) /
+                    (tf + k1 * (1 - b + b * len(t) / avgdl)) * 1e6 + 0.5))
+        if hit:
+            want[d] = s
+    got = dict(zip(out["doc_id"], out["score_micro"]))
+    assert got == want
+    # descending score, doc_id tie-break ascending
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert out["doc_id"].tolist() == [d for d, _ in order]
+
+
+def test_bm25_k_limits_output(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import bm25_topk
+    docs = pd.DataFrame({"doc_id": range(10),
+                         "text": ["cat"] * 10})
+    out = bm25_topk(rd.from_pandas(docs), ["cat"], k=3).to_pandas()
+    assert len(out) == 3
+    assert out["doc_id"].tolist() == [0, 1, 2]  # equal scores: id asc
