@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 
 MERSENNE61 = (1 << 61) - 1
 _RNG_SEED = 0x5EED_CAFE
@@ -49,17 +50,21 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 
 def hash_strings_u64(strings: list[str]) -> np.ndarray:
     """Stable-within-run uint64 hashes of a string list, vectorized through
-    polars' Rust hash kernel (one call per batch instead of one hashlib
-    object per shingle — measured ~10x on the minhash stage). Fallback:
-    blake2b per string. Only feeds LSH bucketing/minhash permutations, so
-    cross-version hash drift is harmless (verify steps are exact)."""
+    pandas' siphash kernel (one call per batch instead of one hashlib
+    object per shingle — measured ~10x on the minhash stage vs blake2b).
+
+    Deliberately NOT polars: a lazy `import polars` inside a forked Ray
+    worker can observe a partially-initialized module (AttributeError
+    mid-batch), and any per-worker fallback would mix two hash functions
+    within one run — which silently breaks LSH co-bucketing and the
+    bloom_semi_join no-false-negatives contract. pandas is fully imported
+    before any UDF runs and its siphash is deterministic per process
+    fleet. Only feeds LSH bucketing/minhash permutations/bloom bitmaps,
+    so cross-version hash drift is harmless (verify steps are exact)."""
     if not strings:
         return np.empty(0, dtype=np.uint64)
-    try:
-        import polars as pl
-        return pl.Series(strings).hash(seed=0).to_numpy().astype(np.uint64)
-    except ImportError:
-        return np.array([_hash64(s) for s in strings], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(strings, dtype=object),
+                              categorize=False)
 
 
 def shingle_hashes_batch(texts: list[str], n: int = 3) -> list[np.ndarray]:

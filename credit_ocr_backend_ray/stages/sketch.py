@@ -7,8 +7,8 @@ value; an HLL register bank is a few KB per group and merges with a
 pointwise max, so the shuffle moves one fixed-size row per (key, batch)
 regardless of input cardinality.
 
-Determinism: value hashing goes through ``hash_strings_u64`` (polars'
-vectorized Rust hash kernel with a fixed seed, blake2b fallback) — one
+Determinism: value hashing goes through ``hash_strings_u64`` (pandas'
+vectorized siphash kernel, fixed key) — one
 call per batch instead of one hashlib object per value (the per-value
 loop was 10-100x slower). Estimates are bit-identical across runs, batch
 sizes, and cluster shapes within one environment (register max and CMS
