@@ -1446,6 +1446,40 @@ def _q_bm25_search(sf_dir: str):
     return bm25_topk(ds, ["spark", "window", "agg"], k=20)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-window document chunking (stages/chunking.py): every
+    50-token slice at stride 25 (context-window split with 50% overlap)
+    as (doc_id, chunk_idx, chunk_text, n_tokens) — stateless flat map,
+    no shuffle."""
+    from credit_ocr_backend_ray.stages.chunking import chunk_documents
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_documents(ds, window=50, stride=25)
+
+
+def _q_chunk_dedup(sf_dir: str):
+    """Duplicate-passage removal at chunk granularity (stages/
+    chunking.py): first occurrence of every distinct non-overlapping
+    32-token chunk in (doc_id, chunk_idx) order — combiner-pruned so
+    within-batch duplicates never cross the one shuffle."""
+    from credit_ocr_backend_ray.stages.chunking import chunk_dedup
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_dedup(ds, window=32)
+
+
+def _q_packed_sequences(sf_dir: str):
+    """GPT-style sequence packing (stages/chunking.py): concatenate
+    documents in doc_id order, cut every 512 tokens; each document gets
+    (pack_id, pack_offset) from a distributed prefix sum — bounded
+    per-shard partials, O(#shards) driver fold, per-shard local
+    cumsum."""
+    from credit_ocr_backend_ray.stages.chunking import pack_sequences
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=512, shard_width=1000)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup against a persisted hash index
     (stages/incremental.py): run 1 indexes the first half of the corpus;
@@ -1646,6 +1680,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_stats": _q_decontamination_stats,
         "doc_quality_stats": _q_doc_quality_stats,
         "bm25_search": _q_bm25_search,
+        "doc_chunks": _q_doc_chunks,
+        "chunk_dedup": _q_chunk_dedup,
+        "packed_sequences": _q_packed_sequences,
         "event_session_components": _q_event_session_components,
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -2094,6 +2131,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                           AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // 25 AS BIGINT) AS chunk_idx,
+                   array_to_string(t[i:i+49], ' ') AS chunk_text,
+                   CAST(len(t[i:i+49]) AS BIGINT) AS n_tokens
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t), 25)) AS i) s
+        """,
+        "chunk_dedup": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                           AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), chunks AS (
+                SELECT doc_id, CAST((i - 1) // 32 AS BIGINT) AS chunk_idx,
+                       array_to_string(t[i:i+31], ' ') AS chunk_text
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(t), 32)) AS i) s
+            )
+            SELECT doc_id, chunk_idx, chunk_text FROM (
+                SELECT *, row_number() OVER (
+                               PARTITION BY chunk_text
+                               ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks)
+            WHERE rn = 1
+        """,
+        "packed_sequences": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, nt,
+                       COALESCE(sum(nt) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM toks)
+            SELECT doc_id, nt AS n_tokens,
+                   CAST(cb // 512 AS BIGINT) AS pack_id,
+                   CAST(cb % 512 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "event_session_components": """
             WITH m AS (

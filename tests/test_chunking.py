@@ -1,0 +1,102 @@
+"""Chunking/packing operators (stages/chunking.py): fixed-window
+chunking, duplicate-passage removal, distributed-prefix-sum packing."""
+
+import pandas as pd
+
+
+def test_chunk_documents_windows_and_stride(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import chunk_documents
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e", "x y", None],  # doc 3 emits nothing
+    })
+    out = chunk_documents(rd.from_pandas(docs).repartition(2),
+                          window=3, stride=2) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    # doc 1: starts 0,2,4 -> "a b c", "c d e", "e" (trailing short window)
+    assert out.loc[out["doc_id"] == 1, "chunk_text"].tolist() == \
+        ["a b c", "c d e", "e"]
+    assert out.loc[out["doc_id"] == 1, "n_tokens"].tolist() == [3, 3, 1]
+    assert out.loc[out["doc_id"] == 1, "chunk_idx"].tolist() == [0, 1, 2]
+    assert out.loc[out["doc_id"] == 2, "chunk_text"].tolist() == ["x y"]
+    assert 3 not in set(out["doc_id"])
+
+
+def test_chunk_dedup_keeps_first_occurrence(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import chunk_dedup
+    # window=2, non-overlapping: doc1 -> ["a b","c d"], doc2 -> ["a b"],
+    # doc3 -> ["c d","a b"]; "a b" first at (1,0), "c d" first at (1,1)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b", "c d a b"],
+    })
+    out = chunk_dedup(rd.from_pandas(docs).repartition(3), window=2) \
+        .to_pandas().sort_values("chunk_text").reset_index(drop=True)
+    assert out["chunk_text"].tolist() == ["a b", "c d"]
+    assert out["doc_id"].tolist() == [1, 1]
+    assert out["chunk_idx"].tolist() == [0, 1]
+
+
+def test_chunk_dedup_partitioning_independent(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import chunk_dedup
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["dup dup" if i % 3 == 0 else f"u{i} v{i}"
+                 for i in range(20)],
+    })
+    a = chunk_dedup(rd.from_pandas(docs).repartition(7), window=2) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    b = chunk_dedup(rd.from_pandas(docs).repartition(2), window=2) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # the planted duplicate chunk survives exactly once, at doc 0
+    assert (a["chunk_text"] == "dup dup").sum() == 1
+    assert a.loc[a["chunk_text"] == "dup dup", "doc_id"].iloc[0] == 0
+
+
+def test_pack_sequences_crosses_shards_and_bins(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import pack_sequences
+    # token counts: doc0=3, doc1=4, doc2=2, doc3=5 (doc4 empty, excluded)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a a a", "b b b b", "c c", "d d d d d", "   "],
+    })
+    # shard_width=2 forces the cross-shard offset path; budget=4
+    out = pack_sequences(rd.from_pandas(docs).repartition(3), budget=4,
+                         shard_width=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["n_tokens"].tolist() == [3, 4, 2, 5]
+    # cum_before: 0, 3, 7, 9 -> pack 0,0,1,2; offset 0,3,3,1
+    assert out["pack_id"].tolist() == [0, 0, 1, 2]
+    assert out["pack_offset"].tolist() == [0, 3, 3, 1]
+
+
+def test_pack_sequences_partitioning_independent(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import pack_sequences
+    docs = pd.DataFrame({
+        "doc_id": range(50),
+        "text": [" ".join(["w"] * (1 + i % 7)) for i in range(50)],
+    })
+    a = pack_sequences(rd.from_pandas(docs).repartition(9), budget=16,
+                       shard_width=8).to_pandas().sort_values("doc_id")
+    b = pack_sequences(rd.from_pandas(docs).repartition(2), budget=16,
+                       shard_width=8).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # stream invariant: sorted by doc_id, (pack_id, offset) never go back
+    stream = a["pack_id"].to_numpy() * 16 + a["pack_offset"].to_numpy()
+    assert (stream[1:] > stream[:-1]).all()
+    assert stream[0] == 0
