@@ -1480,6 +1480,29 @@ def _q_packed_sequences(sf_dir: str):
     return pack_sequences(ds, budget=512, shard_width=1000)
 
 
+def _q_intra_doc_dedup(sf_dir: str):
+    """Within-document repetition removal (stages/chunking.py): drop
+    every non-overlapping 16-token chunk that already appeared earlier
+    in the same document, re-join survivors — the MassiveText repetition
+    rule as a stateless in-row map, no shuffle at any scale."""
+    from credit_ocr_backend_ray.stages.chunking import intra_doc_dedup
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return intra_doc_dedup(ds, window=16)
+
+
+def _q_source_reputation(sf_dir: str):
+    """Per-source quality roll-up (stages/curate.py): tokenized-doc
+    count, total tokens and mean duplicate-token fraction per source —
+    one fixed-width combiner row per (source, batch) crosses the single
+    small shuffle."""
+    from credit_ocr_backend_ray.stages.curate import source_reputation
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "source", "text"])
+    return source_reputation(ds)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup against a persisted hash index
     (stages/incremental.py): run 1 indexes the first half of the corpus;
@@ -1683,6 +1706,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "packed_sequences": _q_packed_sequences,
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "source_reputation": _q_source_reputation,
         "event_session_components": _q_event_session_components,
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -2182,6 +2207,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cb // 512 AS BIGINT) AS pack_id,
                    CAST(cb % 512 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "intra_doc_dedup": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                           AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), chunks AS (
+                SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS ci,
+                       array_to_string(t[i:i+15], ' ') AS ct
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(t), 16)) AS i) s
+            ), firsts AS (
+                SELECT doc_id, ci, ct,
+                       row_number() OVER (PARTITION BY doc_id, ct
+                                          ORDER BY ci) AS rn
+                FROM chunks)
+            SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN ct END, ' '
+                              ORDER BY ci) AS clean_text,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_chunks_removed
+            FROM firsts GROUP BY doc_id
+        """,
+        "source_reputation": """
+            WITH q AS (
+                SELECT source, len(t) AS nt,
+                       CAST(floor((1 - len(list_distinct(t))
+                                   / CAST(len(t) AS DOUBLE)) * 1000000
+                                  + 0.5) AS BIGINT) AS dup
+                FROM (SELECT source,
+                             regexp_split_to_array(trim(text), '\\s+')
+                                 AS t
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE len(t) > 0 AND t <> [''])
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   CAST(sum(dup) // count(*) AS BIGINT)
+                       AS mean_dup_micro
+            FROM q GROUP BY source
         """,
         "event_session_components": """
             WITH m AS (

@@ -94,6 +94,47 @@ def chunk_dedup(ds: "rd.Dataset", window: int, text_col: str = "text",
                   .map_groups(first_of, batch_format="pandas"))
 
 
+def intra_doc_dedup(ds: "rd.Dataset", window: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> "rd.Dataset":
+    """Within-document repetition removal (the MassiveText/Gopher
+    repetition rule at chunk granularity): split each document into
+    non-overlapping ``window``-token chunks, drop every chunk whose text
+    already appeared EARLIER IN THE SAME DOCUMENT, and re-join the
+    survivors in order. Returns ``(id, clean_text,
+    n_chunks_removed)`` for every tokenized document.
+
+    Purely in-row — a stateless map with no shuffle at any scale (the
+    dedup scope is one document, so no cross-row state exists)."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        texts: list[str] = []
+        removed: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            seen: set[str] = set()
+            keep: list[str] = []
+            n_rm = 0
+            for s in range(0, len(toks), window):
+                chunk = " ".join(toks[s:s + window])
+                if chunk in seen:
+                    n_rm += 1
+                else:
+                    seen.add(chunk)
+                    keep.append(chunk)
+            ids.append(i)
+            texts.append(" ".join(keep))
+            removed.append(n_rm)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(texts, pa.string()),
+                         "n_chunks_removed": pa.array(removed, pa.int64())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def pack_sequences(ds: "rd.Dataset", budget: int,
                    shard_width: int = 1024, text_col: str = "text",
                    id_col: str = "doc_id") -> "rd.Dataset":

@@ -177,6 +177,59 @@ def doc_quality_stats(ds: "rd.Dataset", text_col: str = "text",
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def source_reputation(ds: "rd.Dataset", key_col: str = "source",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> "rd.Dataset":
+    """Per-source quality roll-up (the source-level filtering signal of
+    RefinedWeb-style curation): for every ``key_col`` value, the number
+    of tokenized documents, their total token count, and the mean
+    duplicate-token fraction — reported as the floor of the per-doc
+    micro-unit mean (``sum_dup_micro // n_docs``, integer-exact on both
+    engine and oracle). Zero-token documents are excluded, matching
+    ``doc_quality_stats``.
+
+    Combiner shape: each batch collapses to one fixed-width row per
+    (source, batch) before the single small ``groupby(source)`` — the
+    shuffle volume is O(sources·batches), never O(docs)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for k, txt in zip(t[key_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            n_tok = len(toks)
+            dup = int(math.floor(
+                (1.0 - len(set(toks)) / n_tok) * 1e6 + 0.5))
+            a = agg.setdefault(k, [0, 0, 0])
+            a[0] += 1
+            a[1] += n_tok
+            a[2] += dup
+        keys = sorted(agg)
+        return pa.table({
+            key_col: pa.array(keys, pa.string()),
+            "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "total_tokens": pa.array([agg[k][1] for k in keys], pa.int64()),
+            "__dup": pa.array([agg[k][2] for k in keys], pa.int64()),
+        })
+
+    summed = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), [key_col],
+        {"n_docs": "n_docs", "total_tokens": "total_tokens",
+         "__dup": "__dup"},
+        count_alias=None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        dup = t["__dup"].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: t[key_col],
+                         "n_docs": t["n_docs"],
+                         "total_tokens": t["total_tokens"],
+                         "mean_dup_micro": pa.array(dup // nd, pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def bm25_topk(ds: "rd.Dataset", query_terms: list[str], k: int = 20,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id") -> "rd.Dataset":

@@ -100,3 +100,30 @@ def test_pack_sequences_partitioning_independent(ray_session):
     stream = a["pack_id"].to_numpy() * 16 + a["pack_offset"].to_numpy()
     assert (stream[1:] > stream[:-1]).all()
     assert stream[0] == 0
+
+
+def test_intra_doc_dedup_removes_repeats_in_order(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import intra_doc_dedup
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # window=2: doc1 chunks ["a b","c d","a b","e"] -> "a b c d e"
+        "text": ["a b c d a b e", "x y", None],
+    })
+    out = intra_doc_dedup(rd.from_pandas(docs).repartition(2), window=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["clean_text"].tolist() == ["a b c d e", "x y"]
+    assert out["n_chunks_removed"].tolist() == [1, 0]
+
+
+def test_intra_doc_dedup_scope_is_per_document(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.chunking import intra_doc_dedup
+    # the same chunk in two DIFFERENT docs survives in both
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b"]})
+    out = intra_doc_dedup(rd.from_pandas(docs), window=2).to_pandas()
+    assert out["clean_text"].tolist() == ["a b", "a b"]
+    assert out["n_chunks_removed"].tolist() == [0, 0]

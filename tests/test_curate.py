@@ -145,3 +145,21 @@ def test_bm25_k_limits_output(ray_session):
     out = bm25_topk(rd.from_pandas(docs), ["cat"], k=3).to_pandas()
     assert len(out) == 3
     assert out["doc_id"].tolist() == [0, 1, 2]  # equal scores: id asc
+
+
+def test_source_reputation_planted(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import source_reputation
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "b", "b"],
+        # a: dup fracs 0 and 1/3 -> mean = (0 + 333333) // 2 = 166666
+        "text": ["x y z", "p q p", "m m m m", None],  # doc 4 excluded
+    })
+    out = source_reputation(rd.from_pandas(docs).repartition(3)) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["total_tokens"].tolist() == [6, 4]
+    assert out["mean_dup_micro"].tolist() == [166666, 750000]
