@@ -1503,6 +1503,21 @@ def _q_source_reputation(sf_dir: str):
     return source_reputation(ds)
 
 
+def _q_curated_pack(sf_dir: str):
+    """The fully-oracled curation composite (pipelines/curation.py:
+    curate_pack): doc quality gates -> source-reputation gate
+    (broadcast) -> within-document repetition removal -> sequence
+    packing over the cleaned token stream. Every stage is individually
+    hash-checked AND the composition is."""
+    from credit_ocr_backend_ray.pipelines.curation import curate_pack
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "source", "text"])
+    return curate_pack(ds, min_tokens=20, max_dup_micro=600_000,
+                       max_source_mean_dup_micro=520_000,
+                       window=16, budget=512, shard_width=1000)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup against a persisted hash index
     (stages/incremental.py): run 1 indexes the first half of the corpus;
@@ -1708,6 +1723,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": _q_packed_sequences,
         "intra_doc_dedup": _q_intra_doc_dedup,
         "source_reputation": _q_source_reputation,
+        "curated_pack": _q_curated_pack,
         "event_session_components": _q_event_session_components,
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -2248,6 +2264,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup) // count(*) AS BIGINT)
                        AS mean_dup_micro
             FROM q GROUP BY source
+        """,
+        "curated_pack": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), q AS (
+                SELECT doc_id, source, t, len(t) AS nt,
+                       CAST(floor((1 - len(list_distinct(t))
+                                   / CAST(len(t) AS DOUBLE)) * 1000000
+                                  + 0.5) AS BIGINT) AS dup
+                FROM toks
+            ), srcrep AS (
+                SELECT source,
+                       CAST(sum(dup) // count(*) AS BIGINT) AS mean_dup
+                FROM q GROUP BY source
+            ), gated AS (
+                SELECT q.doc_id, q.t
+                FROM q JOIN srcrep ON q.source = srcrep.source
+                WHERE q.nt >= 20 AND q.dup <= 600000
+                  AND srcrep.mean_dup <= 520000
+            ), chunks AS (
+                SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS ci,
+                       array_to_string(t[i:i+15], ' ') AS ct,
+                       len(t[i:i+15]) AS cl
+                FROM gated, LATERAL (
+                    SELECT unnest(generate_series(1, len(t), 16)) AS i) s
+            ), firsts AS (
+                SELECT doc_id, ci, ct, cl,
+                       row_number() OVER (PARTITION BY doc_id, ct
+                                          ORDER BY ci) AS rn
+                FROM chunks
+            ), cleaned AS (
+                SELECT doc_id, CAST(sum(cl) AS BIGINT) AS nt
+                FROM firsts WHERE rn = 1 GROUP BY doc_id
+            ), c AS (
+                SELECT doc_id, nt,
+                       COALESCE(sum(nt) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM cleaned)
+            SELECT doc_id, nt AS n_tokens,
+                   CAST(cb // 512 AS BIGINT) AS pack_id,
+                   CAST(cb % 512 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "event_session_components": """
             WITH m AS (

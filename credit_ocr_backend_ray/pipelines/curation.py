@@ -86,3 +86,69 @@ def curate_documents(ds: "rd.Dataset", min_quality: float = 0.5,
     curated = exact.map_batches(drop_near_dups, batch_format="pandas")
     funnel["output"] = funnel["after_exact_dedup"] - len(drop)
     return curated, funnel
+
+
+def curate_pack(ds: "rd.Dataset", min_tokens: int = 20,
+                max_dup_micro: int = 600_000,
+                max_source_mean_dup_micro: int = 520_000,
+                window: int = 16, budget: int = 512,
+                shard_width: int = 1024, id_col: str = "doc_id",
+                text_col: str = "text",
+                source_col: str = "source") -> "rd.Dataset":
+    """The fully-SQL-oracle-able curation composite (every stage in it is
+    individually hash-checked, and so is the composition — unlike
+    ``curate_documents``, whose MinHash stage has no SQL form):
+
+        doc gates (token count, duplicate-token fraction)
+        -> source gate (reputation roll-up, broadcast)
+        -> within-document repetition removal
+        -> sequence packing (distributed prefix sum)
+
+    returning ``(id, n_tokens, pack_id, pack_offset)`` over the CLEANED
+    token stream. Scale shape: the source-reputation table is one row
+    per source (bounded — web domains, not documents), so it folds to
+    the driver and ships as a broadcast set; every per-document stage is
+    a stateless map that tokenizes once; packing adds one bounded
+    partial pass + one 3-int-row shuffle."""
+    from credit_ocr_backend_ray.stages.chunking import (
+        dedup_chunks_in_doc, pack_sequences,
+    )
+    from credit_ocr_backend_ray.stages.curate import (
+        _tokens, source_reputation,
+    )
+
+    rep = source_reputation(ds, key_col=source_col, text_col=text_col,
+                            id_col=id_col).to_pandas()
+    bad = set(rep.loc[rep["mean_dup_micro"] > max_source_mean_dup_micro,
+                      source_col])
+    bad_ref = ray.put(bad)
+
+    import math as _math
+
+    def gate_and_clean(t: pa.Table) -> pa.Table:
+        bad_sources = ray.get(bad_ref)
+        ids: list[int] = []
+        texts: list[str] = []
+        for i, src, txt in zip(t[id_col].to_pylist(),
+                               t[source_col].to_pylist(),
+                               t[text_col].to_pylist()):
+            if src in bad_sources:
+                continue
+            toks = _tokens(txt)
+            n_tok = len(toks)
+            if n_tok < min_tokens:
+                continue
+            dup = int(_math.floor(
+                (1.0 - len(set(toks)) / n_tok) * 1e6 + 0.5))
+            if dup > max_dup_micro:
+                continue
+            keep, _ = dedup_chunks_in_doc(toks, window)
+            ids.append(i)
+            texts.append(" ".join(keep))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(texts, pa.string())})
+
+    cleaned = ds.map_batches(gate_and_clean, batch_format="pyarrow")
+    return pack_sequences(cleaned, budget=budget,
+                          shard_width=shard_width,
+                          text_col="clean_text", id_col=id_col)

@@ -94,6 +94,25 @@ def chunk_dedup(ds: "rd.Dataset", window: int, text_col: str = "text",
                   .map_groups(first_of, batch_format="pandas"))
 
 
+def dedup_chunks_in_doc(toks: list[str], window: int) \
+        -> tuple[list[str], int]:
+    """Shared kernel of ``intra_doc_dedup`` (also used by
+    ``pipelines.curation.curate_pack``): split ``toks`` into
+    non-overlapping ``window``-token chunks, keep each distinct chunk's
+    first occurrence in order. Returns (kept chunk strings, #removed)."""
+    seen: set[str] = set()
+    keep: list[str] = []
+    n_rm = 0
+    for s in range(0, len(toks), window):
+        chunk = " ".join(toks[s:s + window])
+        if chunk in seen:
+            n_rm += 1
+        else:
+            seen.add(chunk)
+            keep.append(chunk)
+    return keep, n_rm
+
+
 def intra_doc_dedup(ds: "rd.Dataset", window: int,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> "rd.Dataset":
@@ -115,16 +134,7 @@ def intra_doc_dedup(ds: "rd.Dataset", window: int,
             toks = _tokens(txt)
             if not toks:
                 continue
-            seen: set[str] = set()
-            keep: list[str] = []
-            n_rm = 0
-            for s in range(0, len(toks), window):
-                chunk = " ".join(toks[s:s + window])
-                if chunk in seen:
-                    n_rm += 1
-                else:
-                    seen.add(chunk)
-                    keep.append(chunk)
+            keep, n_rm = dedup_chunks_in_doc(toks, window)
             ids.append(i)
             texts.append(" ".join(keep))
             removed.append(n_rm)

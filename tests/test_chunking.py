@@ -127,3 +127,40 @@ def test_intra_doc_dedup_scope_is_per_document(ray_session):
     out = intra_doc_dedup(rd.from_pandas(docs), window=2).to_pandas()
     assert out["clean_text"].tolist() == ["a b", "a b"]
     assert out["n_chunks_removed"].tolist() == [0, 0]
+
+
+def test_curate_pack_gates_and_packs(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.pipelines.curation import curate_pack
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["good", "good", "good", "spam"],
+        "text": [
+            " ".join(f"w{i}" for i in range(30)),   # clean, 30 tokens
+            "a b c",                                # too short -> dropped
+            # 40 tokens, window=4 chunks all identical -> high dup frac
+            " ".join(["x y z w"] * 10),
+            " ".join(f"s{i}" for i in range(30)),   # bad source
+        ],
+    })
+    # source means: good = (0 + 900000 + 0) // 3 = 300000, spam = 0.
+    # Threshold 100000 drops every 'good' doc, keeps 'spam'.
+    out = curate_pack(rd.from_pandas(docs).repartition(2), min_tokens=10,
+                      max_dup_micro=500_000,
+                      max_source_mean_dup_micro=100_000, window=4,
+                      budget=16, shard_width=2).to_pandas()
+    assert out["doc_id"].tolist() == [3]
+
+    out2 = curate_pack(rd.from_pandas(docs).repartition(2), min_tokens=10,
+                       max_dup_micro=500_000,
+                       max_source_mean_dup_micro=400_000, window=4,
+                       budget=16, shard_width=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc1 short, doc2 dup frac 900000 > 500000; doc0 and doc3 survive
+    # (both source means <= 400000)
+    assert out2["doc_id"].tolist() == [0, 3]
+    assert out2["n_tokens"].tolist() == [30, 30]
+    # packed stream: doc0 at (0,0); doc3 starts at token 30 -> pack 1
+    assert out2["pack_id"].tolist() == [0, 1]
+    assert out2["pack_offset"].tolist() == [0, 14]
