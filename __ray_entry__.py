@@ -1503,6 +1503,17 @@ def _q_source_reputation(sf_dir: str):
     return source_reputation(ds)
 
 
+def _q_token_spectrum(sf_dir: str):
+    """Vocabulary frequency spectrum (stages/text.py): for each
+    occurrence count c, the number of distinct tokens appearing exactly
+    c times — combiner word count, then a second tiny count-of-counts
+    shuffle (distinct counts grow ~log(corpus))."""
+    from credit_ocr_backend_ray.stages.text import token_frequency_spectrum
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
+    return token_frequency_spectrum(ds)
+
+
 def _q_curated_pack(sf_dir: str):
     """The fully-oracled curation composite (pipelines/curation.py:
     curate_pack): doc quality gates -> source-reputation gate
@@ -1724,6 +1735,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "intra_doc_dedup": _q_intra_doc_dedup,
         "source_reputation": _q_source_reputation,
         "curated_pack": _q_curated_pack,
+        "token_spectrum": _q_token_spectrum,
         "event_session_components": _q_event_session_components,
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -2264,6 +2276,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup) // count(*) AS BIGINT)
                        AS mean_dup_micro
             FROM q GROUP BY source
+        """,
+        "token_spectrum": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), wc AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+            SELECT CAST(c AS BIGINT) AS occurrences,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM wc GROUP BY c
         """,
         "curated_pack": """
             WITH toks AS (

@@ -81,6 +81,47 @@ def top_terms(ds, k: int = 50, text_col: str = "text"):
                   .sort(["n", "token"], descending=[True, False]).limit(k))
 
 
+def token_frequency_spectrum(ds, text_col: str = "text"):
+    """Vocabulary frequency spectrum (the count-of-counts curve a Zipf
+    fit or a BPE-vocabulary budget reads): for every occurrence count
+    ``c``, how many distinct tokens appear exactly ``c`` times in the
+    corpus. Two combiner-shaped rounds: the word-count shuffle of
+    ``top_terms`` (one (token, n) row per distinct token per batch),
+    then a second tiny shuffle keyed on the count itself — its partials
+    are one row per distinct c per batch, and distinct counts grow
+    ~log(corpus), so round two is never the bottleneck at any scale."""
+    import re
+    from collections import Counter
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = grouped_agg(partials, ["token"], {"__pn": "occurrences"},
+                         count_alias=None)
+
+    def to_spectrum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["occurrences"]).aggregate([([], "count_all")])
+        return pa.table({"occurrences": g["occurrences"],
+                         "__pc": g["count_all"]})
+
+    spectrum_partials = counts.map_batches(to_spectrum,
+                                           batch_format="pyarrow")
+    return grouped_agg(spectrum_partials, ["occurrences"],
+                       {"__pc": "n_tokens"}, count_alias=None)
+
+
 def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
                    min_df: int = 1):
     """Inverted index build (the canonical web-scale MapReduce): token ->

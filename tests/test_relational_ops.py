@@ -404,6 +404,21 @@ def test_top_terms_combiner(ray_session):
     assert out["n"].tolist() == [4, 2]
 
 
+def test_token_frequency_spectrum(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import token_frequency_spectrum
+
+    # b appears 4x, a 2x, c 2x, d 1x -> spectrum: c=4 has 1 token,
+    # c=2 has 2 tokens, c=1 has 1 token. Split across blocks so both
+    # combiner rounds actually merge cross-batch partials.
+    df = pd.DataFrame({"text": ["a b b", "  b a\t c ", None, "", "c b d"]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (token_frequency_spectrum(ds).to_pandas()
+           .sort_values("occurrences").reset_index(drop=True))
+    assert out["occurrences"].tolist() == [1, 2, 4]
+    assert out["n_tokens"].tolist() == [1, 2, 1]
+
+
 def test_rollup_agg_levels(ray_session):
     from credit_ocr_backend_ray.stages.relational import rollup_agg
 
