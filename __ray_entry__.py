@@ -1514,6 +1514,29 @@ def _q_token_spectrum(sf_dir: str):
     return token_frequency_spectrum(ds)
 
 
+def _q_corpus_overlap(sf_dir: str):
+    """Cross-source exact-content overlap (stages/dedup.py:
+    corpus_overlap): per source, distinct texts and how many also appear
+    verbatim in another source — the dump-to-dump contamination measure;
+    only (sha256, source) pairs cross the shuffle."""
+    from credit_ocr_backend_ray.stages.dedup import corpus_overlap
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["text", "source"])
+    return corpus_overlap(ds)
+
+
+def _q_train_split_counts(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split
+    (stages/relational.py: hash_split, md5-bucket contract shared with
+    deterministic_sample) -> per-(lang, split) document counts."""
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, hash_split)
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return grouped_agg(hash_split(ds, "doc_id"), ["lang", "split"], {},
+                       count_alias="n_docs")
+
+
 def _q_curated_pack(sf_dir: str):
     """The fully-oracled curation composite (pipelines/curation.py:
     curate_pack): doc quality gates -> source-reputation gate
@@ -1736,6 +1759,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "source_reputation": _q_source_reputation,
         "curated_pack": _q_curated_pack,
         "token_spectrum": _q_token_spectrum,
+        "corpus_overlap": _q_corpus_overlap,
+        "train_split_counts": _q_train_split_counts,
         "event_session_components": _q_event_session_components,
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -2276,6 +2301,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup) // count(*) AS BIGINT)
                        AS mean_dup_micro
             FROM q GROUP BY source
+        """,
+        "corpus_overlap": """
+            WITH h AS (SELECT DISTINCT source, sha256(text) AS th
+                       FROM documents),
+                 m AS (SELECT th, count(*) AS ns FROM h GROUP BY th)
+            SELECT h.source,
+                   CAST(sum(CASE WHEN m.ns > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   CAST(count(*) AS BIGINT) AS n_texts
+            FROM h JOIN m ON h.th = m.th
+            GROUP BY h.source
+        """,
+        "train_split_counts": """
+            WITH b AS (
+                SELECT lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT) AS bkt
+                FROM documents)
+            SELECT lang,
+                   CASE WHEN bkt < 3435973836 THEN 'train'
+                        WHEN bkt < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1, 2
         """,
         "token_spectrum": """
             WITH toks AS (

@@ -506,3 +506,51 @@ def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
     allp = allp[allp["id_a"] >= 0].drop(columns=["n_trunc"])
     return (allp.sort_values(["id_a", "id_b"])
                 .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ------------------------------------------------------- corpus overlap
+
+def corpus_overlap(ds: "rd.Dataset", text_col: str = "text",
+                   group_col: str = "source") -> "rd.Dataset":
+    """Cross-source content overlap (contamination between crawl dumps /
+    data sources): per source, the number of distinct document texts and
+    how many of those also appear verbatim in at least one OTHER source.
+    The cross-snapshot companion to ``dedup_exact`` — a Common Crawl
+    pipeline runs exactly this to measure dump-to-dump duplication before
+    deciding what to re-extract.
+
+    Combiner-shaped: each batch reduces to its distinct
+    (sha256(text), source) pairs — texts themselves never cross the
+    shuffle — then one ``groupby`` on the content hash counts sources per
+    text, and a tiny per-source roll-up finishes. At 100 TB the exchanged
+    rows are O(distinct texts), 64 hex bytes + source each."""
+    import hashlib
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        seen: set = set()
+        hs: list[str] = []
+        ss: list[str] = []
+        for txt, src in zip(t[text_col].to_pylist(),
+                            t[group_col].to_pylist()):
+            h = hashlib.sha256((txt or "").encode()).hexdigest()
+            if (h, src) not in seen:
+                seen.add((h, src))
+                hs.append(h)
+                ss.append(src)
+        return pa.table({"th": pa.array(hs, pa.string()),
+                         group_col: pa.array(ss, pa.string())})
+
+    def shared_flags(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = g[group_col].drop_duplicates()  # cross-batch pair dupes
+        return pd.DataFrame({
+            group_col: srcs,
+            "__shared": np.int64(1 if len(srcs) > 1 else 0),
+        })
+
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
+    flagged = pairs.groupby("th").map_groups(shared_flags,
+                                             batch_format="pandas")
+    return grouped_agg(flagged, [group_col], {"__shared": "n_shared"},
+                       count_alias="n_texts")

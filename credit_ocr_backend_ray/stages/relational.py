@@ -765,6 +765,42 @@ def deterministic_sample(ds: "rd.Dataset", key_col: str,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+# 0.8·2³² and 0.9·2³² (floored): the default 80/10/10 split boundaries,
+# written as exact integers so the SQL oracle can state the same cuts
+SPLIT_CUTS_80_10_10 = (3435973836, 3865470566)
+
+
+def hash_split(ds: "rd.Dataset", key_col: str,
+               cuts: Sequence[int] = SPLIT_CUTS_80_10_10,
+               names: Sequence[str] = ("train", "val", "test"),
+               split_col: str = "split") -> "rd.Dataset":
+    """Deterministic train/val/test assignment: bucket = first 32 bits of
+    ``md5(str(key))``, split = the first cut the bucket falls under. Same
+    engine-independence contract as ``deterministic_sample`` (md5 on
+    purpose — see the note there): reproducible across engines, stable
+    under repartitioning, and the same key always lands in the same
+    split, so a document can never leak from train into test between
+    runs. Embarrassingly parallel — no shuffle; the downstream consumer
+    filters on ``split_col`` or groups by it."""
+    if len(names) != len(cuts) + 1:
+        raise ValueError("need exactly one more name than cut")
+    import hashlib
+
+    cut_arr = np.asarray(cuts, dtype=np.uint64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        buckets = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4],
+                            "big") for k in keys),
+            dtype=np.uint64, count=len(keys))
+        idx = np.searchsorted(cut_arr, buckets, side="right")
+        lab = np.asarray(list(names), dtype=object)[idx]
+        return t.append_column(split_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def rollup_agg(ds: "rd.Dataset", keys: Sequence[str],
                sum_cols: dict[str, str],
                count_alias: str = "n",

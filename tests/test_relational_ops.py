@@ -419,6 +419,39 @@ def test_token_frequency_spectrum(ray_session):
     assert out["n_tokens"].tolist() == [1, 2, 1]
 
 
+def test_corpus_overlap_planted(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import corpus_overlap
+
+    # "dup" appears in A and B (shared for both); "x" twice inside A only
+    # (1 distinct text, not shared); "y" only in B.
+    df = pd.DataFrame({
+        "text": ["dup", "x", "x", "dup", "y"],
+        "source": ["A", "A", "A", "B", "B"],
+    })
+    out = (corpus_overlap(rd.from_pandas(df).repartition(3)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert out["source"].tolist() == ["A", "B"]
+    assert out["n_texts"].tolist() == [2, 2]
+    assert out["n_shared"].tolist() == [1, 1]
+
+
+def test_hash_split_deterministic(ray_session):
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import hash_split
+
+    df = pd.DataFrame({"doc_id": list(range(500))})
+    a = (hash_split(rd.from_pandas(df), "doc_id").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (hash_split(rd.from_pandas(df).repartition(7), "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # stable under repartitioning, roughly 80/10/10, all three present
+    assert a["split"].tolist() == b["split"].tolist()
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert set(a["split"]) == {"train", "val", "test"}
+
+
 def test_rollup_agg_levels(ray_session):
     from credit_ocr_backend_ray.stages.relational import rollup_agg
 
