@@ -1683,6 +1683,162 @@ def _q_llm_field_extract(sf_dir: str):
                       "fields_sha256", "status"])
 
 
+def _q_orders_lineitem_join_salted(sf_dir: str):
+    """The skew-resilient salted join over the SAME semantics as
+    ``orders_lineitem_join`` (shared SQL oracle): each lineitem row gets a
+    salt in [0, 8), orders are replicated 8x, and the join key becomes
+    (orderkey, salt) — a hot orderkey's rows spread over 8 aggregators
+    instead of one. The hash-identical oracle result proves salting never
+    changes the answer; the point at 100 TB is that the plain hash join's
+    worst aggregator holds max_key_count rows while this one holds
+    max_key_count / 8."""
+    from credit_ocr_backend_ray.stages.relational import salted_shuffle_join
+
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    od = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderpriority"])
+    out = salted_shuffle_join(li, od, on="l_orderkey",
+                              right_on="o_orderkey", salt=8)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                               "o_orderpriority"])
+
+
+def _q_customer_event_full_outer(sf_dir: str):
+    """FULL OUTER hash join of two derived aggregates with genuinely
+    exclusive keys on BOTH sides: per-user purchase-event counts vs
+    per-customer 1998+ order counts. Null-side handling is the point —
+    the output key is COALESCE of the two key columns and missing counts
+    surface as 0 (matching the SQL oracle's COALESCE)."""
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, shuffle_join)
+
+    import pyarrow.compute as pc
+
+    ev = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"],
+             filter=pc.field("event_type") == "purchase")
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["one"] = np.int64(1)
+        return b[["user_id", "one"]]
+
+    purchases = grouped_agg(ev.map_batches(one, batch_format="pandas"),
+                            ["user_id"], {"one": "n_purchases"},
+                            count_alias=None)
+
+    od = _rp(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"],
+             filter=pc.field("o_orderdate") >= pa_timestamp("1998-01-01"))
+
+    def one_o(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["one"] = np.int64(1)
+        return b[["o_custkey", "one"]]
+
+    recent = grouped_agg(od.map_batches(one_o, batch_format="pandas"),
+                         ["o_custkey"], {"one": "n_recent_orders"},
+                         count_alias=None)
+
+    joined = shuffle_join(purchases, recent, on="user_id",
+                          right_on="o_custkey", join_type="full_outer")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        # Ray's full_outer emits ONE coalesced key column under the left
+        # key's name; missing-side aggregates surface as NaN -> 0
+        return pd.DataFrame({
+            "key": b["user_id"].astype("int64"),
+            "n_purchases": b["n_purchases"].fillna(0).astype("int64"),
+            "n_recent_orders":
+                b["n_recent_orders"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(fin, batch_format="pandas")
+
+
+def _q_order_rolling_7d(sf_dir: str):
+    """Time-RANGE rolling frame — SUM(cents) OVER (PARTITION BY customer
+    ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND
+    CURRENT ROW) — via prefix sums + two searchsorted per key (contrast
+    ``order_rolling_sum``'s ROWS frame). RANGE peer semantics: same-date
+    orders of one customer share a frame that includes every peer."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.relational import rolling_time_agg
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5)
+        return t.drop_columns(["o_totalprice"]).append_column(
+            "price_cents", pa.array(c.astype("int64")))
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = rolling_time_agg(cents, "o_custkey", "o_orderdate",
+                           "price_cents", window_us=7 * 86400 * 10**6,
+                           alias="sum_7d_cents")
+    return out.select_columns(["o_custkey", "o_orderkey", "sum_7d_cents"])
+
+
+def _q_event_props_agg(sf_dir: str):
+    """Semi-structured payload path: the events table's ``props`` column
+    holds single-line JSON objects; a whole Arrow column is parsed in ONE
+    C call by framing it as NDJSON (functions/jsonx.py — no Python-per-row
+    loop), then the extracted integer feeds a combiner grouped aggregate
+    per event_type."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.functions.jsonx import extract_json_field
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = extract_json_field(t, "props", "k", "k", pa.int64())
+        return t.drop_columns(["props"])
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    return grouped_agg(parsed, ["event_type"], {"k": "sum_k"},
+                       count_alias="n")
+
+
+def _q_order_price_cume(sf_dir: str):
+    """CUME_DIST per customer by price ascending — peer rows (price ties)
+    share the run's LAST position / n, the SQL peer semantics that
+    distinguish CUME_DIST from PERCENT_RANK (same one-shuffle vectorized
+    run-boundary scan as ``order_rank_in_customer``)."""
+    from credit_ocr_backend_ray.stages.relational import rank_per_key
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = rank_per_key(ds, "o_custkey", ["o_totalprice"],
+                       ascending=[True], alias="__rnk",
+                       cume_alias="cume")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cume"] = b["cume"].round(6)
+        return b[["o_custkey", "o_orderkey", "cume"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_weighted_doc_sample(sf_dir: str):
+    """Length-weighted deterministic sampling: inclusion probability
+    proportional to min(n_chars, 2000) — the crawl-curation move of
+    sampling long documents at a higher rate. Integer-only md5 contract
+    (see ``weighted_bernoulli_sample``): no float threshold exists to
+    drift between engines."""
+    from credit_ocr_backend_ray.stages.relational import (
+        weighted_bernoulli_sample)
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "lang", "n_chars"])
+    # 2576980377 = floor(0.6 * 2^32): 60% rate at the 2000-char cap
+    return weighted_bernoulli_sample(ds, "doc_id", "n_chars",
+                                     base_frac_u32=2576980377,
+                                     weight_cap=2000)
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -1794,6 +1950,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "order_rolling_sum": _q_order_rolling_sum,
+        "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
+        "customer_event_full_outer": _q_customer_event_full_outer,
+        "order_rolling_7d": _q_order_rolling_7d,
+        "event_props_agg": _q_event_props_agg,
+        "order_price_cume": _q_order_price_cume,
+        "weighted_doc_sample": _q_weighted_doc_sample,
         "order_rank_in_customer": _q_order_rank_in_customer,
         "user_first_last_event": _q_user_first_last_event,
         "llm_field_extract": _q_llm_field_extract,
@@ -2480,6 +2642,51 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS rolling_sum_cents
             FROM orders
+        """,
+        "orders_lineitem_join_salted": """
+            SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "customer_event_full_outer": """
+            SELECT COALESCE(p.user_id, r.o_custkey) AS key,
+                   COALESCE(p.n_purchases, 0) AS n_purchases,
+                   COALESCE(r.n_recent_orders, 0) AS n_recent_orders
+            FROM (SELECT user_id, count(*) AS n_purchases FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id) p
+            FULL OUTER JOIN
+                 (SELECT o_custkey, count(*) AS n_recent_orders FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  GROUP BY o_custkey) r
+            ON p.user_id = r.o_custkey
+        """,
+        "order_rolling_7d": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                              AND CURRENT ROW)
+                        AS BIGINT) AS sum_7d_cents
+            FROM orders
+        """,
+        "order_price_cume": """
+            SELECT o_custkey, o_orderkey,
+                   round(cume_dist() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice), 6)
+                       AS cume
+            FROM orders
+        """,
+        "weighted_doc_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) * 2000
+                  < 2576980377 * CAST(least(n_chars, 2000) AS UBIGINT)
+        """,
+        "event_props_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "order_rank_in_customer": """
             SELECT o_custkey, o_orderkey,

@@ -765,6 +765,38 @@ def deterministic_sample(ds: "rd.Dataset", key_col: str,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def weighted_bernoulli_sample(ds: "rd.Dataset", key_col: str,
+                              weight_col: str, base_frac_u32: int,
+                              weight_cap: int) -> "rd.Dataset":
+    """Deterministic weighted (importance) sampling: keep a row iff
+
+        md5_bucket(key) * weight_cap < base_frac_u32 * min(weight, cap)
+
+    i.e. inclusion probability = (base_frac_u32 / 2³²) * min(w, cap)/cap —
+    proportional to the row's weight (a crawl-curation primitive: sample
+    long / high-quality documents at a higher rate). ENTIRELY integer
+    arithmetic on both sides of the oracle contract — no float threshold
+    exists to drift by an ulp between engines — and the same
+    engine-independence/md5 contract as ``deterministic_sample`` (same
+    key + weight always decides the same way, stable under
+    repartitioning). Embarrassingly parallel, no shuffle."""
+    import hashlib
+    cap = np.uint64(weight_cap)
+    frac = np.uint64(base_frac_u32)
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        buckets = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4],
+                            "big") for k in keys),
+            dtype=np.uint64, count=len(keys))
+        w = np.minimum(t[weight_col].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64), cap)
+        return t.filter(pa.array(buckets * cap < frac * w))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 # 0.8·2³² and 0.9·2³² (floored): the default 80/10/10 split boundaries,
 # written as exact integers so the SQL oracle can state the same cuts
 SPLIT_CUTS_80_10_10 = (3435973836, 3865470566)
@@ -994,11 +1026,14 @@ def rolling_agg(ds: "rd.Dataset", key: str, order_cols: list[str],
 def rank_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
                  ascending: list[bool] | None = None,
                  alias: str = "rank", dense_alias: str | None = None,
-                 pct_alias: str | None = None) -> "rd.Dataset":
-    """RANK() / DENSE_RANK() / PERCENT_RANK() OVER (PARTITION BY key ORDER
-    BY order_cols) in one hash shuffle + sorted per-group scan. Rows tying
-    on ALL order columns share a rank (SQL semantics); the scan itself is
-    vectorized (run-boundary cumsum, no Python per row)."""
+                 pct_alias: str | None = None,
+                 cume_alias: str | None = None) -> "rd.Dataset":
+    """RANK() / DENSE_RANK() / PERCENT_RANK() / CUME_DIST() OVER
+    (PARTITION BY key ORDER BY order_cols) in one hash shuffle + sorted
+    per-group scan. Rows tying on ALL order columns share a rank (SQL
+    semantics; CUME_DIST counts every peer of the run, so ties share the
+    run's LAST position / n). The scan itself is vectorized (run-boundary
+    cumsum, no Python per row)."""
     asc = ascending if ascending is not None else [True] * len(order_cols)
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
@@ -1012,6 +1047,10 @@ def rank_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
             g[dense_alias] = first_of_run.cumsum().astype("int64")
         if pct_alias:
             g[pct_alias] = ((g[alias] - 1) / (n - 1)) if n > 1 else 0.0
+        if cume_alias:
+            last_of_run = first_of_run.shift(-1, fill_value=True)
+            g[cume_alias] = (pos.where(last_of_run).bfill()
+                             / np.int64(n))
         return g
 
     return _sharded_per_key(ds, key, scan)
@@ -1139,3 +1178,65 @@ def semi_join_cogroup(left: "rd.Dataset", right: "rd.Dataset", on: str,
 
     return l.union(r).groupby("__shard").map_groups(
         per_shard, batch_format="pandas")
+
+
+def salted_shuffle_join(left: "rd.Dataset", right: "rd.Dataset", on: str,
+                        right_on: str | None = None, salt: int = 8,
+                        num_partitions: int | None = None) -> "rd.Dataset":
+    """Skew-resilient inner hash join. In the plain hash shuffle a hot key
+    lands EVERY one of its rows on one aggregator — the named failure mode
+    of ``groupby``/join skew at 100 TB. Here each left row gets a salt in
+    ``[0, salt)`` (position round-robin inside the batch: any assignment
+    is valid, the join matches on equality, so salting never changes the
+    result set), the right side is replicated ``salt`` times, and the
+    shuffle key becomes ``(key, __salt)`` — a hot key's rows now spread
+    over ``salt`` aggregators. Cost: ``salt`` x right-side duplication
+    across the wire, so use it when the probe side is skewed and the
+    build side is modest (but too big / too wide to broadcast). Verified
+    hash-identical to the unsalted join by sharing its SQL oracle
+    (``orders_lineitem_join_salted``)."""
+    right_on = right_on or on
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, cpus)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__salt", pa.array(np.arange(t.num_rows, dtype=np.int64)
+                               % salt))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        reps = [t.append_column(
+                    "__salt", pa.array(np.full(t.num_rows, s, np.int64)))
+                for s in range(salt)]
+        return pa.concat_tables(reps)
+
+    l = left.map_batches(salt_left, batch_format="pyarrow")
+    r = right.map_batches(replicate_right, batch_format="pyarrow")
+    out = l.join(r, join_type="inner", num_partitions=num_partitions,
+                 on=(on, "__salt"), right_on=(right_on, "__salt"))
+    return out.drop_columns(["__salt"])
+
+
+def rolling_time_agg(ds: "rd.Dataset", key: str, ts_col: str,
+                     val_col: str, window_us: int,
+                     alias: str = "rolling_sum") -> "rd.Dataset":
+    """Time-RANGE rolling sum — ``SUM(val) OVER (PARTITION BY key ORDER BY
+    ts RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW)`` — one hash
+    shuffle + a vectorized per-key scan (prefix sums + two
+    ``searchsorted``). SQL RANGE-frame peer semantics: rows tying on
+    ``ts`` share ONE frame that includes all peers (``side="right"`` on
+    the upper bound), where a pandas ``rolling('7D')`` would give each
+    peer a different frame."""
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col], kind="mergesort").reset_index(drop=True)
+        tv = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        csum = np.concatenate(
+            [[0], np.cumsum(g[val_col].to_numpy(dtype=np.int64))])
+        lo = np.searchsorted(tv, tv - window_us, side="left")
+        hi = np.searchsorted(tv, tv, side="right")
+        g = g.copy()
+        g[alias] = csum[hi] - csum[lo]
+        return g
+
+    return _sharded_per_key(ds, key, scan)

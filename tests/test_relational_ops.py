@@ -675,3 +675,85 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     out3 = stratified_sample(ds, "id", "s",
                              {"a": 0.5, "b": 0.1, "c": 0.0}).to_pandas()
     assert sorted(out3["id"]) == sorted(out1["id"])
+
+
+def test_salted_join_matches_unsalted(ray_session):
+    """Salting is result-invariant: a hot key (80% of left rows) joined
+    salted vs plain must produce the identical multiset of rows."""
+    from credit_ocr_backend_ray.stages.relational import (
+        salted_shuffle_join, shuffle_join)
+
+    left = pd.DataFrame({"k": [7] * 80 + list(range(20)),
+                         "a": np.arange(100)})
+    right = pd.DataFrame({"rk": list(range(25)), "b": np.arange(25) * 10})
+    plain = (shuffle_join(_ds(left), _ds(right), on="k", right_on="rk",
+                          num_partitions=3)
+             .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    salted = (salted_shuffle_join(_ds(left), _ds(right), on="k",
+                                  right_on="rk", salt=4, num_partitions=3)
+              .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    assert "__salt" not in salted.columns
+    pd.testing.assert_frame_equal(
+        plain[["k", "a", "b"]], salted[["k", "a", "b"]])
+    # the hot key survived intact: 80 planted + 1 from range(20)
+    assert (salted["k"] == 7).sum() == 81
+
+
+def test_rolling_time_agg_range_peers(ray_session):
+    """RANGE-frame semantics: equal-timestamp peers share ONE frame that
+    includes every peer; the window cut is closed on [ts-W, ts]."""
+    from credit_ocr_backend_ray.stages.relational import rolling_time_agg
+
+    day = 86400 * 10**6
+    base = pd.Timestamp("2020-01-01")
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"],
+        "ts": [base, base + pd.Timedelta(days=1),
+               base + pd.Timedelta(days=1),  # peer of the row above
+               base + pd.Timedelta(days=10), base],
+        "v": [1, 2, 4, 8, 100],
+    })
+    out = (rolling_time_agg(_ds(df), "k", "ts", "v", window_us=7 * day,
+                            alias="s")
+           .to_pandas().sort_values(["k", "ts", "v"])
+           .reset_index(drop=True))
+    a = out[out["k"] == "a"]["s"].tolist()
+    # day0: 1 | day1 peers: both see 1+2+4 | day10: 7d window excludes day1
+    assert a == [1, 7, 7, 8]
+    assert out[out["k"] == "b"]["s"].tolist() == [100]
+
+
+def test_rank_per_key_cume_dist_peers(ray_session):
+    """CUME_DIST ties: peers share the run's last position / n."""
+    from credit_ocr_backend_ray.stages.relational import rank_per_key
+
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, 2.0, 2.0, 3.0]})
+    out = (rank_per_key(_ds(df), "g", ["v"], alias="r", cume_alias="c")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["c"].tolist() == [0.25, 0.75, 0.75, 1.0]
+
+
+def test_weighted_bernoulli_sample_deterministic_and_monotone(ray_session):
+    """Same key+weight always decides the same way; a zero weight is never
+    kept; raising every weight to the cap can only ADD rows (monotone in
+    weight, the integer-threshold property)."""
+    from credit_ocr_backend_ray.stages.relational import (
+        weighted_bernoulli_sample)
+
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "w": np.concatenate([np.zeros(200, np.int64),
+                                            np.full(1800, 500)])})
+    frac = 2576980377  # floor(0.6 * 2^32)
+    out1 = weighted_bernoulli_sample(_ds(df), "id", "w", frac,
+                                     1000).to_pandas()
+    out2 = weighted_bernoulli_sample(_ds(df), "id", "w", frac,
+                                     1000).to_pandas()
+    assert sorted(out1["id"]) == sorted(out2["id"])
+    assert (out1["w"] > 0).all()  # zero weight -> probability 0
+    # w=500 at cap 1000 -> rate ~0.3
+    assert abs(len(out1) / 1800 - 0.3) < 0.05
+    full = weighted_bernoulli_sample(
+        _ds(df.assign(w=1000)), "id", "w", frac, 1000).to_pandas()
+    assert set(out1["id"]).issubset(set(full["id"]))
+    assert abs(len(full) / n - 0.6) < 0.04
