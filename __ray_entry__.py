@@ -1839,6 +1839,20 @@ def _q_weighted_doc_sample(sf_dir: str):
                                      weight_cap=2000)
 
 
+def _q_web_corpus(sf_dir: str):
+    """The end-to-end web-corpus plan (pipelines/web.py): raw pages ->
+    extraction -> quality gate over the EXTRACTED text -> exact dedup by
+    content sha — one streaming Dataset plan, the only all-to-all being
+    the combiner-pruned dedup shuffle. Rows-only: the per-stage operators
+    are individually oracled/tested; this entry pins the composition."""
+    from credit_ocr_backend_ray.pipelines.web import web_corpus_ds
+
+    inp = _flagship_input(sf_dir)
+    ds = web_corpus_ds(inp)
+    return ds.select_columns(["url", "lang", "content_sha256", "n_lines",
+                              "n_pairs", "quality"])
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -1965,6 +1979,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_window": _q_events_daily_window,
         "knn_cosine": _q_knn_cosine,
         "media_features": _q_media_features,
+        "web_corpus": _q_web_corpus,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,
