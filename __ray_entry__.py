@@ -1853,6 +1853,65 @@ def _q_web_corpus(sf_dir: str):
                               "n_pairs", "quality"])
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the classic star-schema plan at scale: ONE
+    fact-fact shuffle (lineitem x date-filtered orders), a second shuffle
+    to attach the customer's nation (customer is fact-sized at real
+    scale), then broadcast joins for the genuinely dimension-sized
+    supplier/nation/region and the local-supplier (c_nation == s_nation)
+    filter — dims ship once via ray.put, never per batch. Revenue in
+    int64 micro-units before any sum (see agg_pricing)."""
+    import pyarrow.compute as pc
+    from credit_ocr_backend_ray.stages.relational import (
+        broadcast_join, grouped_agg, shuffle_join)
+
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+    od = _rp(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"],
+             filter=(pc.field("o_orderdate")
+                     >= pa_timestamp("1995-01-01"))
+                    & (pc.field("o_orderdate")
+                       < pa_timestamp("1996-01-01")))
+    cu = _rp(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    # the dimension pre-join happens driver-side in pandas (supplier x
+    # nation x region is dimension-sized by construction) and ships ONCE
+    sup = pd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    dims = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    dims = dims[dims["r_name"] == "ASIA"]
+    dims = dims[["s_suppkey", "s_nationkey", "n_name"]].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    j = shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    j = shuffle_join(j, cu, on="o_custkey", right_on="c_custkey")
+    j = broadcast_join(j, dims, on="l_suppkey")
+
+    def local_rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_nationkey"] == b["s_nationkey"]].copy()
+        rev = (b["l_extendedprice"].to_numpy(dtype=np.float64)
+               * (1 - b["l_discount"].to_numpy(dtype=np.float64)))
+        b["rev_micro"] = np.floor(rev * 10000 + 0.5).astype("int64")
+        return b[["n_name", "rev_micro"]]
+
+    agg = grouped_agg(j.map_batches(local_rev, batch_format="pandas"),
+                      ["n_name"], {"rev_micro": "rev_micro"},
+                      count_alias=None)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = (b["rev_micro"] / 10000.0).round(4)
+        return b[["n_name", "revenue"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -1879,6 +1938,7 @@ _SHOWCASE_ORDER = [
     "doc_chunks", "chunk_dedup", "packed_sequences", "intra_doc_dedup",
     "source_reputation", "curated_pack", "event_session_components",
     "inverted_index", "doc_top_tfidf", "doc_text_stats",
+    "orders_lineitem_join_salted",
 ]
 
 
@@ -1970,6 +2030,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "event_props_agg": _q_event_props_agg,
         "order_price_cume": _q_order_price_cume,
         "weighted_doc_sample": _q_weighted_doc_sample,
+        "local_supplier_revenue": _q_local_supplier_revenue,
         "order_rank_in_customer": _q_order_rank_in_customer,
         "user_first_last_event": _q_user_first_last_event,
         "llm_field_extract": _q_llm_field_extract,
@@ -2695,6 +2756,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) * 2000
                   < 2576980377 * CAST(least(n_chars, 2000) AS UBIGINT)
+        """,
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT))
+                         / 10000.0, 4) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n_name
         """,
         "event_props_agg": """
             SELECT event_type,
