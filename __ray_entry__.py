@@ -1912,6 +1912,55 @@ def _q_local_supplier_revenue(sf_dir: str):
     return agg.map_batches(fin, batch_format="pandas")
 
 
+def _q_page_link_stats(sf_dir: str):
+    """The web-graph side of the crawl: per-page outbound-link counts
+    (href regex + urljoin resolution, functions/links.py) over the raw
+    pages table — an in-row stateless map, no shuffle. Rows-only: the
+    pages table is synthesized, not a registered oracle view."""
+    from credit_ocr_backend_ray.functions.links import link_stats_batch
+
+    inp = _flagship_input(sf_dir)
+    ds = _rp(inp, columns=["url", "html"])
+    return (ds.map_batches(link_stats_batch, batch_format="pyarrow")
+              .select_columns(["url", "n_links", "n_target_hosts"]))
+
+
+def _q_event_type_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.py) over the bipartite
+    user <-> event-type interaction graph: both edge directions so the
+    walk has a stationary distribution; event types are encoded as
+    negative node ids via a driver-built (bounded: it's an enum) label
+    map. Returns the event-type nodes' ranks — the 'which content hubs
+    matter' question of host-level link analysis, runnable on the oracle
+    tables. Rows-only (iterative algorithm, no SQL form)."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.graph import pagerank
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ev = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    types = sorted(ev.groupby("event_type").count()
+                     .to_pandas()["event_type"])
+    tmap = {t: -(i + 1) for i, t in enumerate(types)}
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = np.array([tmap[x] for x in t["event_type"].to_pylist()],
+                      dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, ty])),
+            "dst": pa.array(np.concatenate([ty, u])),
+        })
+
+    e = ev.map_batches(edges, batch_format="pyarrow")
+    ranks, _iters = pagerank(e, max_iter=4, tol=1e-3, n_shards=16)
+    r = ranks.filter(expr="node < 0").to_pandas()
+    inv = {v: k for k, v in tmap.items()}
+    r["event_type"] = r["node"].map(inv)
+    r["rank"] = r["rank"].round(6)
+    return r[["event_type", "rank"]].sort_values("event_type") \
+        .reset_index(drop=True)
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2041,6 +2090,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "media_features": _q_media_features,
         "web_corpus": _q_web_corpus,
+        "page_link_stats": _q_page_link_stats,
+        "event_type_pagerank": _q_event_type_pagerank,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,

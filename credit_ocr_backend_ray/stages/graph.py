@@ -228,3 +228,166 @@ def session_star_edges(events: "rd.Dataset", user_col: str = "user_id",
     return (events.map_batches(add_shard, batch_format="pyarrow")
                   .groupby("shard")
                   .map_groups(per_shard, batch_format="pandas"))
+
+
+def pagerank(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iter: int = 20,
+             tol: float = 1e-6,
+             n_shards: int = 64) -> tuple["rd.Dataset", int]:
+    """Distributed PageRank by power iteration over an int64 edge list.
+    Returns ``(ranks, iters)`` with ``ranks`` = (node, rank) covering
+    every id in ``src`` or ``dst``; sum(rank) == #nodes (the "rank mass
+    N" convention: a node with no structure has rank 1.0).
+
+    Same message-passing skeleton as ``connected_components`` — per
+    iteration two coarse-shard co-grouping shuffles (send: ranks meet
+    the adjacency at hash(src), each edge emits rank/outdeg to its dst;
+    receive: contributions meet the rank rows at hash(dst), one
+    vectorized sum per shard), a per-batch combiner summing
+    contributions per (node, batch) before the second shuffle, and a
+    materialized V-row frontier per iteration (bounded state, the
+    k-means/CC checkpoint pattern). Dangling mass (outdeg-0 nodes) is
+    one Sum aggregate per iteration, redistributed uniformly —
+    O(1) driver state. Convergence = L1 delta Sum aggregate < tol·N.
+    The static adjacency re-crosses the wire per iteration — same
+    stated cost (and same hive-partition fix at extreme E) as
+    ``connected_components``."""
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(a, pa.int64()),
+            "nbr": pa.array(b, pa.int64()),
+            "val": pa.array(np.zeros(len(a)), pa.float64()),
+            "outdeg": pa.array(np.zeros(len(a), np.int64)),
+            "kind": pa.array(np.zeros(len(a), np.int8)),  # 0 = edge
+            "shard": pa.array(_shard_of(a, n_shards), pa.int64()),
+        })
+
+    adj = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    # node universe + out-degree, combiner-style: one (node, partial-deg)
+    # row per batch crosses the degree shuffle
+    def deg_partial(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sc = np.unique(a, return_counts=True)
+        du = np.unique(b)
+        return pa.table({
+            "node": pa.array(np.concatenate([su, du]), pa.int64()),
+            "__d": pa.array(np.concatenate(
+                [sc.astype(np.int64), np.zeros(len(du), np.int64)])),
+        })
+
+    nodes = (edges.map_batches(deg_partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("__d", alias_name="outdeg")))
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": t["node"],
+            "val": pa.array(np.ones(n), pa.float64()),
+            "outdeg": t["outdeg"].cast(pa.int64()),
+        })
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    n_nodes = ranks.count()
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": t["node"],
+            "nbr": pa.array(np.full(len(t), -1, np.int64)),
+            "val": t["val"],
+            "outdeg": t["outdeg"],
+            "kind": pa.array(np.ones(len(t), np.int8)),  # 1 = rank
+            "shard": pa.array(_shard_of(node, n_shards), pa.int64()),
+        })
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g[g["kind"] == 1][["node", "val", "outdeg"]]
+        ed = g[g["kind"] == 0][["node", "nbr"]]
+        srcs = rk[rk["outdeg"] > 0]
+        msgs = ed.merge(srcs, on="node")
+        out_m = pd.DataFrame({
+            "node": msgs["nbr"].to_numpy(np.int64, copy=False),
+            "val": (msgs["val"] / msgs["outdeg"]).to_numpy(np.float64),
+            "outdeg": np.zeros(len(msgs), np.int64),
+            "kind": np.full(len(msgs), np.int8(0)),
+        }) if len(msgs) else _pr_empty()
+        rk = rk.copy()
+        rk["kind"] = np.int8(1)
+        return pd.concat([out_m, rk[["node", "val", "outdeg", "kind"]]],
+                         ignore_index=True)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        msgs = b[b["kind"] == 0]
+        parts = []
+        if len(msgs):
+            s = msgs.groupby("node", as_index=False)["val"].sum()
+            s["outdeg"] = np.int64(0)
+            s["kind"] = np.int8(0)
+            parts.append(s)
+        rk = b[b["kind"] == 1][["node", "val", "outdeg", "kind"]]
+        if len(rk):
+            parts.append(rk)
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else _pr_empty())
+        out["node"] = out["node"].astype(np.int64)
+        out["shard"] = _shard_of(out["node"].to_numpy(np.int64), n_shards)
+        return out
+
+    base = (1.0 - damping)
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        # dangling mass: one filtered Sum over the V-row frontier
+        dang = ranks.map_batches(
+            lambda t: pa.table({"__dv": pa.compute.if_else(
+                pa.compute.equal(t["outdeg"], 0), t["val"],
+                pa.scalar(0.0))}),
+            batch_format="pyarrow").aggregate(Sum("__dv",
+                                                  alias_name="d"))["d"] or 0.0
+        share = damping * dang / n_nodes
+
+        def receive(g: pd.DataFrame, _share=share) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype=np.int64),
+                    "val": pd.Series([], dtype=np.float64),
+                    "outdeg": pd.Series([], dtype=np.int64),
+                    "delta": pd.Series([], dtype=np.float64)})
+            msum = (g[g["kind"] == 0].groupby("node")["val"].sum()
+                    if (g["kind"] == 0).any() else None)
+            rk = g[g["kind"] == 1]
+            got = (rk["node"].map(msum).fillna(0.0).to_numpy(np.float64)
+                   if msum is not None else np.zeros(len(rk)))
+            new = base + damping * got + _share
+            return pd.DataFrame({
+                "node": rk["node"].to_numpy(np.int64),
+                "val": new,
+                "outdeg": rk["outdeg"].to_numpy(np.int64),
+                "delta": np.abs(new - rk["val"].to_numpy(np.float64)),
+            })
+
+        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
+        sent = adj.union(tagged).groupby("shard") \
+            .map_groups(send, batch_format="pandas")
+        pruned = sent.map_batches(combine, batch_format="pandas")
+        new_ranks = pruned.groupby("shard") \
+            .map_groups(receive, batch_format="pandas").materialize()
+        delta = new_ranks.aggregate(Sum("delta", alias_name="s"))["s"] or 0.0
+        ranks = new_ranks.drop_columns(["delta"]).materialize()
+        if delta < tol * n_nodes:
+            break
+
+    return ranks.select_columns(["node", "val"]) \
+        .rename_columns({"val": "rank"}), iters
+
+
+def _pr_empty() -> pd.DataFrame:
+    return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                         "val": pd.Series([], dtype=np.float64),
+                         "outdeg": pd.Series([], dtype=np.int64),
+                         "kind": pd.Series([], dtype=np.int8)})
