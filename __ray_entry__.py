@@ -1961,6 +1961,50 @@ def _q_event_type_pagerank(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_priority_quartiles_approx(sf_dir: str):
+    """Per-key approximate quantiles (stages/sketch.py:
+    grouped_approx_quantile): one mergeable 4096-bin histogram row per
+    (priority, batch) crosses the shuffle — the streaming-scale sibling
+    of the exact/holistic ``priority_price_quartiles``; the test asserts
+    the sketch lands within one bin width of the exact answer."""
+    from credit_ocr_backend_ray.stages.sketch import grouped_approx_quantile
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_approx_quantile(
+        ds, ["o_orderpriority"], "o_totalprice",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75}, lo=0.0, hi=600_000.0)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("p25", "p50", "p75"):
+            b[c] = b[c].round(2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_approx_daily_users(sf_dir: str):
+    """Sketch-in-window composition: distinct users per event-time day
+    as a derived tumbling-window key + the per-key HLL
+    (``approx_count_distinct``) — one 2 KB register bank per (day,
+    batch) crosses the shuffle regardless of user cardinality. Rows-only
+    (approximate by design; the <5% error bound is asserted in tests)."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.sketch import approx_count_distinct
+
+    ds = _rp(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def day_key(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({"day": pa.array(d),
+                         "user_id": t["user_id"]})
+
+    keyed = ds.map_batches(day_key, batch_format="pyarrow")
+    return approx_count_distinct(keyed, ["day"], "user_id",
+                                 alias="approx_users")
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2092,6 +2136,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "web_corpus": _q_web_corpus,
         "page_link_stats": _q_page_link_stats,
         "event_type_pagerank": _q_event_type_pagerank,
+        "priority_quartiles_approx": _q_priority_quartiles_approx,
+        "approx_daily_users": _q_approx_daily_users,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,

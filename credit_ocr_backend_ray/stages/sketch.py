@@ -209,6 +209,62 @@ def approx_quantile(ds: "rd.Dataset", col: str, qs: dict[str, float],
     return partials.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_approx_quantile(ds: "rd.Dataset", keys: Sequence[str],
+                            col: str, qs: dict[str, float], lo: float,
+                            hi: float) -> "rd.Dataset":
+    """Per-key approximate quantiles via the same mergeable fixed-grid
+    histogram as ``approx_quantile``: each batch emits ONE 4096-bin row
+    per key (32 KB fixed width — use for BOUNDED key cardinality: enums,
+    windows, priorities; per-user keys want the exact holistic
+    ``grouped_quantile`` or a smaller grid), bins sum elementwise inside
+    one grouped ``map_groups``. Shuffle volume O(keys × batches),
+    independent of row count — the per-key form of the streaming-scale
+    quantile path."""
+    keys = list(keys)
+    width = (hi - lo) / _QBINS
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: t[k].to_pylist() for k in keys})
+        df["__v"] = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        rows_k: dict[str, list] = {k: [] for k in keys}
+        banks: list[bytes] = []
+        for kv, g in df.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                rows_k[k].append(v)
+            idx = np.clip(((g["__v"].to_numpy() - lo) / width)
+                          .astype(np.int64), 0, _QBINS - 1)
+            banks.append(np.bincount(idx, minlength=_QBINS)
+                         .astype(np.int64).tobytes())
+        out = {k: pa.array(rows_k[k]) for k in keys}
+        out["__bins"] = pa.array(banks, pa.binary())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(_QBINS, dtype=np.int64)
+        for b in g["__bins"]:
+            acc += np.frombuffer(b, dtype=np.int64)
+        total = int(acc.sum())
+        cum = np.cumsum(acc)
+        out = g.iloc[:1][keys].copy()
+        for alias, q in qs.items():
+            if total == 0:
+                out[alias] = float("nan")
+                continue
+            target = q * total
+            i = int(np.searchsorted(cum, target, side="left"))
+            prev = cum[i - 1] if i else 0
+            in_bin = acc[i] or 1
+            frac = (target - prev) / in_bin
+            out[alias] = lo + (i + frac) * width
+        return out
+
+    return partials.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        merge, batch_format="pandas")
+
+
 def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
                           alias: str = "approx_distinct") -> "rd.Dataset":
     """APPROX COUNT(DISTINCT col) per key: each batch emits one register

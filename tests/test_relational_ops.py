@@ -757,3 +757,44 @@ def test_weighted_bernoulli_sample_deterministic_and_monotone(ray_session):
         _ds(df.assign(w=1000)), "id", "w", frac, 1000).to_pandas()
     assert set(out1["id"]).issubset(set(full["id"]))
     assert abs(len(full) / n - 0.6) < 0.04
+
+
+def test_grouped_approx_quantile_within_bin_width(ray_session):
+    from credit_ocr_backend_ray.stages.sketch import grouped_approx_quantile
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 5000),
+        "v": np.concatenate([rng.uniform(0, 1000, 5000),
+                             rng.uniform(2000, 4000, 5000)]),
+    })
+    out = (grouped_approx_quantile(_ds(df), ["g"], "v",
+                                   {"p50": 0.5, "p90": 0.9},
+                                   lo=0.0, hi=4096.0)
+           .to_pandas().set_index("g"))
+    bin_w = 4096.0 / 4096  # 1.0
+    for g, grp in df.groupby("g"):
+        for alias, q in (("p50", 0.5), ("p90", 0.9)):
+            exact = np.quantile(grp["v"], q)
+            assert abs(out.loc[g, alias] - exact) <= bin_w + 1e-9, \
+                (g, alias, out.loc[g, alias], exact)
+
+
+def test_windowed_hll_distinct_error_bound(ray_session):
+    """Sketch-in-window composition: per-day HLL distinct within 5% of
+    exact on two days with different cardinalities."""
+    from credit_ocr_backend_ray.stages.sketch import approx_count_distinct
+
+    d1 = pd.Timestamp("2024-03-01")
+    d2 = pd.Timestamp("2024-03-02")
+    df = pd.DataFrame({
+        "day": [d1] * 8000 + [d2] * 4000,
+        # day 1: 2000 distinct users; day 2: 500 distinct
+        "user_id": list(np.arange(8000) % 2000)
+                   + list(np.arange(4000) % 500),
+    })
+    out = (approx_count_distinct(_ds(df), ["day"], "user_id",
+                                 alias="approx_users")
+           .to_pandas().set_index("day"))
+    assert abs(out.loc[d1, "approx_users"] - 2000) / 2000 < 0.05
+    assert abs(out.loc[d2, "approx_users"] - 500) / 500 < 0.05
