@@ -2005,6 +2005,76 @@ def _q_approx_daily_users(sf_dir: str):
                                  alias="approx_users")
 
 
+def _q_top_term_per_source(sf_dir: str):
+    """Per-source top token — the two-level-key word count: combiner
+    Counter partials keyed (source, token), one grouped sum, then the
+    combiner-pruned top-1-per-key (latest_per_key: at most one row per
+    (source, batch) crosses the argmax shuffle). Tie-break
+    token-ascending for a deterministic cut."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, latest_per_key)
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["source", "text"])
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, txt in zip(t["source"].to_pylist(),
+                            t["text"].to_pylist()):
+            if txt:
+                c.update((src, tok) for tok in ws.split(txt.strip())
+                         if tok)
+        keys = list(c.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in keys], pa.string()),
+            "token": pa.array([k[1] for k in keys], pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["source", "token"], {"__pn": "n_tok"},
+                         count_alias=None)
+    top = latest_per_key(counts, key="source",
+                         order_cols=["n_tok", "token"],
+                         ascending=[False, True])
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"token": "top_token", "n_tok": "n"})
+        return b[["source", "top_token", "n"]]
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
+def _q_host_indegree(sf_dir: str):
+    """Host-level link-graph degree: explode pages into (src, dst) edges
+    (functions/links.py), key by the TARGET host, combiner count, global
+    top-20. The host-reputation signal of crawl curation; rows-only
+    (the pages table is synthesized, not an oracle view)."""
+    import pyarrow as pa
+    from urllib.parse import urlsplit
+    from credit_ocr_backend_ray.functions.links import link_edges_batch
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    inp = _flagship_input(sf_dir)
+    ds = _rp(inp, columns=["url", "html"])
+    edges = ds.map_batches(link_edges_batch, batch_format="pyarrow")
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        hosts = [urlsplit(d).netloc for d in t["dst"].to_pylist()]
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "one": pa.array(np.ones(len(hosts), np.int64))})
+
+    counts = grouped_agg(edges.map_batches(host_rows,
+                                           batch_format="pyarrow"),
+                         ["host"], {"one": "n_inlinks"}, count_alias=None)
+    return counts.sort(["n_inlinks", "host"],
+                       descending=[True, False]).limit(20)
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2138,6 +2208,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pagerank": _q_event_type_pagerank,
         "priority_quartiles_approx": _q_priority_quartiles_approx,
         "approx_daily_users": _q_approx_daily_users,
+        "top_term_per_source": _q_top_term_per_source,
+        "host_indegree": _q_host_indegree,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,
@@ -2867,6 +2939,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1996-01-01'
             GROUP BY n_name
+        """,
+        "top_term_per_source": """
+            WITH c AS (
+                SELECT source, token, count(*) AS n FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS token
+                    FROM documents)
+                WHERE token <> ''
+                GROUP BY source, token)
+            SELECT source, token AS top_token, n FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY n DESC, token ASC) AS rn
+                FROM c)
+            WHERE rn = 1
         """,
         "event_props_agg": """
             SELECT event_type,
