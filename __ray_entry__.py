@@ -2075,6 +2075,30 @@ def _q_host_indegree(sf_dir: str):
                        descending=[True, False]).limit(20)
 
 
+def _q_doc_mean_token_freq(sf_dir: str):
+    """Unigram-LM-style commonness score per document (stages/text.py:
+    doc_mean_token_freq): corpus word count -> per-doc distinct-token
+    weights -> token-keyed hash join (the vocabulary is unbounded, so
+    the honest path shuffles instead of broadcasting) -> per-doc sum.
+    Integer micro-units end to end — no log(), nothing to drift."""
+    from credit_ocr_backend_ray.stages.text import doc_mean_token_freq
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return doc_mean_token_freq(ds)
+
+
+def _q_doc_compression(sf_dir: str):
+    """zlib compressibility per document (Gopher's boilerplate signal)
+    in integer micro-units; deterministic at a fixed level but no SQL
+    engine exposes zlib — rows-only, pinned by tests on planted
+    repetitive vs high-entropy text."""
+    from credit_ocr_backend_ray.stages.text import compression_ratio_batch
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return (ds.map_batches(compression_ratio_batch, batch_format="pyarrow")
+              .select_columns(["doc_id", "compress_ratio_micro"]))
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2210,6 +2234,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "approx_daily_users": _q_approx_daily_users,
         "top_term_per_source": _q_top_term_per_source,
         "host_indegree": _q_host_indegree,
+        "doc_mean_token_freq": _q_doc_mean_token_freq,
+        "doc_compression": _q_doc_compression,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,
@@ -2939,6 +2965,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1996-01-01'
             GROUP BY n_name
+        """,
+        "doc_mean_token_freq": """
+            WITH toks AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS token
+                    FROM documents)
+                WHERE token <> ''),
+            counts AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY token)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST((sum(c.c) * 1000000) // count(*) AS BIGINT)
+                       AS mean_freq_micro
+            FROM toks t JOIN counts c USING (token)
+            GROUP BY t.doc_id
         """,
         "top_term_per_source": """
             WITH c AS (

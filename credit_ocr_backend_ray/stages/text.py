@@ -247,3 +247,108 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("rolling_fp",
                            pa.array([rolling_fingerprint(t) for t in texts],
                                     pa.uint64())))
+
+
+def doc_mean_token_freq(ds, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Per-document mean corpus-frequency of its tokens — the
+    integer-exact cousin of a unigram-LM "surprisal" filter (CCNet-style
+    curation drops documents whose tokens are unusually rare/common;
+    this scores commonness without a transcendental log that could
+    drift an ulp between engines). Three combiner-shaped stages:
+
+    1. corpus word count (one (token, n) row per distinct token per
+       batch crosses the shuffle),
+    2. per-doc DISTINCT token weights (doc_id, token, k) — k = in-doc
+       occurrences, so the join below moves one row per distinct
+       (doc, token), never per instance,
+    3. a token-keyed hash join back to the counts (the honest
+       large-large path: the vocabulary is unbounded, so it must NOT
+       broadcast), then one grouped sum per doc.
+
+    Output: (doc_id, n_tokens, mean_freq_micro) with mean_freq_micro =
+    floor(1e6 * sum(k*c) / n_tokens) in int64 (sum(k*c) ≤ corpus_tokens²
+    per doc slice — rescale before the multiply if a corpus approaches
+    2^31 token instances)."""
+    import re
+    from collections import Counter
+
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, shuffle_join)
+
+    ws = re.compile(r"\s+")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(count_partial,
+                                        batch_format="pyarrow"),
+                         ["token"], {"__pn": "c"}, count_alias=None)
+
+    def doc_pairs(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        ks: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            if not txt:
+                continue
+            c = Counter(tok for tok in ws.split(txt.strip()) if tok)
+            for tok, k in c.items():
+                ids.append(i)
+                toks.append(tok)
+                ks.append(k)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "k": pa.array(ks, pa.int64())})
+
+    pairs = ds.map_batches(doc_pairs, batch_format="pyarrow")
+    joined = shuffle_join(pairs, counts, on="token")
+
+    import pandas as pd
+
+    def contrib(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["kc"] = b["k"] * b["c"]
+        return b[[id_col, "k", "kc"]]
+
+    per_doc = grouped_agg(joined.map_batches(contrib,
+                                             batch_format="pandas"),
+                          [id_col], {"k": "n_tokens", "kc": "sum_freq"},
+                          count_alias=None)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mean_freq_micro"] = (b["sum_freq"] * 1_000_000
+                                // b["n_tokens"]).astype("int64")
+        return b[[id_col, "n_tokens", "mean_freq_micro"]]
+
+    return per_doc.map_batches(fin, batch_format="pandas")
+
+
+def compression_ratio_batch(batch: pa.Table,
+                            text_col: str = "text") -> pa.Table:
+    """Gopher-style compressibility signal: zlib(level 6) compressed
+    size over raw utf-8 size in integer micro-units (floor) — highly
+    repetitive boilerplate compresses far below normal prose. Stateless
+    in-row map; zlib is deterministic at a fixed level so the column is
+    reproducible, but no SQL engine exposes it (rows-only contract)."""
+    import zlib
+
+    ratios = []
+    for txt in batch[text_col].to_pylist():
+        raw = (txt or "").encode("utf-8")
+        if not raw:
+            ratios.append(0)
+            continue
+        comp = zlib.compress(raw, 6)
+        ratios.append(len(comp) * 1_000_000 // len(raw))
+    return batch.append_column("compress_ratio_micro",
+                               pa.array(ratios, pa.int64()))

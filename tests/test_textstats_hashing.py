@@ -78,3 +78,37 @@ def test_simhash_hamming():
     assert hamming64(simhash64(base), simhash64(near)) <= 6
     assert hamming64(simhash64(base), simhash64(far)) > 10
     assert simhash64(base) == simhash64(base)
+
+
+def test_compression_ratio_orders_repetitive_below_prose():
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.text import compression_ratio_batch
+
+    import random
+    rng = random.Random(3)
+    prose = " ".join("".join(rng.choice("abcdefghijklmnop")
+                             for _ in range(8)) for _ in range(200))
+    t = pa.table({"text": ["spam " * 400, prose, "", None]})
+    out = compression_ratio_batch(t)
+    r = out["compress_ratio_micro"].to_pylist()
+    assert r[0] < r[1]          # repetition compresses far better
+    assert r[0] < 100_000       # <10% of raw
+    assert r[1] > 300_000       # high-entropy text stays large
+    assert r[2] == 0 and r[3] == 0
+
+
+def test_doc_mean_token_freq_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import doc_mean_token_freq
+
+    # corpus counts: a=3, b=2, c=1
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a a b", "a b c"]})
+    out = (doc_mean_token_freq(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1: instances a,a,b -> (3+3+2)/3 = 8/3
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "mean_freq_micro"] == 8 * 1_000_000 // 3
+    # doc 2: a,b,c -> (3+2+1)/3 = 2.0
+    assert out.loc[1, "mean_freq_micro"] == 2_000_000
