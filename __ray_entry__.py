@@ -2099,6 +2099,56 @@ def _q_doc_compression(sf_dir: str):
               .select_columns(["doc_id", "compress_ratio_micro"]))
 
 
+def _q_lineitem_measures_long(sf_dir: str):
+    """UNPIVOT/melt — wide measure columns to (id, measure, value) long
+    form, the inverse of ``user_event_pivot``: a stateless in-row map
+    (each batch emits 3x its rows), no shuffle at any scale. Values pass
+    through untouched so the float hash compare is byte-stable."""
+    import pyarrow as pa
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok: list[pa.Array] = []
+        ln: list[pa.Array] = []
+        ms: list[pa.Array] = []
+        vs: list[pa.Array] = []
+        for m in measures:
+            ok.append(t["l_orderkey"])
+            ln.append(t["l_linenumber"])
+            ms.append(pa.array([m] * n, pa.string()))
+            vs.append(t[m].cast(pa.float64()))
+        return pa.table({
+            "l_orderkey": pa.concat_arrays(
+                [a.combine_chunks() for a in ok]),
+            "l_linenumber": pa.concat_arrays(
+                [a.combine_chunks() for a in ln]),
+            "measure": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in ms]),
+            "value": pa.concat_arrays(
+                [a.combine_chunks() for a in vs]),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def _q_orders_page2(sf_dir: str):
+    """Sorted pagination (LIMIT 100 OFFSET 100): the cluster sort
+    produces the top-200 stream; the offset cut happens on the bounded
+    driver-side head — OFFSET is inherently a post-sort positional
+    operation, so the only scale-relevant work is the sort + limit."""
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    top = (ds.sort(["o_orderdate", "o_orderkey"],
+                   descending=[True, False]).limit(200).to_pandas())
+    return top.iloc[100:200].reset_index(drop=True)
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2236,6 +2286,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_indegree": _q_host_indegree,
         "doc_mean_token_freq": _q_doc_mean_token_freq,
         "doc_compression": _q_doc_compression,
+        "lineitem_measures_long": _q_lineitem_measures_long,
+        "orders_page2": _q_orders_page2,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,
@@ -2965,6 +3017,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1996-01-01'
             GROUP BY n_name
+        """,
+        "lineitem_measures_long": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+        """,
+        "orders_page2": """
+            SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            ORDER BY o_orderdate DESC, o_orderkey ASC
+            LIMIT 100 OFFSET 100
         """,
         "doc_mean_token_freq": """
             WITH toks AS (
