@@ -2149,6 +2149,28 @@ def _q_orders_page2(sf_dir: str):
     return top.iloc[100:200].reset_index(drop=True)
 
 
+def _q_qty_price_regression(sf_dir: str):
+    """Per-returnflag least-squares fit of extendedprice on quantity —
+    distributed ML as a pure combiner aggregate (one 5-moment row per
+    (key, batch) crosses the shuffle; stages/relational.py:
+    grouped_linreg). Rounded to 6 decimals on both sides: the float
+    moment sums' association drift (~1e-12 relative) sits six orders
+    below the rounding granularity."""
+    from credit_ocr_backend_ray.stages.relational import grouped_linreg
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_linreg(ds, ["l_returnflag"], "l_quantity",
+                         "l_extendedprice")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["slope"] = b["slope"].round(6)
+        b["intercept"] = b["intercept"].round(6)
+        return b[["l_returnflag", "n", "slope", "intercept"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2288,6 +2310,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression": _q_doc_compression,
         "lineitem_measures_long": _q_lineitem_measures_long,
         "orders_page2": _q_orders_page2,
+        "qty_price_regression": _q_qty_price_regression,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,
@@ -3017,6 +3040,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1996-01-01'
             GROUP BY n_name
+        """,
+        "qty_price_regression": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept
+            FROM lineitem GROUP BY l_returnflag
         """,
         "lineitem_measures_long": """
             SELECT l_orderkey, l_linenumber,

@@ -1180,6 +1180,49 @@ def semi_join_cogroup(left: "rd.Dataset", right: "rd.Dataset", on: str,
         per_shard, batch_format="pandas")
 
 
+def grouped_linreg(ds: "rd.Dataset", keys: Sequence[str], x: str, y: str,
+                   slope_alias: str = "slope",
+                   icept_alias: str = "intercept") -> "rd.Dataset":
+    """Per-key simple linear regression (least squares, the SQL
+    ``regr_slope``/``regr_intercept`` pair) as a pure combiner aggregate:
+    each batch ships ONE moment row (n, Σx, Σy, Σxy, Σx²) per key, the
+    closed form solves after the shuffle — the textbook "ML as a
+    distributed aggregate" shape, same as ``grouped_corr``. slope =
+    covar_pop/var_pop; groups with zero x-variance return null slope
+    (SQL semantics)."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(__xy=b[x] * b[y], __xx=b[x] * b[x]).groupby(
+            keys, as_index=False, sort=False).agg(
+            __n=(x, "size"), __sx=(x, "sum"), __sy=(y, "sum"),
+            __sxy=("__xy", "sum"), __sxx=("__xx", "sum"))
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(keys) \
+        .aggregate(Sum("__n", alias_name="n"),
+                   Sum("__sx", alias_name="sx"),
+                   Sum("__sy", alias_name="sy"),
+                   Sum("__sxy", alias_name="sxy"),
+                   Sum("__sxx", alias_name="sxx"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        sx, sy = b["sx"].to_numpy(np.float64), b["sy"].to_numpy(np.float64)
+        var = b["sxx"].to_numpy(np.float64) - sx * sx / n
+        cov = b["sxy"].to_numpy(np.float64) - sx * sy / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(var > 0, cov / var, np.nan)
+        icept = sy / n - slope * sx / n
+        out = b[keys].copy()
+        out["n"] = b["n"].astype("int64")
+        out[slope_alias] = slope
+        out[icept_alias] = icept
+        return out
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 def salted_shuffle_join(left: "rd.Dataset", right: "rd.Dataset", on: str,
                         right_on: str | None = None, salt: int = 8,
                         num_partitions: int | None = None) -> "rd.Dataset":

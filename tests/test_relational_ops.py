@@ -798,3 +798,21 @@ def test_windowed_hll_distinct_error_bound(ray_session):
            .to_pandas().set_index("day"))
     assert abs(out.loc[d1, "approx_users"] - 2000) / 2000 < 0.05
     assert abs(out.loc[d2, "approx_users"] - 500) / 500 < 0.05
+
+
+def test_grouped_linreg_exact_fit_and_degenerate_group(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_linreg
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "x": [0.0, 1.0, 2.0, 3.0, 5.0, 5.0, 5.0],
+        "y": [1.0, 3.0, 5.0, 7.0, 9.0, 10.0, 11.0],
+    })
+    out = (grouped_linreg(_ds(df), ["g"], "x", "y")
+           .to_pandas().set_index("g"))
+    # group a lies exactly on y = 2x + 1
+    assert out.loc["a", "slope"] == pytest.approx(2.0, abs=1e-12)
+    assert out.loc["a", "intercept"] == pytest.approx(1.0, abs=1e-12)
+    assert out.loc["a", "n"] == 4
+    # group b has zero x-variance -> null slope (SQL regr_slope semantics)
+    assert np.isnan(out.loc["b", "slope"])
