@@ -881,6 +881,58 @@ def rollup_agg(ds: "rd.Dataset", keys: Sequence[str],
     return out
 
 
+def cube_agg(ds: "rd.Dataset", keys: Sequence[str],
+             sum_cols: dict[str, str], count_alias: str = "n",
+             combine: str = "shuffle") -> "rd.Dataset":
+    """GROUP BY CUBE(keys): aggregates at EVERY subset of the key set
+    (2^k levels), NULL-filling the cubed-away columns. Same shape rule
+    as ``rollup_agg``: the raw data is read and shuffled exactly once
+    for the finest level; every other subset re-aggregates the (tiny)
+    finest result. Keys must be string-typed for a type-stable NULL
+    fill."""
+    from itertools import combinations
+
+    keys = list(keys)
+    finest = grouped_agg(ds, keys, sum_cols, count_alias=count_alias,
+                         combine=combine)
+    vals = [*sum_cols.values(), count_alias]
+    levels = [finest]
+    for r in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, r):
+            sub = list(subset)
+            if not sub:
+                def total_partial(b: pd.DataFrame) -> pd.DataFrame:
+                    return pd.DataFrame({v: [b[v].sum()] for v in vals})
+
+                def total_final(b: pd.DataFrame) -> pd.DataFrame:
+                    out = pd.DataFrame({v: [b[v].sum()] for v in vals})
+                    for c in keys:
+                        out[c] = None
+                    return out[keys + vals]
+
+                lvl = (finest.map_batches(total_partial,
+                                          batch_format="pandas")
+                       .repartition(1)
+                       .map_batches(total_final, batch_format="pandas"))
+            else:
+                lvl = grouped_agg(finest, sub, {v: v for v in vals},
+                                  count_alias="__lvl", combine=combine)
+
+                def fill(b: pd.DataFrame, _sub=tuple(sub)) -> pd.DataFrame:
+                    b = b.drop(columns=["__lvl"])
+                    for c in keys:
+                        if c not in _sub:
+                            b[c] = None
+                    return b[keys + vals]
+
+                lvl = lvl.map_batches(fill, batch_format="pandas")
+            levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def grouped_concat(ds: "rd.Dataset", key: str, order_cols: list[str],
                    val_col: str, sep: str = ",",
                    alias: str = "concat") -> "rd.Dataset":

@@ -816,3 +816,19 @@ def test_grouped_linreg_exact_fit_and_degenerate_group(ray_session):
     assert out.loc["a", "n"] == 4
     # group b has zero x-variance -> null slope (SQL regr_slope semantics)
     assert np.isnan(out.loc["b", "slope"])
+
+
+def test_cube_agg_all_subsets(ray_session):
+    from credit_ocr_backend_ray.stages.relational import cube_agg
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1, 2, 4]})
+    out = (cube_agg(_ds(df), ["a", "b"], {"v": "s"})
+           .to_pandas())
+    assert len(out) == 3 + 2 + 2 + 1  # finest + by-a + by-b + total
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["s"].iloc[0] == 7 and total["n"].iloc[0] == 3
+    by_b = out[out["a"].isna() & (out["b"] == "p")]
+    assert by_b["s"].iloc[0] == 5 and by_b["n"].iloc[0] == 2
+    by_a = out[(out["a"] == "x") & out["b"].isna()]
+    assert by_a["s"].iloc[0] == 3
