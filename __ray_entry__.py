@@ -2199,6 +2199,21 @@ def _q_cube_flag_status(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_approx_source_overlap(sf_dir: str):
+    """Cross-source contamination, sketched: KMV (k-minimum-values)
+    per-source sketches -> pairwise Jaccard / shared-distinct estimates
+    (stages/sketch.py) — the fixed-k·8-bytes-per-(source,batch) sibling
+    of the exact ``corpus_overlap``. Rows-only (approximate by design;
+    the ~1/sqrt(k) bound is test-asserted on a planted overlap)."""
+    from credit_ocr_backend_ray.stages.sketch import kmv_source_overlap
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["source", "text"])
+    out = kmv_source_overlap(ds)
+    out["est_jaccard"] = out["est_jaccard"].round(6)
+    out["est_shared"] = out["est_shared"].round(3)
+    return out
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2340,6 +2355,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_page2": _q_orders_page2,
         "qty_price_regression": _q_qty_price_regression,
         "cube_flag_status": _q_cube_flag_status,
+        "approx_source_overlap": _q_approx_source_overlap,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
         "extract_fields_long": _q_extract_fields_long,

@@ -302,6 +302,73 @@ def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
         merge, batch_format="pandas")
 
 
+def kmv_source_overlap(ds: "rd.Dataset", source_col: str = "source",
+                       text_col: str = "text", k: int = 256):
+    """Approximate cross-source overlap via K-Minimum-Values sketches —
+    the sketch companion to the exact ``corpus_overlap``: per source,
+    keep the k smallest u64 hashes of its texts (a mergeable uniform
+    sample of the distinct-value space; fixed k·8 bytes per (source,
+    batch) crosses the shuffle regardless of corpus size). Per pair
+    (bounded: sources are web domains, not documents — the pairwise
+    combine runs on the driver over k-sized arrays):
+
+      distinct(A) ≈ (k-1) / kth_smallest(A)   (normalized to [0,1))
+      J(A,B)      ≈ |X ∩ A ∩ B| / k,  X = k smallest of A ∪ B
+      shared(A,B) ≈ J · distinct(A ∪ B)
+
+    Returns a pandas DataFrame (source_a, source_b, est_jaccard,
+    est_shared) for every unordered pair. Deterministic (hash-based),
+    rows-only contract: the estimator is approximate by design; the
+    error bound (~1/√k relative on J) is asserted in tests against a
+    planted overlap."""
+    from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"s": t[source_col].to_pylist(),
+                           "x": t[text_col].to_pylist()})
+        srcs, blobs = [], []
+        for s, g in df.groupby("s", sort=False):
+            h = np.unique(hash_strings_u64([x or "" for x in g["x"]]))
+            srcs.append(s)
+            blobs.append(h[:k].tobytes())
+        return pa.table({source_col: pa.array(srcs, pa.string()),
+                         "__kmv": pa.array(blobs, pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(b, dtype=np.uint64) for b in g["__kmv"]]
+        u = np.unique(np.concatenate(arrs))[:k]
+        out = g.iloc[:1][[source_col]].copy()
+        out["__kmv"] = [u.tobytes()]
+        return out
+
+    sketches = (partials.groupby(source_col)
+                .map_groups(merge, batch_format="pandas").to_pandas())
+
+    scale = float(2**64)
+
+    def distinct_est(a: np.ndarray) -> float:
+        if len(a) < k:
+            return float(len(a))  # exact below sketch capacity
+        return (k - 1) / (float(a[k - 1]) / scale)
+
+    rows = []
+    s_arr = {r[source_col]: np.frombuffer(r["__kmv"], dtype=np.uint64)
+             for _, r in sketches.iterrows()}
+    names = sorted(s_arr)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ha, hb = s_arr[a], s_arr[b]
+            union = np.unique(np.concatenate([ha, hb]))[:k]
+            inter = np.intersect1d(union, np.intersect1d(ha, hb))
+            j = len(inter) / max(len(union), 1)
+            rows.append({"source_a": a, "source_b": b,
+                         "est_jaccard": j,
+                         "est_shared": j * distinct_est(union)})
+    return pd.DataFrame(rows)
+
+
 # ------------------------------------------------------------- bloom filter
 
 _BLOOM_BITS = 1 << 23    # 1 MiB bitmap; ~0.02% fp at 100k keys, k=4

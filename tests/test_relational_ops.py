@@ -832,3 +832,23 @@ def test_cube_agg_all_subsets(ray_session):
     assert by_b["s"].iloc[0] == 5 and by_b["n"].iloc[0] == 2
     by_a = out[(out["a"] == "x") & out["b"].isna()]
     assert by_a["s"].iloc[0] == 3
+
+
+def test_kmv_source_overlap_planted(ray_session):
+    """KMV sketch overlap: planted 1/3 Jaccard between two sources must
+    estimate within ~2/sqrt(k); a disjoint pair estimates ~0."""
+    from credit_ocr_backend_ray.stages.sketch import kmv_source_overlap
+
+    rows = ([{"source": "A", "text": f"t{i}"} for i in range(4000)]
+            + [{"source": "B", "text": f"t{i}"} for i in range(2000, 6000)]
+            + [{"source": "C", "text": f"c{i}"} for i in range(1000)])
+    out = kmv_source_overlap(_ds(pd.DataFrame(rows)), k=256)
+    out = out.set_index(["source_a", "source_b"])
+    ab = out.loc[("A", "B")]
+    assert abs(ab["est_jaccard"] - 1 / 3) < 2 / np.sqrt(256)
+    assert abs(ab["est_shared"] - 2000) / 2000 < 0.25
+    assert out.loc[("A", "C"), "est_jaccard"] < 0.05
+    # deterministic: same input -> same estimate
+    out2 = kmv_source_overlap(_ds(pd.DataFrame(rows)), k=256)
+    assert out2.set_index(["source_a", "source_b"]).loc[
+        ("A", "B"), "est_jaccard"] == ab["est_jaccard"]
