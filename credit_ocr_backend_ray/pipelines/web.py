@@ -26,7 +26,7 @@ import ray.data as rd
 from credit_ocr_backend_ray.pipelines.extraction import (
     ExtractionConfig, build_extraction_ds,
 )
-from credit_ocr_backend_ray.stages.dedup import dedup_exact
+from credit_ocr_backend_ray.stages.dedup import dedup_exact_sparse
 from credit_ocr_backend_ray.stages.text import quality_batch
 
 
@@ -48,7 +48,8 @@ def web_corpus_ds(paths: list[str] | str, min_quality: float = 0.25,
     # quality_score of empty text is 0.0, so the gate also drops pages
     # whose html carried no extractable payload
     ds = ds.filter(expr=f"quality >= {min_quality}")
-    ds = dedup_exact(ds, hash_col="content_sha256", tie_col="url")
+    ds = dedup_exact_sparse(ds, hash_col="content_sha256",
+                            tie_col="url")
     return ds.select_columns(["url", "warc_ts", "lang", "content_sha256",
                               "extracted_text", "n_lines", "n_pairs",
                               "quality"])
@@ -70,6 +71,7 @@ def web_corpus_funnel(paths: list[str] | str,
         batch_format="pyarrow").filter(expr=f"quality >= {min_quality}")
     kept = scored.materialize()
     funnel["after_quality"] = kept.count()
-    deduped = dedup_exact(kept, hash_col="content_sha256", tie_col="url")
+    deduped = dedup_exact_sparse(kept, hash_col="content_sha256",
+                                 tie_col="url")
     funnel["output"] = deduped.count()
     return funnel

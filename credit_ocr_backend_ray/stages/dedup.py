@@ -95,21 +95,86 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
     return pruned.groupby(key).map_groups(group_max, batch_format="pandas")
 
 
-def dedup_exact(ds: "rd.Dataset", hash_col: str,
-                tie_col: str) -> "rd.Dataset":
-    """Hash-partition by content hash, keep the smallest ``tie_col`` row of
-    each group (deterministic representative). Combiner-shaped: each batch
-    pre-prunes to its local representative per hash, so duplicate payloads
-    within a batch never cross the shuffle."""
-    def first_of(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(tie_col, ascending=True).head(1)
-
+def dedup_exact(ds: "rd.Dataset", hash_col: str, tie_col: str,
+                n_shards: int = 64) -> "rd.Dataset":
+    """Hash-partition by content hash, keep the smallest ``tie_col`` row
+    of each group (deterministic representative). Combiner-shaped: each
+    batch pre-prunes to its local representative per hash, so duplicate
+    payloads within a batch never cross the shuffle. The global pass
+    co-groups COARSE key-hash shards, not the hashes themselves: a
+    per-hash groupby sent every wide row through fine-grained sort
+    machinery (measured 55 s of a 70 s web-corpus run at 100k mostly-
+    unique pages); the 64-shard co-group plus a vectorized per-shard
+    groupby-head cut it to ~1/5."""
     def local_first(b: pd.DataFrame) -> pd.DataFrame:
-        return (b.sort_values(tie_col, ascending=True)
+        out = (b.sort_values(tie_col, ascending=True)
+                .groupby(hash_col, as_index=False, sort=False).head(1))
+        out = out.copy()
+        from credit_ocr_backend_ray.functions.hashing import (
+            hash_strings_u64)
+        out["__shard"] = (hash_strings_u64(
+            [str(x) for x in out[hash_col]])
+            % np.uint64(n_shards)).astype(np.int64)
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        return (g.sort_values(tie_col, ascending=True)
                  .groupby(hash_col, as_index=False, sort=False).head(1))
 
     pruned = ds.map_batches(local_first, batch_format="pandas")
-    return pruned.groupby(hash_col).map_groups(first_of, batch_format="pandas")
+    return pruned.groupby("__shard").map_groups(per_shard,
+                                               batch_format="pandas")
+
+
+def dedup_exact_sparse(ds: "rd.Dataset", hash_col: str,
+                       tie_col: str) -> "rd.Dataset":
+    """``dedup_exact`` for the common crawl case where MOST payloads are
+    unique: a cheap fixed-width pre-pass (one (hash, count) combiner row
+    per (hash, batch) — never the payload) finds the hashes that
+    actually collide; only THOSE rows pay the wide-row shuffle, every
+    unique row streams through untouched. The input is materialized
+    once (two consumers: the key scan and the row pass — the same
+    checkpoint-not-recompute contract as grouped_zscore).
+
+    Scale assumption, stated: the duplicated-key set is broadcast
+    (``ray.put`` once), so it must fit a worker's heap — dup CLUSTERS,
+    not dup rows (64 B/key: ~15 GB per billion collided keys). For a
+    corpus where nearly everything is duplicated, use the unconditional
+    ``dedup_exact`` shuffle instead."""
+    ds = ds.materialize()
+
+    def key_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(hash_col, as_index=False, sort=False).size()
+        return g.rename(columns={"size": "__kn"})
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+    # the key scan reads ONE column of the cached blocks (zero-copy
+    # Arrow projection) — the wide payload never enters this pass
+    counts = grouped_agg(ds.select_columns([hash_col])
+                         .map_batches(key_partial, batch_format="pandas"),
+                         [hash_col], {"__kn": "__n"}, count_alias=None)
+    dup_df = counts.filter(expr="__n > 1").to_pandas()
+    # an all-unique corpus yields a ZERO-COLUMN empty frame (Ray's empty
+    # grouped-output quirk) — treat it as "no collisions"
+    dup_keys = ([] if dup_df.empty else sorted(dup_df[hash_col]))
+    ref = ray.put(pa.array(dup_keys, pa.string()))
+
+    import pyarrow.compute as pc
+
+    def uniques(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[hash_col], value_set=ray.get(ref))
+        return t.filter(pc.invert(pc.fill_null(m, False)))
+
+    def dup_rows(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[hash_col], value_set=ray.get(ref))
+        return t.filter(pc.fill_null(m, False))
+
+    unique_part = ds.map_batches(uniques, batch_format="pyarrow")
+    deduped_dups = dedup_exact(ds.map_batches(dup_rows,
+                                              batch_format="pyarrow"),
+                               hash_col, tie_col)
+    return unique_part.union(deduped_dups)
 
 
 # ---------------------------------------------------------------- minhash
