@@ -84,15 +84,22 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
 
         return ds.map_batches(keep_winner, batch_format="pyarrow")
 
+    # coarse-shard co-group (see dedup_exact): the per-shard pass is one
+    # vectorized transform, never per-key group machinery
+    from credit_ocr_backend_ray.stages.relational import _with_shard
+
     def local_max(b: pd.DataFrame) -> pd.DataFrame:
         mx = b.groupby(key, sort=False)[order_col].transform("max")
-        return b[b[order_col] == mx]
+        return _with_shard(b[b[order_col] == mx], key, 64)
 
-    def group_max(g: pd.DataFrame) -> pd.DataFrame:
-        return g[g[order_col] == g[order_col].max()]
+    def shard_max(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        mx = g.groupby(key, sort=False)[order_col].transform("max")
+        return g[g[order_col] == mx]
 
     pruned = ds.map_batches(local_max, batch_format="pandas")
-    return pruned.groupby(key).map_groups(group_max, batch_format="pandas")
+    return pruned.groupby("__shard").map_groups(shard_max,
+                                               batch_format="pandas")
 
 
 def dedup_exact(ds: "rd.Dataset", hash_col: str, tie_col: str,

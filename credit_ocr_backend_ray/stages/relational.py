@@ -107,23 +107,47 @@ def broadcast_join(ds: "rd.Dataset", small: pd.DataFrame, on: str,
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def _with_shard(b: pd.DataFrame, key: str, n_shards: int) -> pd.DataFrame:
+    """Append a coarse key-hash shard column (the co-group granularity:
+    a per-KEY groupby pays fine-grained sort machinery per distinct key;
+    64 shards keep each group a vectorized pandas pass)."""
+    a = b[key].to_numpy()
+    if np.issubdtype(a.dtype, np.number):
+        s = ((a.astype(np.int64) % n_shards) + n_shards) % n_shards
+    else:
+        from credit_ocr_backend_ray.functions.hashing import (
+            hash_strings_u64)
+        s = (hash_strings_u64([str(x) for x in a])
+             % np.uint64(n_shards)).astype(np.int64)
+    b = b.copy()
+    b["__shard"] = s
+    return b
+
+
 def latest_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
-                   ascending: list[bool] | None = None) -> "rd.Dataset":
+                   ascending: list[bool] | None = None,
+                   n_shards: int = 64) -> "rd.Dataset":
     """Top-1 per key by order_cols (default: all descending) with the
     order columns doubling as the deterministic tie-break. Combiner-shaped:
     each batch pre-prunes to its local winner per key, so the shuffle
-    moves at most one row per (key, batch) instead of every row."""
+    moves at most one row per (key, batch) instead of every row. The
+    global pass co-groups coarse key-hash shards (one vectorized
+    groupby-head per shard) instead of paying per-key group machinery."""
     asc = ascending if ascending is not None else [False] * len(order_cols)
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, ascending=asc).head(1)
-
     def local_winners(b: pd.DataFrame) -> pd.DataFrame:
-        return (b.sort_values(order_cols, ascending=asc)
+        out = (b.sort_values(order_cols, ascending=asc)
+                .groupby(key, as_index=False, sort=False).head(1))
+        return _with_shard(out, key, n_shards)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        return (g.sort_values(order_cols, ascending=asc)
                  .groupby(key, as_index=False, sort=False).head(1))
 
     pruned = ds.map_batches(local_winners, batch_format="pandas")
-    return pruned.groupby(key).map_groups(head1, batch_format="pandas")
+    return pruned.groupby("__shard").map_groups(per_shard,
+                                               batch_format="pandas")
 
 
 def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
@@ -255,17 +279,21 @@ def topk_per_group(ds: "rd.Dataset", key: str, order_cols: list[str], k: int,
     cut is deterministic."""
     asc = ascending if ascending is not None else [False] * len(order_cols)
 
-    def headk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, ascending=asc).head(k)
-
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         # combiner pre-prune: a global top-k row is a local top-k row in
         # its batch, so at most k rows per (key, batch) cross the shuffle
-        return (b.sort_values(order_cols, ascending=asc)
+        out = (b.sort_values(order_cols, ascending=asc)
+                .groupby(key, as_index=False, sort=False).head(k))
+        return _with_shard(out, key, 64)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        return (g.sort_values(order_cols, ascending=asc)
                  .groupby(key, as_index=False, sort=False).head(k))
 
     pruned = ds.map_batches(local_topk, batch_format="pandas")
-    return pruned.groupby(key).map_groups(headk, batch_format="pandas")
+    return pruned.groupby("__shard").map_groups(per_shard,
+                                               batch_format="pandas")
 
 
 def sessionize(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
