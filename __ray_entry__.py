@@ -2214,6 +2214,96 @@ def _q_approx_source_overlap(sf_dir: str):
     return out
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Global top-30 adjacent-token bigrams — collocation counting, the
+    combiner word-count generalized to token pairs."""
+    from credit_ocr_backend_ray.stages.text import top_bigrams
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
+    return top_bigrams(ds, k=30)
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources: the lexical-overlap
+    matrix of the corpus mix, from exact integer intersection counts."""
+    from credit_ocr_backend_ray.stages.text import source_vocab_jaccard
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["text", "source"])
+    return source_vocab_jaccard(ds)
+
+
+def _q_funnel_conversion(sf_dir: str):
+    """view -> click -> purchase funnel with a 6-hour conversion window
+    per step (strictly-after ordering)."""
+    from credit_ocr_backend_ray.stages.relational import funnel_steps
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "event_type", "ts"])
+    return funnel_steps(ds, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"],
+                        within_us=6 * 3600 * 1_000_000)
+
+
+def _q_priority_trimmed_mean(sf_dir: str):
+    """10% two-sided trimmed mean of order price per priority — the
+    outlier-robust aggregate (exact rank-cut semantics)."""
+    from credit_ocr_backend_ray.stages.relational import trimmed_mean_per_key
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    out = trimmed_mean_per_key(ds, "o_orderpriority", "o_totalprice",
+                               frac=0.1)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["trimmed_mean"] = b["trimmed_mean"].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_part_skyline(sf_dir: str):
+    """Pareto frontier of the part catalog: minimize retail price,
+    maximize size — local-skyline combiner then frontier-of-frontiers."""
+    from credit_ocr_backend_ray.stages.relational import skyline
+
+    ds = _rp(_t(sf_dir, "part"),
+             columns=["p_partkey", "p_retailprice", "p_size"])
+    return skyline(ds, minimize=["p_retailprice"], maximize=["p_size"])
+
+
+def _q_part_triangles(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (parts sharing
+    a high-quantity order), degree-ordered node-iterator — the clustering
+    signal of a co-occurrence graph at edge-list scale."""
+    import pyarrow.compute as pc
+
+    from credit_ocr_backend_ray.stages.graph import (
+        cooccurrence_edges, triangle_count)
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_partkey", "l_quantity"],
+             filter=pc.field("l_quantity") >= 25.0)
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    n_edges, n_tri = triangle_count(edges)
+    return pd.DataFrame({"n_edges": pd.Series([n_edges], dtype="int64"),
+                         "n_triangles": pd.Series([n_tri], dtype="int64")})
+
+
+def _q_event_retention(sf_dir: str):
+    """Cohort retention matrix over the event stream: users by
+    first-activity day, counted once per day-offset they returned."""
+    from credit_ocr_backend_ray.stages.relational import retention_cohorts
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    out = retention_cohorts(ds, "user_id", "ts")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["cohort_day"] = b["cohort_day"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2326,6 +2416,13 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "order_rolling_sum": _q_order_rolling_sum,
+        "top_bigrams": _q_top_bigrams,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "funnel_conversion": _q_funnel_conversion,
+        "priority_trimmed_mean": _q_priority_trimmed_mean,
+        "part_skyline": _q_part_skyline,
+        "part_triangles": _q_part_triangles,
+        "event_retention": _q_event_retention,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2629,6 +2726,107 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            bg AS (
+                SELECT t[i] AS w1, t[i+1] AS w2
+                FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+                WHERE len(t) >= 2)
+            SELECT w1, w2, count(*) AS n FROM bg
+            WHERE w1 <> '' AND w2 <> ''
+            GROUP BY w1, w2 ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 30
+        """,
+        "source_vocab_jaccard": """
+            WITH ts AS (
+                SELECT DISTINCT
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS token,
+                       source
+                FROM documents WHERE length(trim(text)) > 0),
+            p AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       count(*) AS n_common
+                FROM ts a JOIN ts b
+                  ON a.token = b.token AND a.source < b.source
+                WHERE a.token <> ''
+                GROUP BY 1, 2),
+            v AS (SELECT source, count(*) AS nv FROM ts
+                  WHERE token <> '' GROUP BY source)
+            SELECT p.src_a, p.src_b, p.n_common,
+                   round(CAST(p.n_common AS DOUBLE)
+                         / (va.nv + vb.nv - p.n_common), 6) AS jaccard
+            FROM p JOIN v va ON va.source = p.src_a
+                   JOIN v vb ON vb.source = p.src_b
+        """,
+        "funnel_conversion": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                        JOIN s1 ON e.user_id = s1.user_id
+                               AND e.ts > s1.t
+                               AND e.ts <= s1.t + INTERVAL 6 HOUR
+                        WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                        JOIN s2 ON e.user_id = s2.user_id
+                               AND e.ts > s2.t
+                               AND e.ts <= s2.t + INTERVAL 6 HOUR
+                        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 1 AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "priority_trimmed_mean": """
+            WITH r AS (
+                SELECT o_orderpriority, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders)
+            SELECT o_orderpriority, round(avg(o_totalprice), 4)
+                       AS trimmed_mean,
+                   count(*) AS n_kept
+            FROM r
+            WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+              AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+            GROUP BY o_orderpriority
+        """,
+        "part_skyline": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
+        "part_triangles": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem WHERE l_quantity >= 25),
+                 e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                        FROM li a JOIN li b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey)
+            SELECT (SELECT count(*) FROM e0) AS n_edges,
+                   (SELECT count(*)
+                    FROM e0 e1
+                    JOIN e0 e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v)
+                       AS n_triangles
+        """,
+        "event_retention": """
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts))
+                           AS cohort_day
+                       FROM events GROUP BY user_id)
+            SELECT f.cohort_day,
+                   datediff('day', f.cohort_day,
+                            date_trunc('day', e.ts)) AS offset_days,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f ON e.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "user_top_event_type": """
             SELECT user_id, top_event_type, n FROM (

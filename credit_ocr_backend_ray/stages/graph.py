@@ -391,3 +391,214 @@ def _pr_empty() -> pd.DataFrame:
                          "val": pd.Series([], dtype=np.float64),
                          "outdeg": pd.Series([], dtype=np.int64),
                          "kind": pd.Series([], dtype=np.int8)})
+
+
+def cooccurrence_edges(ds: "rd.Dataset", group_col: str, item_col: str,
+                       n_shards: int = 64) -> "rd.Dataset":
+    """Undirected co-occurrence edges (src < dst, int64, with cross-group
+    duplicates) between items sharing a group — the market-basket /
+    co-citation graph constructor. One coarse-shard co-grouping shuffle
+    keyed on the group id; the per-shard pass is a vectorized self-merge.
+
+    Partitioning assumption, stated: the pair fan-out is quadratic in the
+    per-GROUP item count, so groups must be small (order baskets, page
+    link lists) — the shuffle itself only moves the distinct
+    (group, item) pairs, never payloads."""
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = pd.DataFrame({"g": g, "i": i}).drop_duplicates()
+        ga = u["g"].to_numpy(np.int64)
+        return pa.table({
+            "g": pa.array(ga, pa.int64()),
+            "i": pa.array(u["i"].to_numpy(np.int64), pa.int64()),
+            "shard": pa.array(_shard_of(ga, n_shards), pa.int64()),
+        })
+
+    def per_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["g", "i"]].drop_duplicates()  # cross-batch dupes co-shard
+        m = b.merge(b, on="g")
+        m = m[m["i_x"] < m["i_y"]]
+        return pd.DataFrame({"src": m["i_x"].to_numpy(np.int64),
+                             "dst": m["i_y"].to_numpy(np.int64)})
+
+    return (ds.map_batches(local_distinct, batch_format="pyarrow")
+              .groupby("shard").map_groups(per_shard, batch_format="pandas"))
+
+
+def triangle_count(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
+                   n_shards: int = 64) -> tuple[int, int]:
+    """Exact triangle count of the undirected graph, degree-ordered
+    node-iterator style (Schank & Wagner's forward algorithm / the
+    MapReduce NodeIterator++ of Suri & Vassilvitskii, WWW'11): orient
+    every edge from its lower-(degree, id) endpoint to the higher, emit
+    each node's out-neighbor pairs as wedges, and count wedges whose
+    closing pair is itself an oriented edge. Orientation bounds the
+    per-node wedge fan-out by O(sqrt(E)) amortized — the property that
+    keeps hub nodes from exploding the wedge set at web scale.
+
+    Everything distributed: edge dedup, the degree aggregate, two
+    degree-attach co-group shuffles, the wedge self-merge, and the
+    closure count are all coarse-shard shuffles over fixed-width int64
+    rows with per-batch combiners; the driver sees two scalars.
+    Returns ``(n_edges, n_triangles)`` over the deduped simple graph.
+    Duplicate input edges and self-loops are dropped."""
+    from ray.data.aggregate import Sum as _Sum
+
+    # --- distinct simple edges (canonical u < v), pair-shard co-group
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        d = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        ua = d["u"].to_numpy(np.int64)
+        va = d["v"].to_numpy(np.int64)
+        return pa.table({
+            "u": pa.array(ua, pa.int64()),
+            "v": pa.array(va, pa.int64()),
+            "shard": pa.array(_shard_of(ua * np.int64(31) + va, n_shards),
+                              pa.int64()),
+        })
+
+    def shard_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["u", "v"]].drop_duplicates()
+
+    simple = (edges.map_batches(canon, batch_format="pyarrow")
+                   .groupby("shard")
+                   .map_groups(shard_dedup, batch_format="pandas")
+                   .materialize())
+    n_edges = simple.count()
+    if n_edges == 0:
+        return 0, 0
+
+    # --- degrees, combiner-style (unbounded V: a distributed aggregate)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["v"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "__d": pa.array(c.astype(np.int64), pa.int64())})
+
+    degs = (simple.map_batches(deg_partial, batch_format="pyarrow")
+                  .groupby("node").aggregate(_Sum("__d", alias_name="deg")))
+
+    # --- attach deg(u) then deg(v) via two co-group shuffles (the
+    # union+kind+shard pattern of connected_components — no broadcast,
+    # so V never needs to fit anywhere)
+    def attach_by(key: str, deg_name: str):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {c: t[c] for c in t.column_names if c != "shard"}
+            cols["__key"] = pa.array(k, pa.int64())
+            cols["__deg"] = pa.array(np.full(len(k), -1, np.int64))
+            cols["kind"] = pa.array(np.zeros(len(k), np.int8))
+            cols["shard"] = pa.array(_shard_of(k, n_shards), pa.int64())
+            return pa.table(cols)
+
+        def tag_degs(t: pa.Table) -> pa.Table:
+            k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "__key": pa.array(k, pa.int64()),
+                "__deg": t["deg"].cast(pa.int64()),
+                "kind": pa.array(np.ones(len(k), np.int8)),
+                "shard": pa.array(_shard_of(k, n_shards), pa.int64()),
+            })
+
+        def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0].drop(columns=["kind", "__deg"])
+            d = g[g["kind"] == 1][["__key", "__deg"]]
+            out = e.merge(d, on="__key")
+            return (out.drop(columns=["__key"])
+                       .rename(columns={"__deg": deg_name}))
+
+        return tag_edges, tag_degs, join_shard
+
+    work = simple
+    for key, deg_name in (("u", "deg_u"), ("v", "deg_v")):
+        tag_edges, tag_degs, join_shard = attach_by(key, deg_name)
+        tagged_e = work.map_batches(tag_edges, batch_format="pyarrow")
+        tagged_d = degs.map_batches(tag_degs, batch_format="pyarrow")
+        work = (tagged_e.union(tagged_d).groupby("shard")
+                        .map_groups(join_shard, batch_format="pandas"))
+
+    # --- orient lower-(deg, id) -> higher; key wedge/closure rows by the
+    # ORIENTED pair so both sides agree
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        du = b["deg_u"].to_numpy(np.int64)
+        dv = b["deg_v"].to_numpy(np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        bb = np.where(u_first, v, u)
+        da = np.where(u_first, du, dv)
+        db = np.where(u_first, dv, du)
+        return pd.DataFrame({"a": a, "b": bb, "deg_a": da, "deg_b": db})
+
+    oriented = work.map_batches(orient, batch_format="pandas").materialize()
+
+    # --- wedges: per source node a, out-neighbor pairs in rank order
+    def shard_by_a(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("shard",
+                               pa.array(_shard_of(a, n_shards), pa.int64()))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["a", "b", "deg_b"]]
+        m = g.merge(g, on="a")
+        lt = ((m["deg_b_x"] < m["deg_b_y"])
+              | ((m["deg_b_x"] == m["deg_b_y"]) & (m["b_x"] < m["b_y"])))
+        m = m[lt]
+        # combiner: the closure shuffle moves (pair, multiplicity), not
+        # one row per wedge
+        c = (pd.DataFrame({"x": m["b_x"].to_numpy(np.int64),
+                           "y": m["b_y"].to_numpy(np.int64)})
+               .groupby(["x", "y"], as_index=False).size())
+        return pd.DataFrame({"x": c["x"], "y": c["y"],
+                             "n": c["size"].astype(np.int64)})
+
+    wedge_counts = (oriented.map_batches(shard_by_a, batch_format="pyarrow")
+                            .groupby("shard")
+                            .map_groups(wedges, batch_format="pandas"))
+
+    # --- closure: wedge pairs meet oriented edges on the pair key
+    def tag_wedges(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+            "n": t["n"].cast(pa.int64()),
+            "kind": pa.array(np.zeros(len(x), np.int8)),
+            "shard": pa.array(_shard_of(x * np.int64(31) + y, n_shards),
+                              pa.int64()),
+        })
+
+    def tag_closing(t: pa.Table) -> pa.Table:
+        x = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+            "n": pa.array(np.zeros(len(x), np.int64)),
+            "kind": pa.array(np.ones(len(x), np.int8)),
+            "shard": pa.array(_shard_of(x * np.int64(31) + y, n_shards),
+                              pa.int64()),
+        })
+
+    def close_shard(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["kind"] == 0][["x", "y", "n"]]
+        e = g[g["kind"] == 1][["x", "y"]].drop_duplicates()
+        hit = w.merge(e, on=["x", "y"])
+        return pd.DataFrame({"tri": pd.Series([hit["n"].sum()],
+                                              dtype=np.int64)})
+
+    tw = wedge_counts.map_batches(tag_wedges, batch_format="pyarrow")
+    te = oriented.map_batches(tag_closing, batch_format="pyarrow")
+    total = (tw.union(te).groupby("shard")
+               .map_groups(close_shard, batch_format="pandas")
+               .aggregate(_Sum("tri", alias_name="t"))["t"] or 0)
+    return int(n_edges), int(total)

@@ -1363,3 +1363,144 @@ def rolling_time_agg(ds: "rd.Dataset", key: str, ts_col: str,
         return g
 
     return _sharded_per_key(ds, key, scan)
+
+
+def funnel_steps(ds: "rd.Dataset", key: str, ts_col: str, step_col: str,
+                 steps: list[str], within_us: int | None = None,
+                 n_shards: int = 64) -> "rd.Dataset":
+    """Ordered-step conversion funnel: how many keys (users) completed
+    step 1, then step 2 STRICTLY AFTER their step-1 time (and within
+    ``within_us`` microseconds of it, when given — the conversion
+    window), and so on — the product-analytics sequential-pattern query
+    (SURVEY §2.9's event-time family; no reference counterpart, scale
+    addition).
+
+    Shape: project + pre-filter to the step set (tiny fixed-width rows
+    cross the wire), ONE coarse key-shard co-group, then a per-shard
+    pass that is vectorized ACROSS keys — per step one groupby-min and
+    one mapped comparison, never a per-key loop. Per-shard partial
+    counts (each key lives in exactly one shard) sum in a bounded-key
+    driver fold (#steps rows)."""
+    stepset = list(steps)
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[step_col].isin(stepset)][[key, step_col, ts_col]]
+        return _with_shard(b, key, n_shards)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None
+        counts: list[int] = []
+        for s in stepset:
+            rows = g[g[step_col] == s]
+            if prev is not None:
+                pr = rows[key].map(prev)
+                ok = pr.notna().to_numpy() & (rows[ts_col] > pr).to_numpy()
+                if within_us is not None:
+                    ok &= (rows[ts_col] <= pr + pd.Timedelta(
+                        microseconds=within_us)).to_numpy()
+                rows = rows[ok]
+            prev = rows.groupby(key, sort=False)[ts_col].min()
+            counts.append(len(prev))
+        return pd.DataFrame({
+            "step_idx": pd.Series(range(1, len(stepset) + 1), dtype="int64"),
+            "step": stepset,
+            "__pn": pd.Series(counts, dtype="int64"),
+        })
+
+    partials = (ds.map_batches(prefilter, batch_format="pandas")
+                  .groupby("__shard").map_groups(per_shard,
+                                                 batch_format="pandas"))
+    return grouped_agg(partials, ["step_idx", "step"], {"__pn": "n_users"},
+                       count_alias=None, combine="driver")
+
+
+def trimmed_mean_per_key(ds: "rd.Dataset", key: str, val_col: str,
+                         frac: float = 0.1,
+                         alias: str = "trimmed_mean") -> "rd.Dataset":
+    """Exact per-group trimmed mean: drop ``floor(n*frac)`` rows from
+    each end of the value-sorted group, average the rest — the
+    outlier-robust aggregate a quality-score or latency rollup wants.
+    Trim bounds are GLOBAL ranks, so no combiner exists and each group
+    co-locates (same bounded-group contract as the exact median in
+    ``grouped_multi_quantile``; unbounded groups should clamp with the
+    approx-quantile sketch instead). Value ties need no tie-break: the
+    trimmed multiset is rank-cut so it is identical under any tie
+    order."""
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[val_col].to_numpy(np.float64))
+        n = len(v)
+        k = int(np.floor(n * frac))
+        vv = v[k:n - k]
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            alias: [float(vv.mean()) if len(vv) else float("nan")],
+            "n_kept": pd.Series([len(vv)], dtype="int64"),
+        })
+
+    return _sharded_per_key(ds, key, scan)
+
+
+def skyline(ds: "rd.Dataset", minimize: Sequence[str],
+            maximize: Sequence[str]) -> "rd.Dataset":
+    """Distributed skyline (pareto frontier): rows not strictly dominated
+    on the given criteria (dominator <= on every minimized column, >= on
+    every maximized one, strict somewhere). Classic two-phase: a LOCAL
+    skyline per batch is a true combiner (a globally non-dominated row is
+    locally non-dominated), so only each block's frontier — typically
+    O(log n) rows — reaches the single final pass. The final pass must
+    see all survivors together (one block); frontier size, not input
+    size, bounds its memory. Ties equal on ALL criteria dominate nothing
+    and all survive."""
+    mins = list(minimize)
+    maxs = list(maximize)
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        m = np.column_stack(
+            [b[c].to_numpy(np.float64) for c in mins]
+            + [-b[c].to_numpy(np.float64) for c in maxs])
+        le = (m[:, None, :] <= m[None, :, :]).all(axis=2)
+        lt = (m[:, None, :] < m[None, :, :]).any(axis=2)
+        dominated = (le & lt).any(axis=0)
+        return b[~dominated]
+
+    local = ds.map_batches(_local, batch_format="pandas")
+    # final frontier-of-frontiers: one block, whole-block batch
+    return local.repartition(1).map_batches(_local, batch_size=None,
+                                            batch_format="pandas")
+
+
+def retention_cohorts(ds: "rd.Dataset", key: str, ts_col: str,
+                      n_shards: int = 64) -> "rd.Dataset":
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted once per (cohort_day, offset_days) they were
+    active — the activation/retention curve query. ONE key-shard
+    co-group (a user's whole history lands in one shard, so the
+    per-user min and the distinct-day set are exact), vectorized across
+    users inside the shard; per-shard partial counts are disjoint by
+    construction and sum in a driver fold over calendar-bounded keys
+    (#days × #offsets rows)."""
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        return _with_shard(b[[key, ts_col]], key, n_shards)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        fmin = g.groupby(key, sort=False)[ts_col].transform("min")
+        cohort = fmin.dt.floor("D")
+        day = g[ts_col].dt.floor("D")
+        d = pd.DataFrame({
+            key: g[key],
+            "cohort_day": cohort,
+            "offset_days": (day - cohort).dt.days.astype("int64"),
+        }).drop_duplicates()
+        out = (d.groupby(["cohort_day", "offset_days"], as_index=False)
+                .size().rename(columns={"size": "__pn"}))
+        out["__pn"] = out["__pn"].astype("int64")
+        return out
+
+    partials = (ds.map_batches(prefilter, batch_format="pandas")
+                  .groupby("__shard").map_groups(per_shard,
+                                                 batch_format="pandas"))
+    return grouped_agg(partials, ["cohort_day", "offset_days"],
+                       {"__pn": "n_users"}, count_alias=None,
+                       combine="driver")

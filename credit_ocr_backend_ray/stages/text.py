@@ -5,6 +5,7 @@ kernels (regexes compiled at module import, once per worker process).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from credit_ocr_backend_ray.functions.textstats import (
@@ -352,3 +353,119 @@ def compression_ratio_batch(batch: pa.Table,
         ratios.append(len(comp) * 1_000_000 // len(raw))
     return batch.append_column("compress_ratio_micro",
                                pa.array(ratios, pa.int64()))
+
+
+def top_bigrams(ds, k: int = 30, text_col: str = "text"):
+    """Global top-k adjacent-token bigrams — the collocation counter a
+    tokenizer-vocabulary or BPE-merge builder runs over a corpus. Same
+    combiner shape as ``top_terms``: one (w1, w2, n) partial row per
+    distinct bigram per batch crosses the shuffle, then a grouped sum
+    and a cluster sort + limit. Tie-break (w1, w2) ascending for a
+    deterministic cut."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if not txt:
+                continue
+            toks = [tok for tok in ws.split(txt.strip()) if tok]
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([p[0] for p in c], pa.string()),
+            "w2": pa.array([p[1] for p in c], pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = grouped_agg(partials, ["w1", "w2"], {"__pn": "n"},
+                         count_alias="__nb")
+
+    def drop_extra(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["w1", "w2", "n"]]
+
+    return (counts.map_batches(drop_extra, batch_format="pandas")
+                  .sort(["n", "w1", "w2"], descending=[True, False, False])
+                  .limit(k))
+
+
+def source_vocab_jaccard(ds, text_col: str = "text",
+                         group_col: str = "source", n_shards: int = 64):
+    """Pairwise vocabulary Jaccard between sources — the cross-corpus
+    lexical-overlap matrix a mixing-weights decision reads (are two
+    crawl dumps the same register, or disjoint domains?).
+
+    Shape: per-batch distinct (token, source) pairs (texts never cross
+    the wire), ONE coarse token-shard co-group in which each token's
+    global source set is known — so per shard a vectorized self-merge
+    emits pair-intersection partials AND per-source vocab partials
+    (encoded as self-pairs (s, s)), then one tiny bounded-key aggregate
+    (#source² rows) finishes on the driver. Jaccard is computed from
+    the exact integer counts in ONE double division, so the rounded
+    column is engine-independent. Sparse contract: a source pair with
+    ZERO shared tokens emits no row at all (like a SQL inner join on
+    the token)."""
+    import re
+
+    import pandas as pd
+
+    from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        seen: set = set()
+        for txt, src in zip(t[text_col].to_pylist(),
+                            t[group_col].to_pylist()):
+            if not txt:
+                continue
+            for tok in ws.split(txt.strip()):
+                if tok:
+                    seen.add((tok, src))
+        toks = [p[0] for p in seen]
+        srcs = [p[1] for p in seen]
+        shard = (hash_strings_u64(toks) % np.uint64(n_shards)).astype(
+            np.int64) if toks else np.array([], np.int64)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "src": pa.array(srcs, pa.string()),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["token", "src"]].drop_duplicates()
+        m = d.merge(d, on="token")
+        m = m[m["src_x"] <= m["src_y"]]  # self-pairs carry vocab sizes
+        c = (m.groupby(["src_x", "src_y"], as_index=False).size()
+              .rename(columns={"size": "__pn", "src_x": "src_a",
+                               "src_y": "src_b"}))
+        c["__pn"] = c["__pn"].astype("int64")
+        return c
+
+    parted = (ds.map_batches(local_pairs, batch_format="pyarrow")
+                .groupby("shard").map_groups(per_shard,
+                                             batch_format="pandas"))
+    counts = grouped_agg(parted, ["src_a", "src_b"], {"__pn": "n_common"},
+                         count_alias=None, combine="driver")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        vocab = dict(zip(b.loc[b["src_a"] == b["src_b"], "src_a"],
+                         b.loc[b["src_a"] == b["src_b"], "n_common"]))
+        out = b[b["src_a"] < b["src_b"]].copy()
+        n_a = out["src_a"].map(vocab).to_numpy(np.int64)
+        n_b = out["src_b"].map(vocab).to_numpy(np.int64)
+        nc = out["n_common"].to_numpy(np.int64)
+        out["jaccard"] = np.round(nc / (n_a + n_b - nc), 6)
+        return out[["src_a", "src_b", "n_common", "jaccard"]]
+
+    # bounded output (#source² rows): single-block finish
+    return counts.repartition(1).map_batches(fin, batch_size=None,
+                                             batch_format="pandas")

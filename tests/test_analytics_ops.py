@@ -1,0 +1,171 @@
+"""Unit tests for the analytics operator batch: funnel, trimmed mean,
+skyline, co-occurrence + triangle count, bigrams, vocab jaccard,
+retention cohorts. Small planted inputs with hand-checked expectations;
+the DuckDB oracle gate (tools/check_correctness.py) covers the same
+operators at sf scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_pandas(df).repartition(3)
+
+
+def test_funnel_steps_window_and_order(ray_session):
+    from credit_ocr_backend_ray.stages.relational import funnel_steps
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    # u1 completes all three within windows
+    rows += [(1, "view", t0), (1, "click", t0 + h), (1, "buy", t0 + 2 * h)]
+    # u2 clicks BEFORE viewing -> stops after view
+    rows += [(2, "click", t0), (2, "view", t0 + h), (2, "buy", t0 + 2 * h)]
+    # wait: u2's buy is within 6h of... u2 has no qualifying click after
+    # view at t0+1h? click at t0 is before view -> no step2.
+    # u3 clicks too late (outside the 2h window)
+    rows += [(3, "view", t0), (3, "click", t0 + 5 * h)]
+    # u4 never views
+    rows += [(4, "click", t0), (4, "buy", t0 + h)]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = funnel_steps(_ds(ev), "user_id", "ts", "event_type",
+                       ["view", "click", "buy"],
+                       within_us=2 * 3600 * 1_000_000).to_pandas()
+    out = out.sort_values("step_idx").reset_index(drop=True)
+    assert out["step"].tolist() == ["view", "click", "buy"]
+    # views: u1, u2, u3; clicks-after-view within 2h: u1 only (u2's click
+    # precedes the view, u3's is 5h later); buys: u1
+    assert out["n_users"].tolist() == [3, 1, 1]
+
+
+def test_funnel_strictly_after(ray_session):
+    from credit_ocr_backend_ray.stages.relational import funnel_steps
+
+    t0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "user_id": [1, 1],
+        "event_type": ["a", "b"],
+        "ts": [t0, t0],  # simultaneous: b is NOT strictly after a
+    })
+    out = funnel_steps(_ds(ev), "user_id", "ts", "event_type",
+                       ["a", "b"]).to_pandas()
+    assert out.sort_values("step_idx")["n_users"].tolist() == [1, 0]
+
+
+def test_trimmed_mean_per_key_exact(ray_session):
+    from credit_ocr_backend_ray.stages.relational import trimmed_mean_per_key
+
+    vals = list(range(1, 11))  # 1..10, 10% trim drops 1 and 10
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 3,
+                       "v": vals + [5, 100, -100]})
+    out = trimmed_mean_per_key(_ds(df), "k", "v", frac=0.1) \
+        .to_pandas().set_index("k")
+    assert out.loc["a", "trimmed_mean"] == pytest.approx(np.mean(vals[1:-1]))
+    assert out.loc["a", "n_kept"] == 8
+    # n=3, floor(0.3)=0 -> nothing trimmed
+    assert out.loc["b", "trimmed_mean"] == pytest.approx(5 / 3)
+    assert out.loc["b", "n_kept"] == 3
+
+
+def test_skyline_dominance_and_ties(ray_session):
+    from credit_ocr_backend_ray.stages.relational import skyline
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "price": [10.0, 20.0, 10.0, 5.0, 10.0],
+        "size": [5, 5, 7, 3, 7],
+    })
+    # 4 (5,3): cheapest -> frontier. 3 and 5 (10,7): tie on both, both
+    # survive (neither strictly dominates). 1 (10,5): dominated by 3/5
+    # (same price, bigger size). 2 (20,5): dominated by 1.
+    out = skyline(_ds(df), minimize=["price"], maximize=["size"]).to_pandas()
+    assert sorted(out["id"].tolist()) == [3, 4, 5]
+
+
+def test_cooccurrence_edges_and_triangles(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.graph import (
+        cooccurrence_edges, triangle_count)
+
+    # baskets: {1,2,3} -> triangle; {3,4} -> pendant edge; {1,2} dup pair
+    basket = pd.DataFrame({
+        "g": [10, 10, 10, 11, 11, 12, 12],
+        "i": [1, 2, 3, 3, 4, 1, 2],
+    })
+    edges = cooccurrence_edges(_ds(basket), "g", "i").to_pandas()
+    eset = set(map(tuple, edges[["src", "dst"]].to_numpy()))
+    assert eset == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    # duplicate (1,2) edge present twice in the raw stream
+    assert len(edges) == 5
+
+    n_edges, n_tri = triangle_count(
+        rd.from_pandas(edges).repartition(2))
+    assert (n_edges, n_tri) == (4, 1)
+
+
+def test_triangle_count_k4_with_noise(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.graph import triangle_count
+
+    # K4 = 4 triangles; add self-loop, reversed duplicates
+    e = pd.DataFrame({
+        "src": [1, 1, 1, 2, 2, 3, 3, 4, 2],
+        "dst": [2, 3, 4, 3, 4, 4, 3, 1, 2],
+    })
+    n_edges, n_tri = triangle_count(rd.from_pandas(e).repartition(3))
+    assert (n_edges, n_tri) == (6, 4)
+
+
+def test_top_bigrams(ray_session):
+    from credit_ocr_backend_ray.stages.text import top_bigrams
+
+    df = pd.DataFrame({"text": ["a b a b", "b a", "", None, "a"]})
+    out = top_bigrams(_ds(df), k=10).to_pandas()
+    got = {(r.w1, r.w2): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_source_vocab_jaccard(ray_session):
+    from credit_ocr_backend_ray.stages.text import source_vocab_jaccard
+
+    df = pd.DataFrame({
+        "text": ["a b c", "c d", "c d e", "x"],
+        "source": ["s1", "s1", "s2", "s3"],
+    })
+    out = source_vocab_jaccard(_ds(df)).to_pandas()
+    out = out.set_index(["src_a", "src_b"])
+    # V(s1)={a,b,c,d}, V(s2)={c,d,e}, V(s3)={x}; zero-overlap pairs
+    # (s1,s3), (s2,s3) emit NO row (sparse-matrix contract, same as the
+    # oracle's inner join on token)
+    assert out.loc[("s1", "s2"), "n_common"] == 2
+    assert out.loc[("s1", "s2"), "jaccard"] == pytest.approx(2 / 5)
+    assert len(out) == 1
+
+
+def test_retention_cohorts(ray_session):
+    from credit_ocr_backend_ray.stages.relational import retention_cohorts
+
+    d0 = pd.Timestamp("2024-03-01")
+    day = pd.Timedelta(days=1)
+    rows = [
+        (1, d0), (1, d0 + pd.Timedelta(hours=3)),  # same day: once
+        (1, d0 + 2 * day),
+        (2, d0), (2, d0 + day),
+        (3, d0 + day),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = retention_cohorts(_ds(ev), "user_id", "ts").to_pandas()
+    out["cohort_day"] = out["cohort_day"].astype("datetime64[ns]")
+    got = {(r.cohort_day, r.offset_days): r.n_users
+           for r in out.itertuples()}
+    assert got == {
+        (d0, 0): 2,          # users 1, 2 on their first day
+        (d0, 1): 1,          # user 2 returned next day
+        (d0, 2): 1,          # user 1 returned on day 2
+        (d0 + day, 0): 1,    # user 3's cohort
+    }
