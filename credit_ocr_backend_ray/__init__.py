@@ -16,3 +16,32 @@ actor pools; state between stages lives in Arrow columns, not storage hops.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_log_filters() -> None:
+    """Drop Ray Data's per-reduce-task "Failed to hash the schemas"
+    warning. Root cause: ``pa.Table.from_pandas`` (inside Ray's
+    pandas-block ``to_arrow``) attaches a ``b'pandas'`` schema-metadata
+    dict, and a pyarrow schema carrying metadata is unhashable, so the
+    schema-dedup fast path in ``unify_schemas`` logs a warning per
+    reduce task and falls back to the full unify — values are
+    unaffected. Read-side schemas are already stripped
+    (sources/pq_read.py); pandas blocks produced MID-pipeline can't be
+    (the conversion happens inside Ray), so filter the noise where it
+    is logged. Installed at import time, which covers every worker
+    process that loads this package to run a closure."""
+    import logging
+
+    class _DropSchemaHashNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    # logging.Filter on an ANCESTOR logger does not see child records
+    # (filters only run at the origin logger and at handlers), so attach
+    # to the exact module logger that emits the message
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashNoise())
+
+
+_install_log_filters()
