@@ -2304,6 +2304,59 @@ def _q_event_retention(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_supplier_hamming_pairs(sf_dir: str):
+    """Hamming self-join over the fixed-width supplier names (typo-
+    tolerant key matching): pairs within 1 substitution, pigeonhole
+    chunk blocking + vectorized byte-matrix verify."""
+    from credit_ocr_backend_ray.stages.dedup import hamming_join
+
+    ds = _rp(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    (ts, event_id)-ordered event stream."""
+    from credit_ocr_backend_ray.stages.relational import transition_matrix
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_matrix(ds, "user_id", "ts", "event_type", "event_id")
+
+
+def _q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type distribution —
+    behavioral diversity."""
+    from credit_ocr_backend_ray.stages.relational import grouped_entropy
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    out = grouped_entropy(ds, "user_id", "event_type")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["entropy"] = b["entropy"].round(6)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_frequent_part_pairs(sf_dir: str):
+    """Top-25 most frequently co-purchased high-quantity part pairs
+    (market-basket frequent itemsets at size 2): the co-occurrence edge
+    stream counted and cut deterministically."""
+    import pyarrow.compute as pc
+
+    from credit_ocr_backend_ray.stages.graph import cooccurrence_edges
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_partkey", "l_quantity"],
+             filter=pc.field("l_quantity") >= 25.0)
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    counts = grouped_agg(edges, ["src", "dst"], {}, count_alias="n")
+    return (counts.sort(["n", "src", "dst"],
+                        descending=[True, False, False]).limit(25))
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2423,6 +2476,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": _q_part_skyline,
         "part_triangles": _q_part_triangles,
         "event_retention": _q_event_retention,
+        "supplier_hamming_pairs": _q_supplier_hamming_pairs,
+        "event_transitions": _q_event_transitions,
+        "user_event_entropy": _q_user_event_entropy,
+        "frequent_part_pairs": _q_frequent_part_pairs,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2827,6 +2884,41 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT e.user_id) AS n_users
             FROM events e JOIN f ON e.user_id = f.user_id
             GROUP BY 1, 2
+        """,
+        "supplier_hamming_pairs": """
+            SELECT a.s_suppkey AS k_a, b.s_suppkey AS k_b,
+                   hamming(a.s_name, b.s_name) AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE hamming(a.s_name, b.s_name) <= 1
+        """,
+        "event_transitions": """
+            SELECT from_state, to_state, count(*) AS n FROM (
+                SELECT event_type AS to_state,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS from_state
+                FROM events)
+            WHERE from_state IS NOT NULL GROUP BY from_state, to_state
+        """,
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY user_id, event_type),
+                 t AS (SELECT user_id, sum(n) AS tn FROM c
+                       GROUP BY user_id)
+            SELECT c.user_id,
+                   round(-sum((n * 1.0 / tn) * ln(n * 1.0 / tn)), 6)
+                       AS entropy,
+                   CAST(max(tn) AS BIGINT) AS n_events
+            FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id
+        """,
+        "frequent_part_pairs": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem WHERE l_quantity >= 25)
+            SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 ORDER BY n DESC, src ASC, dst ASC LIMIT 25
         """,
         "user_top_event_type": """
             SELECT user_id, top_event_type, n FROM (

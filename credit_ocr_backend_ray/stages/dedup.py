@@ -626,3 +626,132 @@ def corpus_overlap(ds: "rd.Dataset", text_col: str = "text",
                                              batch_format="pandas")
     return grouped_agg(flagged, [group_col], {"__shared": "n_shared"},
                        count_alias="n_texts")
+
+
+# ------------------------------------------------------- hamming strings
+
+def hamming_join(ds: "rd.Dataset", id_col: str, str_col: str,
+                 max_dist: int = 1,
+                 n_shards: int = 64) -> "rd.Dataset":
+    """Self-join on Hamming distance over a fixed-width string column
+    (typo-tolerant key matching): pairs ``(k_a, k_b, dist)`` with
+    ``dist <= max_dist`` and ``k_a < k_b``. Blocking is the pigeonhole
+    chunk scheme (the SimHash-chunk idea applied to characters): split
+    each string into ``max_dist + 1`` contiguous chunks — two strings
+    within ``max_dist`` substitutions agree on at least one whole chunk
+    — and shuffle only (chunk_id, chunk_hash, id, string) rows; exact
+    verification is a vectorized byte-matrix comparison per bucket.
+    Strings of unequal length never pair (Hamming is undefined there;
+    they also cannot share an aligned chunk scheme, so buckets key on
+    the length too). Hot buckets are capped at ``_BUCKET_CAP`` rows
+    with the dropped count logged — same no-silent-caps contract as
+    the LSH stages. Distance is over BYTES (ascii keys; for multibyte
+    text the byte count upper-bounds the character count, so recall is
+    unaffected but reported distances can exceed character hamming).
+
+    Blocking scheme, chosen per call: chunk pigeonholing degenerates
+    when the keys share a long constant region (every row lands in the
+    constant chunk's bucket — e.g. a common "Supplier#" prefix puts the
+    WHOLE table in one bucket and the cap then drops true pairs). So
+    for ``max_dist == 1`` over short keys (≤64 chars) the blocker is
+    the wildcard / deletion-neighborhood scheme instead: one key per
+    character position with that character masked; two strings at
+    distance ≤1 share a key iff they match with one position
+    wildcarded, so buckets are bounded by the alphabet size (plus true
+    duplicates) regardless of shared prefixes — exact recall, L keys
+    per row. Longer keys or larger distances keep chunk pigeonholing
+    (C(L, d) wildcard keys would explode); constant-prefix data at
+    max_dist >= 2 will report truncation rather than silently lose
+    pairs."""
+    n_chunks = max_dist + 1
+
+    def explode(t: pa.Table) -> pa.Table:
+        from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+        ids = t[id_col].to_pylist()
+        strs = t[str_col].to_pylist()
+        out_id, out_s, out_chunk, out_key = [], [], [], []
+        for i, s in zip(ids, strs):
+            if not s:
+                continue
+            ln = len(s)
+            if max_dist == 1 and ln <= 64:
+                for c in range(ln):
+                    out_id.append(i)
+                    out_s.append(s)
+                    out_chunk.append(c)
+                    out_key.append(f"{ln}|{c}|{s[:c]}\x00{s[c + 1:]}")
+                continue
+            for c in range(n_chunks):
+                lo = (ln * c) // n_chunks
+                hi = (ln * (c + 1)) // n_chunks
+                out_id.append(i)
+                out_s.append(s)
+                out_chunk.append(c)
+                # length in the key: unequal-length strings never co-bucket
+                out_key.append(f"{ln}|{c}|{s[lo:hi]}")
+        keys = hash_strings_u64(out_key) if out_key else np.array([], np.uint64)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            str_col: pa.array(out_s, pa.string()),
+            "chunk_id": pa.array(out_chunk, pa.int32()),
+            "chunk_key": pa.array(keys, pa.uint64()),
+            "shard": pa.array((keys % np.uint64(_BAND_SHARDS)).astype(np.int32),
+                              pa.int32()),
+        })
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, d_out, t_out = [], [], [], []
+        for _, bucket in g.groupby("chunk_key", sort=False):
+            rows = sorted(set(zip(bucket[id_col].astype("int64"),
+                                  bucket[str_col])))
+            dropped = max(0, len(rows) - _BUCKET_CAP)
+            rows = rows[:_BUCKET_CAP]
+            if len(rows) < 2:
+                if dropped:
+                    a_out.append(-1); b_out.append(-1)
+                    d_out.append(-1); t_out.append(dropped)
+                continue
+            # vectorized verify: byte matrix, pairwise mismatch counts
+            mat = np.frombuffer(
+                "".join(s for _, s in rows).encode("utf-8", "surrogateescape"),
+                dtype=np.uint8).reshape(len(rows), -1)
+            ids = np.array([k for k, _ in rows], np.int64)
+            first = True
+            neq = (mat[:, None, :] != mat[None, :, :]).sum(axis=2)
+            ii, jj = np.nonzero(np.triu(neq <= max_dist, k=1))
+            for i, j in zip(ii, jj):
+                a_out.append(int(ids[i])); b_out.append(int(ids[j]))
+                d_out.append(int(neq[i, j]))
+                t_out.append(dropped if first else 0)
+                first = False
+            if dropped and first:
+                a_out.append(-1); b_out.append(-1)
+                d_out.append(-1); t_out.append(dropped)
+        return pd.DataFrame({"k_a": pd.Series(a_out, dtype="int64"),
+                             "k_b": pd.Series(b_out, dtype="int64"),
+                             "dist": pd.Series(d_out, dtype="int64"),
+                             "n_trunc": pd.Series(t_out, dtype="int64")})
+
+    allp = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby(["chunk_id", "shard"])
+              .map_groups(shard_pairs, batch_format="pandas"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        trunc = int(b["n_trunc"].sum())
+        if trunc:
+            logger.warning(
+                "hamming_join: %d rows dropped by the %d-row bucket cap",
+                trunc, _BUCKET_CAP)
+        b = b[b["k_a"] >= 0]
+        return b.drop(columns=["n_trunc"]).drop_duplicates(["k_a", "k_b"])
+
+    # cross-chunk duplicate pairs: one coarse pair-shard co-group
+    def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pair_shard"] = ((b["k_a"] * 31 + b["k_b"]) % 64).astype("int32")
+        return b
+
+    return (allp.map_batches(add_pair_shard, batch_format="pandas")
+                .groupby("pair_shard")
+                .map_groups(finish, batch_format="pandas")
+                .drop_columns(["pair_shard"]))

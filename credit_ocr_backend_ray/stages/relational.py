@@ -70,13 +70,17 @@ def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
+    # internal count name when the caller wants no count column — must
+    # not collide with any caller-chosen sum alias (e.g. "n")
+    cnt = count_alias if count_alias is not None else "__cnt"
+
     if combine == "driver":
         aliases = list(sum_cols.values())
 
         def fold(b: pd.DataFrame) -> pd.DataFrame:
             out = b.groupby(keys, as_index=False, sort=False).agg(
                 **{a: (a, "sum") for a in aliases},
-                **{(count_alias or "n"): ("__pn", "sum")})
+                **{cnt: ("__pn", "sum")})
             return out
 
         # batch_size=None: the fold must see the whole single block at
@@ -84,14 +88,14 @@ def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
         out = partials.repartition(1).map_batches(fold, batch_size=None,
                                                   batch_format="pandas")
         if count_alias is None:
-            out = out.drop_columns(["n"])
+            out = out.drop_columns([cnt])
         return out
 
     aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
-    aggs.append(Sum("__pn", alias_name=count_alias or "n"))
+    aggs.append(Sum("__pn", alias_name=cnt))
     out = partials.groupby(keys).aggregate(*aggs)
     if count_alias is None:
-        out = out.drop_columns(["n"])
+        out = out.drop_columns([cnt])
     return out
 
 
@@ -1504,3 +1508,72 @@ def retention_cohorts(ds: "rd.Dataset", key: str, ts_col: str,
     return grouped_agg(partials, ["cohort_day", "offset_days"],
                        {"__pn": "n_users"}, count_alias=None,
                        combine="driver")
+
+
+def transition_matrix(ds: "rd.Dataset", key: str, ts_col: str,
+                      state_col: str, id_col: str,
+                      n_shards: int = 64) -> "rd.Dataset":
+    """Global first-order transition counts (the Markov matrix of a
+    behavioral stream): for every key's (ts, id)-ordered history, count
+    consecutive (from_state, to_state) pairs across all keys. ONE
+    key-shard co-group; the per-shard pass is a single sort + shift
+    (vectorized across keys — a key's first row is masked out by the
+    key-change test, never a per-key loop); per-shard partial counts
+    sum in a bounded-key fold (#states² rows)."""
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        return _with_shard(b[[key, ts_col, id_col, state_col]], key,
+                           n_shards)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        st = g[state_col].to_numpy()
+        kv = g[key].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        if len(g) > 1:
+            same[1:] = kv[1:] == kv[:-1]
+        out = pd.DataFrame({"from_state": st[:-1][same[1:]] if len(g) > 1
+                            else st[:0],
+                            "to_state": st[1:][same[1:]] if len(g) > 1
+                            else st[:0]})
+        c = (out.groupby(["from_state", "to_state"], as_index=False)
+                .size().rename(columns={"size": "__pn"}))
+        c["__pn"] = c["__pn"].astype("int64")
+        return c
+
+    partials = (ds.map_batches(prefilter, batch_format="pandas")
+                  .groupby("__shard").map_groups(per_shard,
+                                                 batch_format="pandas"))
+    return grouped_agg(partials, ["from_state", "to_state"],
+                       {"__pn": "n"}, count_alias=None, combine="driver")
+
+
+def grouped_entropy(ds: "rd.Dataset", key: str, state_col: str,
+                    alias: str = "entropy",
+                    n_shards: int = 64) -> "rd.Dataset":
+    """Per-key Shannon entropy (nats) of the ``state_col`` distribution —
+    the label-diversity signal a curation mix reads. Two combiner-shaped
+    rounds: the (key, state) count shuffle moves one partial row per
+    (key, state, batch); the entropy fold co-groups each key's ≤|states|
+    count rows in one coarse shard pass, vectorized across keys. The
+    float sum spans ≤|states| terms so cross-engine association drift
+    is a few ulps — rounded well above it by callers."""
+    counts = grouped_agg(ds.select_columns([key, state_col])
+                           .map_batches(lambda b: b,
+                                        batch_format="pandas"),
+                         [key, state_col], {}, count_alias="__n")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        tot = g.groupby(key, sort=False)["__n"].transform("sum")
+        p = g["__n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        g = g.assign(__h=-p * np.log(p))
+        out = g.groupby(key, as_index=False).agg(
+            **{alias: ("__h", "sum")}, n_events=("__n", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (counts.map_batches(lambda b: _with_shard(b, key, n_shards),
+                               batch_format="pandas")
+                  .groupby("__shard").map_groups(per_shard,
+                                                 batch_format="pandas"))

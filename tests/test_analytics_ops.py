@@ -22,10 +22,8 @@ def test_funnel_steps_window_and_order(ray_session):
     rows = []
     # u1 completes all three within windows
     rows += [(1, "view", t0), (1, "click", t0 + h), (1, "buy", t0 + 2 * h)]
-    # u2 clicks BEFORE viewing -> stops after view
+    # u2's only click precedes the view -> funnel stops after step 1
     rows += [(2, "click", t0), (2, "view", t0 + h), (2, "buy", t0 + 2 * h)]
-    # wait: u2's buy is within 6h of... u2 has no qualifying click after
-    # view at t0+1h? click at t0 is before view -> no step2.
     # u3 clicks too late (outside the 2h window)
     rows += [(3, "view", t0), (3, "click", t0 + 5 * h)]
     # u4 never views
@@ -169,3 +167,92 @@ def test_retention_cohorts(ray_session):
         (d0, 2): 1,          # user 1 returned on day 2
         (d0 + day, 0): 1,    # user 3's cohort
     }
+
+
+def test_hamming_join_planted(ray_session):
+    from credit_ocr_backend_ray.stages.dedup import hamming_join
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "name": ["abcdef", "abcdeX", "abXdef", "XYZdef", "abcde"],
+    })
+    # (1,2) dist 1, (1,3) dist 1, (2,3) dist 2 -> excluded at max_dist=1,
+    # 4 is dist 3 from 1; 5 has different LENGTH -> never pairs
+    out = hamming_join(_ds(df), "id", "name", max_dist=1).to_pandas()
+    got = {(r.k_a, r.k_b): r.dist for r in out.itertuples()}
+    assert got == {(1, 2): 1, (1, 3): 1}
+
+
+def test_hamming_join_dist2(ray_session):
+    from credit_ocr_backend_ray.stages.dedup import hamming_join
+
+    df = pd.DataFrame({
+        "id": [1, 2],
+        "name": ["aXcdeY", "abcdef"],  # differs at positions 1 and 5:
+    })                                 # no shared HALF, but a shared
+    # middle third exists with 3 chunks (max_dist=2 -> 3 chunks)
+    out = hamming_join(_ds(df), "id", "name", max_dist=2).to_pandas()
+    assert {(r.k_a, r.k_b, r.dist) for r in out.itertuples()} == {(1, 2, 2)}
+
+
+def test_transition_matrix(ray_session):
+    from credit_ocr_backend_ray.stages.relational import transition_matrix
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    ev = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": [t0, t0 + s, t0 + 2 * s, t0, t0 + s],
+        "eid": [1, 2, 3, 4, 5],
+        "st": ["a", "b", "a", "b", "b"],
+    })
+    out = transition_matrix(_ds(ev), "u", "ts", "st", "eid").to_pandas()
+    got = {(r.from_state, r.to_state): r.n for r in out.itertuples()}
+    # u1: a->b, b->a ; u2: b->b ; NO cross-user a->b from (u1 last, u2 first)
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_grouped_entropy(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouped_entropy
+
+    df = pd.DataFrame({"u": [1, 1, 1, 1, 2, 2],
+                       "st": ["a", "a", "b", "b", "a", "a"]})
+    out = grouped_entropy(_ds(df), "u", "st").to_pandas().set_index("u")
+    assert out.loc[1, "entropy"] == pytest.approx(np.log(2))
+    assert out.loc[1, "n_events"] == 4
+    assert out.loc[2, "entropy"] == pytest.approx(0.0)
+
+
+def test_grouped_agg_sum_alias_n_no_collision(ray_session):
+    """Regression: a caller-chosen sum alias 'n' must not collide with
+    grouped_agg's internal count name when count_alias=None."""
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    for combine in ("shuffle", "driver"):
+        out = grouped_agg(_ds(df), ["k"], {"v": "n"}, count_alias=None,
+                          combine=combine).to_pandas().set_index("k")
+        assert out.loc["a", "n"] == 3
+        assert out.loc["b", "n"] == 3
+        assert list(out.columns) == ["n"]
+
+
+def test_hamming_join_constant_prefix_no_cap_loss(ray_session):
+    """Regression: chunk blocking puts every row of a constant-prefix
+    key set into one bucket (the shared-prefix chunk), and the bucket
+    cap then silently drops true pairs; the wildcard blocker used at
+    max_dist=1 is immune. 300 keys > _BUCKET_CAP with a 12-char shared
+    prefix; every consecutive id pair differing in one digit must
+    appear."""
+    from credit_ocr_backend_ray.stages.dedup import hamming_join
+
+    names = [f"CommonPrefix{i:04d}" for i in range(300)]
+    df = pd.DataFrame({"id": range(300), "name": names})
+    out = hamming_join(_ds(df), "id", "name", max_dist=1).to_pandas()
+    got = set(zip(out["k_a"], out["k_b"]))
+    # 0001 vs 0002 etc.: same except last digit -> 30 decades x C(10,2)
+    # pairs on the last digit, plus tens/hundreds-digit families
+    assert (0, 1) in got and (290, 299) in got
+    expected_last_digit = 30 * 45
+    assert sum(1 for a, b in got if a // 10 == b // 10) \
+        == expected_last_digit
