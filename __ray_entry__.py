@@ -2357,6 +2357,17 @@ def _q_frequent_part_pairs(sf_dir: str):
                         descending=[True, False, False]).limit(25))
 
 
+def _q_mmr_diversify(sf_dir: str):
+    """MMR-diversified top-10 for the first stored query vector:
+    distributed exact top-50 pool, driver-side greedy re-rank (rows-only:
+    greedy argmax chains float comparisons no SQL engine reproduces)."""
+    from credit_ocr_backend_ray.stages.similarity import mmr_select
+
+    q = _knn_queries(sf_dir)[0]
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return mmr_select(ds, q, k=10, lam=0.7, pool=50)
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2532,6 +2543,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit_history": _q_kmeans_fit_history,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_lsh": _q_knn_lsh,
+        "mmr_diversify": _q_mmr_diversify,
     }
 
 

@@ -378,3 +378,62 @@ def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
     pairs = pairs[pairs["id_a"] >= 0].drop(columns=["n_trunc"])
     return (pairs.sort_values(["id_a", "id_b"])
                  .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def mmr_select(ds: "rd.Dataset", query: np.ndarray, k: int = 10,
+               lam: float = 0.5, pool: int = 100,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pd.DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``lam * cos(query, c) - (1 - lam) * max_sel cos(c, s)`` — relevance
+    minus redundancy. Two-phase at scale: the candidate POOL is the
+    distributed exact top-``pool`` (per-batch partial top-k against the
+    broadcast query, no shuffle), then the inherently sequential greedy
+    loop runs driver-side over the pool only — O(pool * k) dot
+    products on a (pool, dim) matrix, never the corpus. One streaming
+    filter pass fetches the pool's vectors (bounded by ``pool``).
+    Deterministic: ties break on the smaller id."""
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    cands = knn_bruteforce(ds, q, k=pool, id_col=id_col, vec_col=vec_col,
+                           round_to=None)
+    ids = cands[id_col].to_numpy(np.int64)
+    idset = ray.put(ids)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        want = ray.get(idset)
+        rid = t[id_col].cast(pa.int64())
+        mask = pa.array(np.isin(rid.to_numpy(zero_copy_only=False), want))
+        return t.select([id_col, vec_col]).filter(mask)
+
+    pooled = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    order = {int(i): r for r, i in enumerate(ids)}
+    pooled = pooled.sort_values(id_col,
+                                key=lambda s: s.map(order)).reset_index(
+                                    drop=True)
+    mat = _norm_rows(np.asarray(pooled[vec_col].tolist(), np.float64))
+    rel = (mat @ _norm_rows(q).T).ravel()
+    pids = pooled[id_col].to_numpy(np.int64)
+
+    selected: list[int] = []
+    max_sim = np.full(len(pids), -np.inf)
+    taken = np.zeros(len(pids), dtype=bool)
+    rows = []
+    for rank in range(min(k, len(pids))):
+        red = np.where(np.isinf(max_sim), 0.0, max_sim)
+        score = lam * rel - (1.0 - lam) * red
+        score[taken] = -np.inf
+        # deterministic argmax: smallest id wins ties
+        best = np.lexsort((pids, -score))[0]
+        taken[best] = True
+        selected.append(best)
+        rows.append({"rank": rank + 1, id_col: int(pids[best]),
+                     "mmr_score": float(score[best]),
+                     "relevance": float(rel[best])})
+        sims = mat @ mat[best]
+        max_sim = np.maximum(max_sim, sims)
+    out = pd.DataFrame(rows)
+    out["mmr_score"] = out["mmr_score"].round(6)
+    out["relevance"] = out["relevance"].round(6)
+    return out

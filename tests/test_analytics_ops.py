@@ -256,3 +256,27 @@ def test_hamming_join_constant_prefix_no_cap_loss(ray_session):
     expected_last_digit = 30 * 45
     assert sum(1 for a, b in got if a // 10 == b // 10) \
         == expected_last_digit
+
+
+def test_mmr_prefers_diverse_second_pick(ray_session):
+    from credit_ocr_backend_ray.stages.similarity import mmr_select
+
+    # When the query direction equals the first pick, every candidate's
+    # redundancy equals its relevance and MMR degenerates — so the
+    # discriminating case needs lam < 0.5: id2 is nearly a duplicate of
+    # id1 (redundancy ~= relevance ~= 0.995), id3 is ORTHOGONAL to both
+    # query and id1 (relevance 0, redundancy 0). At lam=0.4 id2 scores
+    # 0.995*(2*0.4-1) < 0 while id3 scores 0 -> the diverse id3 ranks
+    # second; pure relevance would rank it last.
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.995, 0.0999], [0.0, 1.0]],
+    })
+    out = mmr_select(_ds(df), np.array([1.0, 0.0]), k=3, lam=0.4, pool=3)
+    assert out["vec_id"].tolist() == [1, 3, 2]
+    assert out["rank"].tolist() == [1, 2, 3]
+    # relevance column is the plain cosine
+    assert out.loc[out["vec_id"] == 1, "relevance"].iloc[0] == \
+        pytest.approx(1.0)
+    assert out.loc[out["vec_id"] == 3, "relevance"].iloc[0] == \
+        pytest.approx(0.0)
