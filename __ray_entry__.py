@@ -2368,6 +2368,15 @@ def _q_mmr_diversify(sf_dir: str):
     return mmr_select(ds, q, k=10, lam=0.7, pool=50)
 
 
+def _q_temperature_mix(sf_dir: str):
+    """alpha=0.5 temperature-mixed half-corpus sample: small sources
+    up-weighted, integer-exact per-source md5 thresholds."""
+    from credit_ocr_backend_ray.stages.curate import temperature_mix_sample
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    return temperature_mix_sample(ds)
+
+
 # The round-1 driver recorded exactly the first 50 registration-order
 # entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
 # the cap now drops 22 regardless of order, so the first 50 are chosen to
@@ -2491,6 +2500,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "user_event_entropy": _q_user_event_entropy,
         "frequent_part_pairs": _q_frequent_part_pairs,
+        "temperature_mix_sample": _q_temperature_mix,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2922,6 +2932,24 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy,
                    CAST(max(tn) AS BIGINT) AS n_events
             FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id
+        """,
+        "temperature_mix_sample": """
+            WITH c AS (SELECT source, count(*) AS n FROM documents
+                       GROUP BY source),
+                 s AS (SELECT sum(CAST(floor(sqrt(n)) AS BIGINT)) AS ssum,
+                              sum(n) AS ntot
+                       FROM c),
+                 th AS (SELECT c.source,
+                               LEAST(4294967296,
+                                     (4294967296
+                                      * (s.ntot // 2)
+                                      * CAST(floor(sqrt(c.n)) AS BIGINT))
+                                     // (s.ssum * c.n)) AS thr
+                        FROM c, s)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN th ON d.source = th.source
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 8)) AS UBIGINT) < th.thr
         """,
         "frequent_part_pairs": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey

@@ -299,3 +299,48 @@ def bm25_topk(ds: "rd.Dataset", query_terms: list[str], k: int = 20,
     scored = ds.map_batches(score, batch_format="pyarrow")
     return global_topk(scored, ["score_micro", id_col], k,
                        ascending=[False, True])
+
+
+def temperature_mix_sample(ds: "rd.Dataset", group_col: str = "source",
+                           id_col: str = "doc_id",
+                           target_frac_denom: int = 2) -> "rd.Dataset":
+    """Temperature-based source mixing (the data-mixing step of an LLM
+    corpus: sample source s with probability ∝ n_s^alpha, alpha = 0.5,
+    so small sources are UP-weighted relative to their share — the
+    multilingual/multi-domain rebalancing rule). Target size is
+    ``ntot // target_frac_denom`` rows.
+
+    Engine-independence: weights use the INTEGER square root
+    (floor(sqrt(n)) — exact for n < 2^52), and each source's keep
+    threshold is computed in exact integer arithmetic
+    ``min(2^32, (2^32 * T * isqrt(n_s)) // (S * n_s))`` with
+    ``S = Σ isqrt(n_t)`` — no float sum whose association order could
+    drift between engines. Row selection is the md5-u32 rule of
+    ``deterministic_sample`` (same per-key md5-on-purpose contract).
+
+    Shape: one combiner count aggregate (driver-sized by the bounded
+    source cardinality — sources are a mixing decision, not data), a
+    closure-captured threshold map, then a single stateless filter pass
+    — no shuffle of the payload stream."""
+    cdf = grouped_agg(ds.select_columns([group_col]), [group_col], {},
+                      count_alias="n").to_pandas()
+    counts = {str(r[group_col]): int(r["n"]) for _, r in cdf.iterrows()}
+    ntot = sum(counts.values())
+    target = ntot // target_frac_denom
+    ssum = sum(math.isqrt(n) for n in counts.values())
+    thr = {
+        s: min(1 << 32, ((1 << 32) * target * math.isqrt(n)) // (ssum * n))
+        for s, n in counts.items()
+    }
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        srcs = t[group_col].to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big")
+             < thr.get(str(s), 0) for i, s in zip(ids, srcs)),
+            dtype=bool, count=len(ids))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -280,3 +280,27 @@ def test_mmr_prefers_diverse_second_pick(ray_session):
         pytest.approx(1.0)
     assert out.loc[out["vec_id"] == 3, "relevance"].iloc[0] == \
         pytest.approx(0.0)
+
+
+def test_temperature_mix_upweights_small_sources(ray_session):
+    import hashlib
+
+    from credit_ocr_backend_ray.stages.curate import temperature_mix_sample
+
+    # A: 100 docs, B: 4 docs. isqrt weights 10 and 2, S=12, T=52:
+    # thr_A = 2^32*52*10 // (12*100) ~ 0.433*2^32 ;
+    # thr_B = 2^32*52*2 // (12*4) > 2^32 -> capped, B kept ENTIRELY.
+    df = pd.DataFrame({
+        "doc_id": range(104),
+        "source": ["A"] * 100 + ["B"] * 4,
+    })
+    out = temperature_mix_sample(_ds(df)).to_pandas()
+    by_src = out["source"].value_counts().to_dict()
+    assert by_src.get("B", 0) == 4  # rare source fully kept
+    thr_a = ((1 << 32) * 52 * 10) // (12 * 100)
+    expect_a = sum(
+        1 for i in range(100)
+        if int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                          "big") < thr_a)
+    assert by_src.get("A", 0) == expect_a
+    assert 0 < by_src["A"] < 100
