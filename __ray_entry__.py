@@ -2378,32 +2378,35 @@ def _q_temperature_mix(sf_dir: str):
 
 
 # The round-1 driver recorded exactly the first 50 registration-order
-# entries of queries() in CORRECTNESS_r01.json. With 72 oracled queries
-# the cap now drops 22 regardless of order, so the first 50 are chosen to
+# entries of queries() in CORRECTNESS_r01.json. With 97 oracled queries
+# the cap drops 47 regardless of order, so the first 50 are chosen to
 # span every operator family (relational core, windows, sources, sampling
 # /splits, the dedup family, the curation/chunking/packing funnel, text
-# analysis, similarity, media) rather than leaving the web-scale families
-# past the cap. Everything stays verified by tools/check_correctness.py
-# at sf0.001/0.01/0.1 either way.
+# analysis, similarity, media, graph, the analytics batch: funnel /
+# skyline / triangles / hamming / temperature mixing) rather than leaving
+# whole families past the cap; where two showcase slots covered the same
+# family (stratified vs md5 sampling, median vs quartiles, spectrum vs
+# top-terms, chunk vs chunk-dedup, salted vs plain join) one slot was
+# given to a newer family. Everything stays verified by
+# tools/check_correctness.py at sf0.001/0.01/0.1 either way.
 _SHOWCASE_ORDER = [
     "agg_pricing", "filter_revenue", "recent_orders_pushdown",
     "latest_event_per_user", "newest_orders", "top_lineitems_global",
     "customer_nation", "top_brands_revenue", "orders_lineitem_join",
     "sessionize_events", "asof_latest_order", "events_hopping_window",
-    "customer_running_total", "event_value_zscore", "brand_price_median",
+    "customer_running_total", "event_value_zscore", "funnel_conversion",
     "order_price_histogram", "priority_price_quartiles",
     "user_event_pivot", "lang_counts", "knn_cosine",
     "customers_without_events", "orders_price_band_join",
     "media_features", "pricing_rollup", "documents_sample",
-    "documents_stratified_sample", "train_split_counts", "top_terms",
-    "token_spectrum", "events_from_jsonl", "training_batches",
+    "part_triangles", "train_split_counts", "top_terms",
+    "supplier_hamming_pairs", "events_from_jsonl", "training_batches",
     "dedup_exact_documents", "dedup_latest_events", "corpus_overlap",
     "recent_lineitems_bloom", "incremental_dedup", "source_quota_sample",
     "decontamination_stats", "doc_quality_stats", "bm25_search",
-    "doc_chunks", "chunk_dedup", "packed_sequences", "intra_doc_dedup",
+    "doc_chunks", "part_skyline", "packed_sequences", "intra_doc_dedup",
     "source_reputation", "curated_pack", "event_session_components",
-    "inverted_index", "doc_top_tfidf", "doc_text_stats",
-    "orders_lineitem_join_salted",
+    "temperature_mix_sample", "doc_top_tfidf", "doc_text_stats",
 ]
 
 
