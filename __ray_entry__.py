@@ -2368,6 +2368,18 @@ def _q_mmr_diversify(sf_dir: str):
     return mmr_select(ds, q, k=10, lam=0.7, pool=50)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantized ANN: bounded-sample codebook training, 1-byte-
+    per-subspace distributed encode, ADC LUT scan — the compressed-scan
+    scale path for a 100 TB embedding corpus (rows-only: approximate by
+    design; recall vs brute force is test-asserted)."""
+    from credit_ocr_backend_ray.stages.similarity import knn_pq, pq_train
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=4, ksub=16)
+    return knn_pq(ds, _knn_queries(sf_dir), books, k=10)
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2557,6 +2569,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_lsh": _q_knn_lsh,
         "mmr_diversify": _q_mmr_diversify,
+        "knn_pq": _q_knn_pq,
     }
 
 

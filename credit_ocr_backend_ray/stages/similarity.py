@@ -437,3 +437,121 @@ def mmr_select(ds: "rd.Dataset", query: np.ndarray, k: int = 10,
     out["mmr_score"] = out["mmr_score"].round(6)
     out["relevance"] = out["relevance"].round(6)
     return out
+
+
+# ----------------------------------------------------------- product quant
+
+def pq_train(ds: "rd.Dataset", m: int = 4, ksub: int = 16,
+             vec_col: str = "embedding", sample_rows: int = 4096,
+             iters: int = 8) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11): split the
+    dimension into ``m`` subspaces, k-means each to ``ksub`` centroids.
+    Training reads a BOUNDED deterministic sample (first blocks via
+    ``limit`` — same bounded-sample contract as IVF); encode/search are
+    the distributed parts. Returns ``(m, ksub, dsub)`` float64."""
+    sdf = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    sample = _norm_rows(np.asarray(sdf[vec_col].tolist(), np.float64))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub])
+        # deterministic Lloyd on the subspace (no re-normalization:
+        # subvectors are not unit vectors)
+        cent = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(ds: "rd.Dataset", codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "rd.Dataset":
+    """Encode every vector to ``m`` uint8 codes (nearest sub-centroid per
+    subspace) — 1 byte per subspace instead of 4·dsub: the compressed
+    representation a 100 TB embedding corpus actually scans. Broadcast
+    codebooks (``ray.put`` once), stateless vectorized assignment per
+    batch, no shuffle."""
+    bref = ray.put(codebooks)
+
+    def encode(t: pa.Table) -> pa.Table:
+        books = ray.get(bref)
+        m, ksub, dsub = books.shape
+        vecs = _norm_rows(_as_matrix(t[vec_col]))
+        codes = np.empty((len(vecs), m), np.uint8)
+        for j in range(m):
+            sub = vecs[:, j * dsub:(j + 1) * dsub]
+            # ||x-c||² argmin == argmax(2<x,c> - ||c||²), one matmul
+            score = 2.0 * (sub @ books[j].T) - (books[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(score, axis=1).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        return pa.table({
+            id_col: t[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(flat, m),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_pq(ds: "rd.Dataset", queries: np.ndarray, codebooks: np.ndarray,
+           k: int = 10, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> pd.DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): per
+    query, an (m, ksub) inner-product lookup table against the codebooks,
+    then every encoded vector scores as m table lookups — the scan
+    touches 1-byte codes, never the float vectors. Per-batch partial
+    top-k + tiny driver merge, the ``knn_bruteforce`` shape over the
+    compressed column. Returns (query_id, vec_id, score) with score =
+    approximate cosine (LUT sum), rounded to 5."""
+    q = _norm_rows(np.asarray(queries, np.float64))
+    m, ksub, dsub = codebooks.shape
+    # LUT[qi, j, c] = <q_sub, codebook[j, c]>
+    lut = np.einsum("qjd,jcd->qjc",
+                    q.reshape(q.shape[0], m, dsub), codebooks)
+    encoded = pq_encode(ds, codebooks, id_col=id_col, vec_col=vec_col)
+    lref = ray.put(lut)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        lt = ray.get(lref)
+        ids = np.asarray(t[id_col].to_pylist(), np.int64)
+        code_col = t["pq_code"]
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        codes = code_col.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64).reshape(len(ids), m)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(lt.shape[0]):
+            score = lt[qi, np.arange(m)[None, :], codes].sum(axis=1)
+            idx = np.argpartition(-score, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(score[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    cand = encoded.map_batches(partial_topk,
+                               batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        top = heapq.nsmallest(
+            k, grp.itertuples(index=False),
+            key=lambda r: (-r.score, getattr(r, id_col)))
+        rows.extend(top)
+    out = pd.DataFrame(rows, columns=["query_id", id_col, "score"])
+    out["score"] = out["score"].round(5)
+    return (out.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True])
+               .reset_index(drop=True))

@@ -304,3 +304,38 @@ def test_temperature_mix_upweights_small_sources(ray_session):
                           "big") < thr_a)
     assert by_src.get("A", 0) == expect_a
     assert 0 < by_src["A"] < 100
+
+
+def test_pq_recall_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.similarity import (
+        knn_bruteforce, knn_pq, pq_train)
+
+    # clustered synthetic embeddings: 4 well-separated centers + noise,
+    # dim 8 -> m=4 subspaces of 2
+    rng = np.random.default_rng(7)
+    centers = np.eye(4).repeat(2, axis=1) * 5.0  # (4, 8)
+    vecs = (centers[np.arange(200) % 4]
+            + rng.standard_normal((200, 8)) * 0.3)
+    df = pd.DataFrame({"vec_id": range(200),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+    books = pq_train(ds, m=4, ksub=8, sample_rows=200)
+    assert books.shape == (4, 8, 2)
+    q = vecs[:2]
+    exact = knn_bruteforce(ds, q, k=10)
+    approx = knn_pq(ds, q, books, k=10)
+    for qi in (0, 1):
+        # PQ's contract here is CLUSTER-level recall: within a cluster
+        # the members are near-ties (cos ~0.997+) whose fine ranking the
+        # 1-byte codes cannot preserve, so exact-top-10 overlap is not
+        # the right assertion — landing every hit in the query's cluster
+        # (and never in another) is.
+        hits = approx[approx.query_id == qi]["vec_id"].to_numpy()
+        assert len(hits) == 10
+        assert (hits % 4 == qi % 4).all(), hits
+        # the exact top-10 lives in the same cluster too (sanity that
+        # the fixture separates clusters)
+        ehits = exact[exact.query_id == qi]["vec_id"].to_numpy()
+        assert (ehits % 4 == qi % 4).all()
