@@ -2380,6 +2380,16 @@ def _q_knn_pq(sf_dir: str):
     return knn_pq(ds, _knn_queries(sf_dir), books, k=10)
 
 
+def _q_doc_dup_grams(sf_dir: str):
+    """Per-document exact-substring duplication counts (Lee et al.'22
+    signal): trigram positions whose gram repeats anywhere in the
+    corpus."""
+    from credit_ocr_backend_ray.stages.curate import duplicate_gram_stats
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return duplicate_gram_stats(ds, n=3)
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2516,6 +2526,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": _q_user_event_entropy,
         "frequent_part_pairs": _q_frequent_part_pairs,
         "temperature_mix_sample": _q_temperature_mix,
+        "doc_dup_grams": _q_doc_dup_grams,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2948,6 +2959,21 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy,
                    CAST(max(tn) AS BIGINT) AS n_events
             FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id
+        """,
+        "doc_dup_grams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            g AS (
+                SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS s(i)
+                WHERE len(t) >= 3),
+            tot AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+            SELECT g.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams
+            FROM g JOIN tot ON g.gram = tot.gram GROUP BY g.doc_id
         """,
         "temperature_mix_sample": """
             WITH c AS (SELECT source, count(*) AS n FROM documents

@@ -344,3 +344,60 @@ def temperature_mix_sample(ds: "rd.Dataset", group_col: str = "source",
         return t.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def duplicate_gram_stats(ds: "rd.Dataset", n: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_shards: int = 64) -> "rd.Dataset":
+    """Fine-grained exact-substring duplication statistics (the signal
+    behind Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22): per document, its total count of length-
+    ``n`` token windows and how many of those positions carry a gram
+    that occurs at least twice ANYWHERE in the corpus (within the same
+    document counts too). Downstream decides whether to cut spans or
+    drop documents.
+
+    Shape: per-batch (gram, doc, count) combiner rows (each position
+    counted, but one row per distinct (gram, doc) per batch crosses the
+    wire), ONE gram-shard co-group in which each gram's corpus-wide
+    total is known — a vectorized transform-sum, no per-gram loop —
+    then a per-doc combiner sum. Gram STRINGS are the shuffle key here
+    (exactness contract shared with ``decontamination_stats``); at
+    extreme scale swap the key for a 128-bit gram hash and accept the
+    astronomically-small collision odds."""
+    from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            for j in range(len(toks) - n + 1):
+                c[(" ".join(toks[j:j + n]), i)] += 1
+        grams = [k[0] for k in c]
+        ids = [k[1] for k in c]
+        shard = (hash_strings_u64(grams) % np.uint64(n_shards)).astype(
+            np.int64) if grams else np.array([], np.int64)
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "__c": pa.array(list(c.values()), pa.int64()),
+            "__shard": pa.array(shard, pa.int64()),
+        })
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["__c"].transform("sum")
+        dup = np.where(tot.to_numpy(np.int64) >= 2,
+                       g["__c"].to_numpy(np.int64), 0)
+        out = pd.DataFrame({id_col: g[id_col],
+                            "__pos": g["__c"].astype("int64"),
+                            "__dup": dup})
+        return (out.groupby(id_col, as_index=False)
+                   .agg(__pos=("__pos", "sum"), __dup=("__dup", "sum")))
+
+    parted = (ds.map_batches(local_counts, batch_format="pyarrow")
+                .groupby("__shard").map_groups(per_shard,
+                                               batch_format="pandas"))
+    return grouped_agg(parted, [id_col],
+                       {"__pos": "n_grams", "__dup": "n_dup_grams"},
+                       count_alias=None)

@@ -339,3 +339,22 @@ def test_pq_recall_vs_bruteforce(ray_session):
         # the fixture separates clusters)
         ehits = exact[exact.query_id == qi]["vec_id"].to_numpy()
         assert (ehits % 4 == qi % 4).all()
+
+
+def test_duplicate_gram_stats(ray_session):
+    from credit_ocr_backend_ray.stages.curate import duplicate_gram_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c d",      # grams: "a b c", "b c d"
+            "x a b c y",    # grams: "x a b", "a b c", "b c y"
+            "z z z z",      # grams: "z z z" x2 (within-doc repeat)
+        ],
+    })
+    out = duplicate_gram_stats(_ds(df), n=3).to_pandas().set_index("doc_id")
+    # "a b c" occurs in docs 1 and 2 -> dup for both; "z z z" occurs
+    # twice WITHIN doc 3 -> both its positions are dup
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup_grams"] == 1
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup_grams"] == 2
