@@ -1558,9 +1558,7 @@ def grouped_entropy(ds: "rd.Dataset", key: str, state_col: str,
     count rows in one coarse shard pass, vectorized across keys. The
     float sum spans ≤|states| terms so cross-engine association drift
     is a few ulps — rounded well above it by callers."""
-    counts = grouped_agg(ds.select_columns([key, state_col])
-                           .map_batches(lambda b: b,
-                                        batch_format="pandas"),
+    counts = grouped_agg(ds.select_columns([key, state_col]),
                          [key, state_col], {}, count_alias="__n")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
