@@ -77,6 +77,13 @@ def main() -> int:
     report.to_csv(report_path, index=False)
     print(f"report: {report_path} ({len(report)} field rows)")
 
+    # the reference's Excel export (notebook cell 17) — a real .xlsx via
+    # the stdlib zip-of-XML sink (no openpyxl in this environment)
+    from credit_ocr_backend_ray.sinks.xlsx import write_xlsx
+    xlsx_path = os.path.join(out_dir, "fields_report.xlsx")
+    write_xlsx(report, xlsx_path, sheet_name="Fields")
+    print(f"report: {xlsx_path}")
+
     # 4. one annotated page raster (the ANNOTATED stage artifact)
     one = rd.read_parquet(out_files, columns=["url", "fields"]).limit(8)
     imgs = one.map_batches(PageRenderer, batch_format="pyarrow",
