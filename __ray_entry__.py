@@ -528,7 +528,8 @@ def _q_event_value_delta(sf_dir: str):
     out = lag_delta(ds, "user_id", ["ts", "event_id"], "value")
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["delta"] = b["delta"].round(4)
+        # + 0.0: normalize IEEE -0.0 (see event_value_next_delta)
+        b["delta"] = b["delta"].round(4) + 0.0
         b["ts"] = b["ts"].astype("datetime64[us]")
         return b
 
@@ -2390,6 +2391,52 @@ def _q_doc_dup_grams(sf_dir: str):
     return duplicate_gram_stats(ds, n=3)
 
 
+def _q_event_value_next_delta(sf_dir: str):
+    """LEAD window: next value minus current per user's ordered stream
+    (the forward twin of event_value_delta)."""
+    from credit_ocr_backend_ray.stages.relational import lag_delta
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "event_id", "ts", "value"])
+    out = lag_delta(ds, "user_id", ["ts", "event_id"], "value",
+                    alias="next_delta", forward=True)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        # + 0.0 normalizes IEEE -0.0 (pandas round keeps it, DuckDB's
+        # doesn't; repr('-0.0') would hash-mismatch a value-equal cell)
+        b["next_delta"] = b["next_delta"].round(4) + 0.0
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_brand_price_p90_disc(sf_dir: str):
+    """Discrete (element-of-group) 90th-percentile price per brand —
+    quantile_disc semantics."""
+    from credit_ocr_backend_ray.stages.relational import grouped_quantile
+
+    ds = _rp(_t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+    return grouped_quantile(ds, ["p_brand"], "p_retailprice", 0.9,
+                            alias="p90_price", method="inverted_cdf")
+
+
+def _q_priority_price_mad(sf_dir: str):
+    """Median absolute deviation of order price per priority — the
+    robust dispersion aggregate."""
+    from credit_ocr_backend_ray.stages.relational import grouped_mad
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_mad(ds, ["o_orderpriority"], "o_totalprice")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["mad"] = b["mad"].round(4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2527,6 +2574,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_pairs": _q_frequent_part_pairs,
         "temperature_mix_sample": _q_temperature_mix,
         "doc_dup_grams": _q_doc_dup_grams,
+        "event_value_next_delta": _q_event_value_next_delta,
+        "brand_price_p90_disc": _q_brand_price_p90_disc,
+        "priority_price_mad": _q_priority_price_mad,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2959,6 +3009,21 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy,
                    CAST(max(tn) AS BIGINT) AS n_events
             FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id
+        """,
+        "event_value_next_delta": """
+            SELECT user_id, event_id, ts, value,
+                   round(lead(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       - value, 4) AS next_delta
+            FROM events
+        """,
+        "brand_price_p90_disc": """
+            SELECT p_brand, quantile_disc(p_retailprice, 0.9) AS p90_price
+            FROM part GROUP BY p_brand
+        """,
+        "priority_price_mad": """
+            SELECT o_orderpriority, round(mad(o_totalprice), 4) AS mad
+            FROM orders GROUP BY o_orderpriority
         """,
         "doc_dup_grams": """
             WITH toks AS (

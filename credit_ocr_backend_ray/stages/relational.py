@@ -519,23 +519,28 @@ def running_sum(ds: "rd.Dataset", key: str, order_cols: list[str],
 
 
 def lag_delta(ds: "rd.Dataset", key: str, order_cols: list[str],
-              val_col: str, alias: str = "delta") -> "rd.Dataset":
+              val_col: str, alias: str = "delta",
+              forward: bool = False) -> "rd.Dataset":
     """Per-key difference to the previous row in ``order_cols`` order — the
     ``val - lag(val) OVER (PARTITION BY key ORDER BY ...)`` window function;
-    the first row of each key gets NULL."""
+    the first row of each key gets NULL. ``forward=True`` flips it to the
+    LEAD form (``lead(val) - val``; the LAST row of each key gets NULL)."""
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols)
-        g[alias] = g[val_col].diff()
+        g[alias] = (-g[val_col].diff(-1)) if forward else g[val_col].diff()
         return g
 
     return ds.groupby(key).map_groups(scan, batch_format="pandas")
 
 
 def grouped_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
-                     q: float, alias: str | None = None) -> "rd.Dataset":
-    """Exact per-group quantile (linear interpolation, numpy/SQL
-    ``quantile_cont`` semantics) via one hash shuffle + per-group kernel.
-    Exact quantiles are inherently holistic — the group's values must
+                     q: float, alias: str | None = None,
+                     method: str = "linear") -> "rd.Dataset":
+    """Exact per-group quantile via one hash shuffle + per-group kernel.
+    ``method="linear"`` = SQL ``quantile_cont`` interpolation;
+    ``method="inverted_cdf"`` = SQL ``quantile_disc`` (an actual element
+    of the group — verified equal to DuckDB's quantile_disc). Exact
+    quantiles are inherently holistic — the group's values must
     co-locate; for sketch-based approximation at extreme cardinality use a
     t-digest per partition instead (not needed for the reference's scale)."""
     keys = list(keys)
@@ -543,7 +548,25 @@ def grouped_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         out = g.iloc[:1][keys].copy()
-        out[a] = np.quantile(g[col].to_numpy(), q, method="linear")
+        out[a] = np.quantile(g[col].to_numpy(), q, method=method)
+        return out
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_group, batch_format="pandas")
+
+
+def grouped_mad(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                alias: str = "mad") -> "rd.Dataset":
+    """Median absolute deviation per group — the robust dispersion
+    aggregate (``median(abs(x - median(x)))``, DuckDB ``mad()``
+    semantics with interpolated medians). Holistic like the exact
+    quantile: one hash shuffle co-locates each group."""
+    keys = list(keys)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy(np.float64)
+        out = g.iloc[:1][keys].copy()
+        out[alias] = float(np.median(np.abs(v - np.median(v))))
         return out
 
     return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(

@@ -358,3 +358,28 @@ def test_duplicate_gram_stats(ray_session):
     assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup_grams"] == 1
     assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup_grams"] == 1
     assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup_grams"] == 2
+
+
+def test_lead_and_mad_and_disc_quantile(ray_session):
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_mad, grouped_quantile, lag_delta)
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": [t0, t0 + s, t0 + 2 * s],
+        "id": [1, 2, 3],
+        "v": [10.0, 13.0, 11.0],
+    })
+    out = lag_delta(_ds(df), "k", ["ts", "id"], "v", alias="nd",
+                    forward=True).to_pandas().sort_values("id")
+    assert out["nd"].tolist()[:2] == [3.0, -2.0]
+    assert pd.isna(out["nd"].iloc[2])  # last row of the key
+
+    vals = pd.DataFrame({"k": ["a"] * 4, "v": [1.0, 2.0, 3.0, 10.0]})
+    mad = grouped_mad(_ds(vals), ["k"], "v").to_pandas()
+    assert mad["mad"].iloc[0] == pytest.approx(1.0)  # med 2.5, devs median
+    q = grouped_quantile(_ds(vals), ["k"], "v", 0.9, alias="p90",
+                         method="inverted_cdf").to_pandas()
+    assert q["p90"].iloc[0] == 10.0  # an actual element, not interpolated
