@@ -2437,6 +2437,45 @@ def _q_priority_price_mad(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_session_event_pairs(sf_dir: str):
+    """Session-scoped market basket: event-type pairs co-occurring in
+    the same gap-based session, counted across all sessions — a
+    composition of session_assign and the co-occurrence constructor
+    (the enum mapping is bounded: event types are a 5-value enum)."""
+    from credit_ocr_backend_ray.stages.graph import cooccurrence_edges
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, session_assign)
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "event_id", "ts", "event_type"])
+    assigned = session_assign(ds, "user_id", "ts", 4 * 3600, "event_id")
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    t2i = {t: i for i, t in enumerate(types)}
+
+    def to_ints(b: pd.DataFrame) -> pd.DataFrame:
+        # sessions per user are bounded by events per user << 1e6, so
+        # (user, session) packs into one int64 key collision-free
+        return pd.DataFrame({
+            "sess": b["user_id"].to_numpy(np.int64) * 1_000_000
+                    + b["session_id"].to_numpy(np.int64),
+            "etype": b["event_type"].map(t2i).to_numpy(np.int64),
+        })
+
+    edges = cooccurrence_edges(
+        assigned.map_batches(to_ints, batch_format="pandas"),
+        "sess", "etype")
+    counts = grouped_agg(edges, ["src", "dst"], {},
+                         count_alias="n_sessions", combine="driver")
+
+    def back(b: pd.DataFrame) -> pd.DataFrame:
+        b["type_a"] = b["src"].map(dict(enumerate(types)))
+        b["type_b"] = b["dst"].map(dict(enumerate(types)))
+        return b[["type_a", "type_b", "n_sessions"]]
+
+    return counts.map_batches(back, batch_format="pandas")
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2577,6 +2616,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "event_value_next_delta": _q_event_value_next_delta,
         "brand_price_p90_disc": _q_brand_price_p90_disc,
         "priority_price_mad": _q_priority_price_mad,
+        "session_event_pairs": _q_session_event_pairs,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -3009,6 +3049,27 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy,
                    CAST(max(tn) AS BIGINT) AS n_events
             FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id
+        """,
+        "session_event_pairs": """
+            WITH m AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM m
+            ), se AS (
+                SELECT DISTINCT user_id, session_id, event_type FROM s)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_sessions
+            FROM se a JOIN se b
+              ON a.user_id = b.user_id AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "event_value_next_delta": """
             SELECT user_id, event_id, ts, value,

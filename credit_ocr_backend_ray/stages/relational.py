@@ -325,6 +325,25 @@ def sessionize(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
     return ds.groupby(key).map_groups(sess, batch_format="pandas")
 
 
+def session_assign(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
+                   tie_col: str) -> "rd.Dataset":
+    """Per-EVENT session assignment: every input row comes back with its
+    gap-based ``session_id`` (0-based per key; same break rule and
+    ordering as ``sessionize``, which returns the per-session summary
+    instead). The building block for session-scoped analytics — basket
+    pairs, per-session funnels — that need the row stream, not the
+    roll-up."""
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col])
+        g = g.assign(session_id=(g[ts_col].diff() > gap)
+                     .cumsum().astype("int64"))
+        return g
+
+    return ds.groupby(key).map_groups(assign, batch_format="pandas")
+
+
 def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
               right_key: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
