@@ -2476,6 +2476,28 @@ def _q_session_event_pairs(sf_dir: str):
     return counts.map_batches(back, batch_format="pandas")
 
 
+def _q_part_kcore(sf_dir: str):
+    """8-core of the part co-purchase graph (iterative distributed
+    peeling; rows-only — k-core needs aggregate recursion no SQL oracle
+    can express; the planted-clique unit test pins semantics). k=8 sits
+    well under the graph's mean degree so the peel converges in 1-2
+    rounds at every SF; each extra peeling round costs a fixed number
+    of co-group shuffles."""
+    import pyarrow.compute as pc
+
+    from credit_ocr_backend_ray.stages.graph import (
+        cooccurrence_edges, k_core)
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_partkey", "l_quantity"],
+             filter=pc.field("l_quantity") >= 25.0)
+    nodes, rounds = k_core(
+        cooccurrence_edges(ds, "l_orderkey", "l_partkey"), k=8)
+    out = nodes.to_pandas().sort_values("node").reset_index(drop=True)
+    out["rounds"] = np.int64(rounds)
+    return out
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2617,6 +2639,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_p90_disc": _q_brand_price_p90_disc,
         "priority_price_mad": _q_priority_price_mad,
         "session_event_pairs": _q_session_event_pairs,
+        "part_kcore": _q_part_kcore,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,

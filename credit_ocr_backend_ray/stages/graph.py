@@ -427,26 +427,10 @@ def cooccurrence_edges(ds: "rd.Dataset", group_col: str, item_col: str,
               .groupby("shard").map_groups(per_shard, batch_format="pandas"))
 
 
-def triangle_count(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
-                   n_shards: int = 64) -> tuple[int, int]:
-    """Exact triangle count of the undirected graph, degree-ordered
-    node-iterator style (Schank & Wagner's forward algorithm / the
-    MapReduce NodeIterator++ of Suri & Vassilvitskii, WWW'11): orient
-    every edge from its lower-(degree, id) endpoint to the higher, emit
-    each node's out-neighbor pairs as wedges, and count wedges whose
-    closing pair is itself an oriented edge. Orientation bounds the
-    per-node wedge fan-out by O(sqrt(E)) amortized — the property that
-    keeps hub nodes from exploding the wedge set at web scale.
-
-    Everything distributed: edge dedup, the degree aggregate, two
-    degree-attach co-group shuffles, the wedge self-merge, and the
-    closure count are all coarse-shard shuffles over fixed-width int64
-    rows with per-batch combiners; the driver sees two scalars.
-    Returns ``(n_edges, n_triangles)`` over the deduped simple graph.
-    Duplicate input edges and self-loops are dropped."""
-    from ray.data.aggregate import Sum as _Sum
-
-    # --- distinct simple edges (canonical u < v), pair-shard co-group
+def _simple_edges(edges: "rd.Dataset", src: str, dst: str,
+                  n_shards: int) -> "rd.Dataset":
+    """Distinct simple edges (canonical u < v; self-loops and duplicate
+    /reversed edges dropped) via a pair-shard co-group."""
     def canon(t: pa.Table) -> pa.Table:
         a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -467,15 +451,16 @@ def triangle_count(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
     def shard_dedup(b: pd.DataFrame) -> pd.DataFrame:
         return b[["u", "v"]].drop_duplicates()
 
-    simple = (edges.map_batches(canon, batch_format="pyarrow")
-                   .groupby("shard")
-                   .map_groups(shard_dedup, batch_format="pandas")
-                   .materialize())
-    n_edges = simple.count()
-    if n_edges == 0:
-        return 0, 0
+    return (edges.map_batches(canon, batch_format="pyarrow")
+                 .groupby("shard")
+                 .map_groups(shard_dedup, batch_format="pandas"))
 
-    # --- degrees, combiner-style (unbounded V: a distributed aggregate)
+
+def _degrees(simple: "rd.Dataset") -> "rd.Dataset":
+    """(node, deg) of a simple (u, v) edge set — combiner partials, one
+    distributed aggregate (unbounded V: never driver-side)."""
+    from ray.data.aggregate import Sum as _Sum
+
     def deg_partial(t: pa.Table) -> pa.Table:
         both = np.concatenate([
             t["u"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -484,47 +469,75 @@ def triangle_count(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
         return pa.table({"node": pa.array(n, pa.int64()),
                          "__d": pa.array(c.astype(np.int64), pa.int64())})
 
-    degs = (simple.map_batches(deg_partial, batch_format="pyarrow")
+    return (simple.map_batches(deg_partial, batch_format="pyarrow")
                   .groupby("node").aggregate(_Sum("__d", alias_name="deg")))
 
-    # --- attach deg(u) then deg(v) via two co-group shuffles (the
-    # union+kind+shard pattern of connected_components — no broadcast,
-    # so V never needs to fit anywhere)
-    def attach_by(key: str, deg_name: str):
-        def tag_edges(t: pa.Table) -> pa.Table:
-            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-            cols = {c: t[c] for c in t.column_names if c != "shard"}
-            cols["__key"] = pa.array(k, pa.int64())
-            cols["__deg"] = pa.array(np.full(len(k), -1, np.int64))
-            cols["kind"] = pa.array(np.zeros(len(k), np.int8))
-            cols["shard"] = pa.array(_shard_of(k, n_shards), pa.int64())
-            return pa.table(cols)
 
-        def tag_degs(t: pa.Table) -> pa.Table:
-            k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({
-                "__key": pa.array(k, pa.int64()),
-                "__deg": t["deg"].cast(pa.int64()),
-                "kind": pa.array(np.ones(len(k), np.int8)),
-                "shard": pa.array(_shard_of(k, n_shards), pa.int64()),
-            })
+def _attach_degrees(work: "rd.Dataset", degs: "rd.Dataset", key: str,
+                    deg_name: str, n_shards: int) -> "rd.Dataset":
+    """Join deg(node) onto edge rows by ``key`` via ONE co-group shuffle
+    (the union+kind+shard pattern of connected_components — no
+    broadcast, so V never needs to fit anywhere). Edge rows whose key
+    has no degree row are dropped (inner semantics)."""
+    def tag_edges(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t[c] for c in t.column_names if c != "shard"}
+        cols["__key"] = pa.array(k, pa.int64())
+        cols["__deg"] = pa.array(np.full(len(k), -1, np.int64))
+        cols["kind"] = pa.array(np.zeros(len(k), np.int8))
+        cols["shard"] = pa.array(_shard_of(k, n_shards), pa.int64())
+        return pa.table(cols)
 
-        def join_shard(g: pd.DataFrame) -> pd.DataFrame:
-            e = g[g["kind"] == 0].drop(columns=["kind", "__deg"])
-            d = g[g["kind"] == 1][["__key", "__deg"]]
-            out = e.merge(d, on="__key")
-            return (out.drop(columns=["__key"])
-                       .rename(columns={"__deg": deg_name}))
+    def tag_degs(t: pa.Table) -> pa.Table:
+        k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__key": pa.array(k, pa.int64()),
+            "__deg": t["deg"].cast(pa.int64()),
+            "kind": pa.array(np.ones(len(k), np.int8)),
+            "shard": pa.array(_shard_of(k, n_shards), pa.int64()),
+        })
 
-        return tag_edges, tag_degs, join_shard
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0].drop(columns=["kind", "__deg"])
+        d = g[g["kind"] == 1][["__key", "__deg"]]
+        out = e.merge(d, on="__key")
+        return (out.drop(columns=["__key"])
+                   .rename(columns={"__deg": deg_name}))
 
+    tagged_e = work.map_batches(tag_edges, batch_format="pyarrow")
+    tagged_d = degs.map_batches(tag_degs, batch_format="pyarrow")
+    return (tagged_e.union(tagged_d).groupby("shard")
+                    .map_groups(join_shard, batch_format="pandas"))
+
+
+def triangle_count(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
+                   n_shards: int = 64) -> tuple[int, int]:
+    """Exact triangle count of the undirected graph, degree-ordered
+    node-iterator style (Schank & Wagner's forward algorithm / the
+    MapReduce NodeIterator++ of Suri & Vassilvitskii, WWW'11): orient
+    every edge from its lower-(degree, id) endpoint to the higher, emit
+    each node's out-neighbor pairs as wedges, and count wedges whose
+    closing pair is itself an oriented edge. Orientation bounds the
+    per-node wedge fan-out by O(sqrt(E)) amortized — the property that
+    keeps hub nodes from exploding the wedge set at web scale.
+
+    Everything distributed: edge dedup, the degree aggregate, two
+    degree-attach co-group shuffles, the wedge self-merge, and the
+    closure count are all coarse-shard shuffles over fixed-width int64
+    rows with per-batch combiners; the driver sees two scalars.
+    Returns ``(n_edges, n_triangles)`` over the deduped simple graph.
+    Duplicate input edges and self-loops are dropped."""
+    from ray.data.aggregate import Sum as _Sum
+
+    simple = _simple_edges(edges, src, dst, n_shards).materialize()
+    n_edges = simple.count()
+    if n_edges == 0:
+        return 0, 0
+
+    degs = _degrees(simple)
     work = simple
     for key, deg_name in (("u", "deg_u"), ("v", "deg_v")):
-        tag_edges, tag_degs, join_shard = attach_by(key, deg_name)
-        tagged_e = work.map_batches(tag_edges, batch_format="pyarrow")
-        tagged_d = degs.map_batches(tag_degs, batch_format="pyarrow")
-        work = (tagged_e.union(tagged_d).groupby("shard")
-                        .map_groups(join_shard, batch_format="pandas"))
+        work = _attach_degrees(work, degs, key, deg_name, n_shards)
 
     # --- orient lower-(deg, id) -> higher; key wedge/closure rows by the
     # ORIENTED pair so both sides agree
@@ -602,3 +615,46 @@ def triangle_count(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
                .map_groups(close_shard, batch_format="pandas")
                .aggregate(_Sum("tri", alias_name="t"))["t"] or 0)
     return int(n_edges), int(total)
+
+
+def k_core(edges: "rd.Dataset", k: int, src: str = "src",
+           dst: str = "dst", max_iter: int = 100,
+           n_shards: int = 64) -> tuple["rd.Dataset", int]:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < k until a fixpoint (the standard distributed peeling — each round
+    recomputes degrees over the SURVIVING edge set and drops every edge
+    touching a sub-k node; rounds = peeling depth). Returns
+    ``(nodes, rounds)`` where ``nodes`` is the (node, deg) frontier of
+    the k-core (possibly empty) and ``rounds`` counts peeling passes
+    including the fixpoint check.
+
+    Scale shape per round: one combiner degree aggregate + two
+    degree-attach co-group shuffles (shared machinery with
+    ``triangle_count``) over fixed-width int rows; the edge frontier is
+    materialized per round (bounded state, the CC/pagerank checkpoint
+    pattern) and only shrinks. No broadcast: sub-k filtering happens
+    inside the attach join, so V never needs to fit anywhere."""
+    work = _simple_edges(edges, src, dst, n_shards).materialize()
+    n_prev = work.count()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        if n_prev == 0:
+            break
+        degs = _degrees(work)
+        both = work
+        for key, deg_name in (("u", "deg_u"), ("v", "deg_v")):
+            both = _attach_degrees(both, degs, key, deg_name, n_shards)
+
+        def keep(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["deg_u"].to_numpy(np.int64) >= k) \
+                & (b["deg_v"].to_numpy(np.int64) >= k)
+            return b.loc[m, ["u", "v"]]
+
+        work = both.map_batches(keep, batch_format="pandas").materialize()
+        n_now = work.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+
+    return _degrees(work), rounds

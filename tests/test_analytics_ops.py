@@ -383,3 +383,23 @@ def test_lead_and_mad_and_disc_quantile(ray_session):
     q = grouped_quantile(_ds(vals), ["k"], "v", 0.9, alias="p90",
                          method="inverted_cdf").to_pandas()
     assert q["p90"].iloc[0] == 10.0  # an actual element, not interpolated
+
+
+def test_k_core_peels_tail(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.graph import k_core
+
+    # K5 clique (degree 4 inside) + a pendant chain 5-100-101
+    e = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    e += [(5, 100), (100, 101)]
+    df = pd.DataFrame(e, columns=["src", "dst"])
+    nodes, rounds = k_core(rd.from_pandas(df).repartition(3), k=3)
+    out = nodes.to_pandas().sort_values("node")
+    assert out["node"].tolist() == [1, 2, 3, 4, 5]
+    assert (out["deg"] == 4).all()
+    assert rounds >= 2  # chain peeled in round 1, fixpoint verified
+
+    # k higher than any degree -> empty core
+    empty, _ = k_core(rd.from_pandas(df).repartition(2), k=10)
+    assert empty.count() == 0
