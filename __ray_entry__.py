@@ -2498,6 +2498,28 @@ def _q_part_kcore(sf_dir: str):
     return out
 
 
+def _q_orders_lineitem_join_bucketed(sf_dir: str):
+    """Storage-co-located join: both tables written ONCE as key-hash
+    bucketed parquet, then joined bucket-by-bucket with NO shuffle
+    (aligned per-bucket tasks). Shares the shuffle join's oracle —
+    bucketing must not change the result."""
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucketed_join, write_bucketed)
+
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    od = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderpriority"])
+    base = os.path.join("/tmp/bucketed", os.path.basename(sf_dir.rstrip("/")))
+    write_bucketed(li, os.path.join(base, "lineitem"), "l_orderkey", 32)
+    write_bucketed(od, os.path.join(base, "orders"), "o_orderkey", 32)
+    return bucketed_join(
+        os.path.join(base, "lineitem"), os.path.join(base, "orders"),
+        "l_orderkey", "o_orderkey", 32,
+        cols=["l_orderkey", "l_linenumber", "l_quantity",
+              "o_orderpriority"])
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2640,6 +2662,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_mad": _q_priority_price_mad,
         "session_event_pairs": _q_session_event_pairs,
         "part_kcore": _q_part_kcore,
+        "orders_lineitem_join_bucketed": _q_orders_lineitem_join_bucketed,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2754,6 +2777,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 5
         """,
         "orders_lineitem_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "orders_lineitem_join_bucketed": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,

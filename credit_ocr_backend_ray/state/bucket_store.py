@@ -1,0 +1,112 @@
+"""Bucket-partitioned parquet tables: persistent key co-location.
+
+The storage-level answer to "pick ONE partitioning key and reuse it":
+a table written with ``write_bucketed`` lands in ``bucket=<b>/``
+directories where ``b = hash(key) % n_buckets``, so every row of a key
+lives in exactly one directory — the Hive/Spark/Iceberg bucketed-table
+idea. Two tables bucketed with the SAME key hash and bucket count are
+then join-aligned ON DISK: ``bucketed_join`` joins them bucket-by-bucket
+with NO shuffle at all — each bucket task reads two small file sets and
+merges locally. This is also the stated fix (stages/graph.py module
+docstring) for iterative algorithms that otherwise re-shuffle a static
+adjacency every round: pre-bucket once, read per-shard per round.
+
+``bucketed_join`` uses raw ``ray.remote`` tasks per bucket — the
+documented last-resort tier: the Dataset API cannot express an ALIGNED
+two-sided partitioned read (its join always shuffles), and the whole
+point of bucketing is that the co-location already happened at write
+time. The result re-enters the Dataset world via ``from_arrow_refs``
+(zero-copy: tables stay in the object store).
+
+Scale notes: bucket fan-out is ``n_buckets`` independent tasks; per-task
+memory is the two bucket slices (size the bucket count so a bucket fits
+a worker — same contract as every co-group in this engine). The bucket
+function is the engine-wide Fibonacci hash on int64 keys, stable across
+runs and tables.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bucket_of_int(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Engine-wide stable bucket of an int64 key (Fibonacci hash — the
+    same mix as the graph co-group shards)."""
+    return (((keys.astype(np.uint64) * _HASH_MULT) >> np.uint64(40))
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
+def write_bucketed(ds: "rd.Dataset", path: str, key: str,
+                   n_buckets: int = 32) -> int:
+    """Write ``ds`` as a bucketed parquet table at ``path`` (one
+    ``bucket=<b>`` directory per key-hash bucket). One shuffle pays for
+    the permanent co-location. Returns the row count written. The write
+    is directory-replacing per bucket (idempotent re-run)."""
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = bucket_of_int(b[key].to_numpy(np.int64), n_buckets)
+        return b
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged.write_parquet(path, partition_cols=["bucket"])
+    # row count from parquet FOOTERS only — no data I/O
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(path, "bucket=*",
+                                               "*.parquet")))
+
+
+def bucket_files(path: str, bucket: int) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, f"bucket={bucket}",
+                                         "*.parquet")))
+
+
+@ray.remote
+def _join_bucket(files_a: list[str], files_b: list[str], on_a: str,
+                 on_b: str, cols: list[str] | None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    def load(files: list[str]) -> pd.DataFrame:
+        if not files:
+            return None
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files]).to_pandas()
+
+    a = load(files_a)
+    b = load(files_b)
+    if a is None or b is None:
+        empty = pd.DataFrame(columns=cols or [])
+        return pa.Table.from_pandas(empty, preserve_index=False)
+    out = a.merge(b, left_on=on_a, right_on=on_b, how="inner")
+    if cols is not None:
+        out = out[cols]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bucketed_join(path_a: str, path_b: str, on_a: str, on_b: str,
+                  n_buckets: int = 32,
+                  cols: list[str] | None = None) -> "rd.Dataset":
+    """Shuffle-FREE inner join of two tables bucketed by the same key
+    hash and bucket count: ``n_buckets`` independent tasks, each reading
+    one aligned bucket pair and merging locally; results re-enter the
+    Dataset pipeline as Arrow refs (stay in the object store)."""
+    refs = [
+        _join_bucket.remote(bucket_files(path_a, b),
+                            bucket_files(path_b, b), on_a, on_b, cols)
+        for b in range(n_buckets)
+    ]
+    return rd.from_arrow_refs(refs)

@@ -403,3 +403,33 @@ def test_k_core_peels_tail(ray_session):
     # k higher than any degree -> empty core
     empty, _ = k_core(rd.from_pandas(df).repartition(2), k=10)
     assert empty.count() == 0
+
+
+def test_bucket_store_colocation_and_join(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucket_of_int, bucketed_join, write_bucketed)
+
+    a = pd.DataFrame({"k": list(range(50)) * 2, "va": range(100)})
+    b = pd.DataFrame({"k2": range(0, 100, 3), "vb": range(34)})
+    pa_, pb_ = str(tmp_path / "ta"), str(tmp_path / "tb")
+    assert write_bucketed(rd.from_pandas(a).repartition(4), pa_, "k", 8) \
+        == 100
+    # co-location: every key's rows live in exactly ONE bucket dir,
+    # and it is the bucket the hash says
+    for f in glob.glob(pa_ + "/bucket=*/*.parquet"):
+        bucket = int(f.split("bucket=")[1].split("/")[0])
+        keys = pq.read_table(f)["k"].to_numpy(zero_copy_only=False)
+        assert (bucket_of_int(keys.astype(np.int64), 8) == bucket).all()
+
+    write_bucketed(rd.from_pandas(b), pb_, "k2", 8)
+    out = bucketed_join(pa_, pb_, "k", "k2", 8,
+                        cols=["k", "va", "vb"]).to_pandas()
+    exp = a.merge(b, left_on="k", right_on="k2")[["k", "va", "vb"]]
+    assert len(out) == len(exp)
+    assert (out.sort_values(["k", "va"]).reset_index(drop=True)
+            == exp.sort_values(["k", "va"]).reset_index(drop=True)).all().all()
