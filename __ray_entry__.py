@@ -2520,6 +2520,28 @@ def _q_orders_lineitem_join_bucketed(sf_dir: str):
               "o_orderpriority"])
 
 
+def _q_event_session_components_bucketed(sf_dir: str):
+    """The bucketed-adjacency variant of event_session_components: the
+    session-star adjacency is written once as a bucketed parquet table
+    and each propagation round reads it from disk — only the V-row label
+    frontier shuffles. Shares the in-memory variant's analytic oracle,
+    so the disk-resident iteration is pinned to the same fixpoint."""
+    from credit_ocr_backend_ray.stages.graph import (
+        connected_components_bucketed, session_star_edges)
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    edges = session_star_edges(ds, gap_s=4 * 3600)
+    base = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")), "session_adj")
+    labels, _rounds = connected_components_bucketed(edges, base,
+                                                    "src", "dst")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"node": "event_id"})
+
+    return labels.map_batches(fin, batch_format="pandas")
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2663,6 +2685,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "session_event_pairs": _q_session_event_pairs,
         "part_kcore": _q_part_kcore,
         "orders_lineitem_join_bucketed": _q_orders_lineitem_join_bucketed,
+        "event_session_components_bucketed":
+            _q_event_session_components_bucketed,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -3516,6 +3540,22 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "event_session_components": """
+            WITH m AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+            SELECT event_id,
+                   min(event_id) OVER (PARTITION BY user_id, sid) AS comp
+            FROM s
+        """,
+        "event_session_components_bucketed": """
             WITH m AS (
                 SELECT user_id, event_id, ts,
                        CASE WHEN ts - lag(ts) OVER w > INTERVAL 4 HOUR

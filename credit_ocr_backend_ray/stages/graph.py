@@ -658,3 +658,128 @@ def k_core(edges: "rd.Dataset", k: int, src: str = "src",
         n_prev = n_now
 
     return _degrees(work), rounds
+
+
+def connected_components_bucketed(edges: "rd.Dataset", adj_path: str,
+                                  src: str = "src", dst: str = "dst",
+                                  max_iter: int = 50,
+                                  n_buckets: int = 64
+                                  ) -> tuple["rd.Dataset", int]:
+    """``connected_components`` with the static adjacency PRE-BUCKETED to
+    parquet (``state/bucket_store`` layout, bucketed by node): the
+    module-docstring's stated fix realized. Per round only the V-row
+    label frontier crosses the wire — each bucket's send task reads its
+    adjacency slice from disk (footer-pruned parquet, no shuffle), so
+    the O(E)-rows-per-round adjacency movement of the in-memory variant
+    goes to zero. Same min-label semantics, same fixpoint rule; returns
+    ``(labels, rounds)``.
+
+    The adjacency is written once per ``adj_path`` (idempotent replace);
+    a long iterative job on a 100 TB edge set amortizes that single
+    write-time shuffle across every round of every run."""
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucket_files, bucket_of_int, write_bucketed)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = pd.DataFrame({"node": np.concatenate([a, b]),
+                          "nbr": np.concatenate([b, a])}).drop_duplicates()
+        return pa.table({
+            "node": pa.array(u["node"].to_numpy(np.int64), pa.int64()),
+            "nbr": pa.array(u["nbr"].to_numpy(np.int64), pa.int64()),
+        })
+
+    adj = edges.map_batches(sym, batch_format="pyarrow")
+    write_bucketed(adj, adj_path, "node", n_buckets)
+
+    def init_nodes(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            t[dst].to_numpy(zero_copy_only=False).astype(np.int64)])
+        u = np.unique(both)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "comp": pa.array(u, pa.int64())})
+
+    labels = (edges.map_batches(init_nodes, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("comp", alias_name="__s")))
+
+    def dedup_init(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "comp": pa.array(node, pa.int64())})
+
+    labels = labels.map_batches(dedup_init,
+                                batch_format="pyarrow").materialize()
+
+    def tag_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = bucket_of_int(b["node"].to_numpy(np.int64),
+                                    n_buckets)
+        return b
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "comp": pd.Series([], dtype=np.int64),
+                             "kind": pd.Series([], dtype=np.int8),
+                             "bucket": pd.Series([], dtype=np.int64)})
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # map_groups pads empty groups (zero-column)
+            return _empty_out()
+        # the adjacency slice comes from DISK, not the shuffle
+        import pyarrow.parquet as pq
+        bucket = int(g["bucket"].iloc[0])
+        g = g[["node", "comp"]]
+        files = bucket_files(adj_path, bucket)
+        if files:
+            adj_b = pa.concat_tables(
+                [pq.read_table(f) for f in files]).to_pandas()
+            msgs = adj_b.merge(g, on="node")[["nbr", "comp"]] \
+                .rename(columns={"nbr": "node"})
+            # local combine: one candidate per destination node
+            msgs = msgs.groupby("node", as_index=False)["comp"].min()
+            msgs["kind"] = np.int8(0)
+        else:
+            msgs = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "comp": pd.Series([], dtype=np.int64),
+                                 "kind": pd.Series([], dtype=np.int8)})
+        lab = g.copy()
+        lab["kind"] = np.int8(1)
+        out = pd.concat([msgs, lab], ignore_index=True)
+        out["bucket"] = bucket_of_int(out["node"].to_numpy(np.int64),
+                                      n_buckets)
+        return out
+
+    def receive(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "comp": pd.Series([], dtype=np.int64),
+                                 "changed": pd.Series([], dtype=np.int64)})
+        mins = g.groupby("node", as_index=False)["comp"].min() \
+            .rename(columns={"comp": "new"})
+        old = g[g["kind"] == 1][["node", "comp"]]
+        m = old.merge(mins, on="node")
+        return pd.DataFrame({
+            "node": m["node"].to_numpy(np.int64),
+            "comp": m["new"].to_numpy(np.int64),
+            "changed": (m["new"] < m["comp"]).astype(np.int64),
+        })
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        sent = (labels.map_batches(tag_bucket, batch_format="pandas")
+                      .groupby("bucket")
+                      .map_groups(send, batch_format="pandas"))
+        new_labels = (sent.groupby("bucket")
+                          .map_groups(receive, batch_format="pandas")
+                          .materialize())
+        changed = new_labels.aggregate(Sum("changed",
+                                           alias_name="c"))["c"] or 0
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            break
+    return labels, rounds

@@ -433,3 +433,24 @@ def test_bucket_store_colocation_and_join(ray_session, tmp_path):
     assert len(out) == len(exp)
     assert (out.sort_values(["k", "va"]).reset_index(drop=True)
             == exp.sort_values(["k", "va"]).reset_index(drop=True)).all().all()
+
+
+def test_cc_bucketed_matches_inmemory(ray_session, tmp_path):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.graph import (
+        connected_components, connected_components_bucketed)
+
+    # two components (1-2-3 chain, 10-11) + a self-loop + dup edges
+    e = pd.DataFrame({"src": [1, 2, 10, 2, 5, 1],
+                      "dst": [2, 3, 11, 1, 5, 2]})
+    ds = rd.from_pandas(e).repartition(3)
+    mem, _ = connected_components(ds, max_iter=20)
+    bkt, rounds = connected_components_bucketed(
+        ds, str(tmp_path / "adj"), max_iter=20, n_buckets=8)
+    a = mem.to_pandas().sort_values("node").reset_index(drop=True)
+    b = bkt.to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(b[b["comp"] == 1]["node"]) == {1, 2, 3}
+    assert set(b[b["comp"] == 10]["node"]) == {10, 11}
+    assert rounds >= 2
