@@ -2542,6 +2542,37 @@ def _q_event_session_components_bucketed(sf_dir: str):
     return labels.map_batches(fin, batch_format="pandas")
 
 
+def _q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection over synthetic two-scene videos: frame
+    differencing on the codec-free PPM container (rows-only: real numpy
+    kernel, planted-cut positions test-asserted)."""
+    import pyarrow as pa
+
+    from credit_ocr_backend_ray.stages.multimodal import SceneCutDetector
+
+    def synth_videos(t: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            n_frames = 6 + (d % 4)
+            cut_at = 2 + (d % 3)  # scene change mid-video
+            frames = []
+            for k in range(n_frames):
+                shade = (40 + (d % 50)) if k < cut_at else (200 - (d % 50))
+                px = np.full((24, 32, 3), shade, np.uint8)
+                frames.append(b"P6\n32 24\n255\n" + px.tobytes())
+            ids.append(str(d))
+            payloads.append(b"".join(frames))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    ds = (_rp(_t(sf_dir, "documents"), columns=["doc_id"])
+          .map_batches(synth_videos, batch_format="pyarrow"))
+    return ds.map_batches(SceneCutDetector, batch_format="pyarrow",
+                          batch_size=16, concurrency=2)
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2687,6 +2718,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_bucketed": _q_orders_lineitem_join_bucketed,
         "event_session_components_bucketed":
             _q_event_session_components_bucketed,
+        "video_scene_cuts": _q_video_scene_cuts,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,

@@ -337,3 +337,60 @@ class PageAnnotator:
             "url": batch["url"],
             "annotation_plan": pa.array(plans, pa.string()),
         })
+
+
+class SceneCutDetector:
+    """Actor-pool stage: scene-cut detection by frame differencing — for
+    each video-like payload, demux the concatenated-PPM container, and
+    flag frame k as a cut when the mean absolute pixel delta to frame
+    k-1 exceeds ``threshold`` (0-255 scale). The shot-segmentation step
+    of a video curation pipeline, as a REAL vectorized numpy kernel over
+    the codec-free container (swap the demux for ffmpeg in a full
+    environment; the Ray-side shape — small batches, per-row poison
+    isolation, fixed-width output — is the deliverable). Emits one row
+    per video: (media_id, n_frames, n_cuts, cut_indexes CSV string;
+    n_frames = -1 marks an undecodable container)."""
+
+    def __init__(self, threshold: float = 24.0, col: str = "payload"):
+        self.threshold = threshold
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np  # function-local like the module's other kernels
+
+        ids: list[str] = []
+        nf: list[int] = []
+        nc: list[int] = []
+        cuts: list[str] = []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch[self.col].to_pylist()):
+            try:
+                frames = split_ppm_stream(payload or b"")
+                mats = []
+                for f in frames:
+                    w, h, px = parse_ppm(f)
+                    mats.append(np.frombuffer(px, np.uint8)
+                                .astype(np.int16).reshape(h, w, 3))
+            except Exception:  # noqa: BLE001 — per-row poison capture
+                ids.append(mid); nf.append(-1); nc.append(0); cuts.append("")
+                continue
+            idxs = [
+                k for k in range(1, len(mats))
+                if mats[k].shape == mats[k - 1].shape
+                and float(np.abs(mats[k] - mats[k - 1]).mean())
+                > self.threshold
+            ] + [
+                k for k in range(1, len(mats))
+                if mats[k].shape != mats[k - 1].shape  # resolution change
+            ]
+            idxs = sorted(set(idxs))
+            ids.append(mid)
+            nf.append(len(mats))
+            nc.append(len(idxs))
+            cuts.append(",".join(str(i) for i in idxs))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "n_cuts": pa.array(nc, pa.int64()),
+            "cut_indexes": pa.array(cuts, pa.string()),
+        })

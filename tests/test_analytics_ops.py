@@ -454,3 +454,29 @@ def test_cc_bucketed_matches_inmemory(ray_session, tmp_path):
     assert set(b[b["comp"] == 1]["node"]) == {1, 2, 3}
     assert set(b[b["comp"] == 10]["node"]) == {10, 11}
     assert rounds >= 2
+
+
+def test_scene_cut_detector(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.multimodal import SceneCutDetector
+
+    def ppm(shade, w=8, h=6):
+        px = np.full((h, w, 3), shade, np.uint8)
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    two_scene = b"".join([ppm(10)] * 3 + [ppm(220)] * 2)   # cut at 3
+    flat = b"".join([ppm(99)] * 4)                         # no cut
+    df = pd.DataFrame({
+        "media_id": ["a", "b", "c"],
+        "payload": [two_scene, flat, b"garbage"],
+    })
+    out = (rd.from_pandas(df)
+           .map_batches(SceneCutDetector, batch_format="pyarrow",
+                        batch_size=2, concurrency=1)
+           .to_pandas().set_index("media_id"))
+    assert out.loc["a", "n_frames"] == 5
+    assert out.loc["a", "n_cuts"] == 1
+    assert out.loc["a", "cut_indexes"] == "3"
+    assert out.loc["b", "n_cuts"] == 0
+    assert out.loc["c", "n_frames"] == -1  # poison row captured
