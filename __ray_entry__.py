@@ -2573,6 +2573,39 @@ def _q_video_scene_cuts(sf_dir: str):
                           batch_size=16, concurrency=2)
 
 
+def _q_customer_spend_bucketed(sf_dir: str):
+    """Shuffle-free grouped aggregate over a bucketed table: every
+    customer's orders are co-located on disk, so a per-bucket local
+    groupby IS the global per-customer spend (decimal-exact cents)."""
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucketed_agg, write_bucketed)
+
+    od = _rp(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "price_c": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                                * 100 + 0.5).astype(np.int64),
+        })
+
+    base = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")),
+                        "orders_by_cust")
+    write_bucketed(od.map_batches(cents, batch_format="pandas"),
+                   base, "o_custkey", 32)
+    out = bucketed_agg(base, "o_custkey", {"price_c": "spend_c"},
+                       count_alias="n_orders")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_orders"] > 0]  # drop empty-bucket placeholder schema
+        b = b.copy()
+        b["spend"] = (b["spend_c"] / 100.0).round(2)
+        return b[["o_custkey", "spend", "n_orders"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2719,6 +2752,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "event_session_components_bucketed":
             _q_event_session_components_bucketed,
         "video_scene_cuts": _q_video_scene_cuts,
+        "customer_spend_bucketed": _q_customer_spend_bucketed,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2835,6 +2869,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "customer_spend_bucketed": """
+            SELECT o_custkey,
+                   round(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                  AS BIGINT)) / 100.0, 2) AS spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
         """,
         "orders_lineitem_join_bucketed": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority

@@ -110,3 +110,35 @@ def bucketed_join(path_a: str, path_b: str, on_a: str, on_b: str,
         for b in range(n_buckets)
     ]
     return rd.from_arrow_refs(refs)
+
+
+@ray.remote
+def _agg_bucket(files: list[str], key: str, sum_cols: dict,
+                count_alias: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    if not files:
+        cols = {key: pd.Series([], dtype="int64"),
+                count_alias: pd.Series([], dtype="int64")}
+        cols.update({a: pd.Series([], dtype="int64")
+                     for a in sum_cols.values()})
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
+    df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    out = df.groupby(key, as_index=False).agg(
+        **{alias: (c, "sum") for c, alias in sum_cols.items()},
+        **{count_alias: (key, "size")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bucketed_agg(path: str, key: str, sum_cols: dict,
+                 count_alias: str = "n",
+                 n_buckets: int = 32) -> "rd.Dataset":
+    """Shuffle-FREE grouped aggregate over a bucketed table: every key
+    lives in exactly one bucket, so a per-bucket local groupby IS the
+    global answer — no combiner round, no all-to-all. ``sum_cols`` maps
+    input column -> output alias (same contract as
+    ``relational.grouped_agg``)."""
+    refs = [_agg_bucket.remote(bucket_files(path, b), key, sum_cols,
+                               count_alias)
+            for b in range(n_buckets)]
+    return rd.from_arrow_refs(refs)
