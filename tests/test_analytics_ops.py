@@ -480,3 +480,20 @@ def test_scene_cut_detector(ray_session):
     assert out.loc["a", "cut_indexes"] == "3"
     assert out.loc["b", "n_cuts"] == 0
     assert out.loc["c", "n_frames"] == -1  # poison row captured
+
+
+def test_bucketed_agg_matches_pandas(ray_session, tmp_path):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucketed_agg, write_bucketed)
+
+    df = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": [10, 5, 7, 1, 2, 4]})
+    p = str(tmp_path / "t")
+    write_bucketed(rd.from_pandas(df).repartition(3), p, "k", 4)
+    out = (bucketed_agg(p, "k", {"v": "sv"}, count_alias="cnt")
+           .to_pandas())
+    out = out[out["cnt"] > 0].sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["sv"].tolist() == [15, 7, 7]
+    assert out["cnt"].tolist() == [2, 1, 3]
