@@ -2606,6 +2606,25 @@ def _q_customer_spend_bucketed(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_orders_price_range_scan(sf_dir: str):
+    """Partition-pruned range scan over a range-clustered table: orders
+    written once into sketch-derived price ranges (no global sort), then
+    a [100k, 300k] scan touches only the intersecting directories. The
+    result is boundary-independent, so the plain BETWEEN oracle pins it
+    exactly."""
+    from credit_ocr_backend_ray.state.bucket_store import (
+        read_value_range, write_range_partitioned)
+
+    od = _rp(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    base = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")),
+                        "orders_by_price")
+    bounds = write_range_partitioned(od, base, "o_totalprice", n_parts=8)
+    out = read_value_range(base, "o_totalprice", 100_000.0, 300_000.0,
+                           bounds)
+    return out.select_columns(["o_orderkey", "o_totalprice"])
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2753,6 +2772,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             _q_event_session_components_bucketed,
         "video_scene_cuts": _q_video_scene_cuts,
         "customer_spend_bucketed": _q_customer_spend_bucketed,
+        "orders_price_range_scan": _q_orders_price_range_scan,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2869,6 +2889,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "orders_price_range_scan": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice BETWEEN 100000 AND 300000
         """,
         "customer_spend_bucketed": """
             SELECT o_custkey,

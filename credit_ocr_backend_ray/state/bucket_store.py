@@ -142,3 +142,59 @@ def bucketed_agg(path: str, key: str, sum_cols: dict,
                                count_alias)
             for b in range(n_buckets)]
     return rd.from_arrow_refs(refs)
+
+
+def write_range_partitioned(ds: "rd.Dataset", path: str, col: str,
+                            n_parts: int = 16) -> np.ndarray:
+    """Range-CLUSTERED parquet table without a global sort: partition
+    boundaries come from the mergeable quantile sketch (one streaming
+    pass; ``stages/sketch.approx_quantile``), then every row routes to
+    its range directory in a second stateless pass. Partitions are
+    value-disjoint by construction, so range scans prune whole
+    directories from the FOOTERS and a k-way ordered consumer merges
+    pre-clustered files instead of paying an all-to-all sort — the
+    clustering-key idea of a warehouse table layout. Roughly equal-count
+    partitions (sketch-bin granularity at the boundaries). Returns the
+    ``n_parts - 1`` boundary values."""
+    import shutil
+
+    from ray.data.aggregate import Max, Min
+
+    from credit_ocr_backend_ray.stages.sketch import approx_quantile
+
+    shutil.rmtree(path, ignore_errors=True)
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    qs = {f"__b{i}": i / n_parts for i in range(1, n_parts)}
+    qrow = approx_quantile(ds, col, qs, lo, hi).to_pandas().iloc[0]
+    bounds = np.array([float(qrow[f"__b{i}"]) for i in range(1, n_parts)])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = np.searchsorted(bounds, b[col].to_numpy(np.float64),
+                                    side="right").astype(np.int64)
+        return b
+
+    ds.map_batches(tag, batch_format="pandas").write_parquet(
+        path, partition_cols=["part"])
+    return bounds
+
+
+def read_value_range(path: str, col: str, lo: float, hi: float,
+                     bounds: np.ndarray) -> "rd.Dataset":
+    """Partition-pruned range scan of a range-partitioned table: only
+    directories whose value range intersects [lo, hi] are read at all
+    (plus an exact in-partition filter for the edge directories)."""
+    import pyarrow.compute as pc
+
+    first = int(np.searchsorted(bounds, lo, side="right"))
+    last = int(np.searchsorted(bounds, hi, side="right"))
+    files: list[str] = []
+    for p in range(first, last + 1):
+        files.extend(sorted(glob.glob(
+            os.path.join(path, f"part={p}", "*.parquet"))))
+    if not files:
+        return rd.from_items([])
+    return rd.read_parquet(files,
+                           filter=(pc.field(col) >= lo)
+                                  & (pc.field(col) <= hi))

@@ -497,3 +497,41 @@ def test_bucketed_agg_matches_pandas(ray_session, tmp_path):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["sv"].tolist() == [15, 7, 7]
     assert out["cnt"].tolist() == [2, 1, 3]
+
+
+def test_range_partitioned_layout_and_pruned_scan(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.state.bucket_store import (
+        read_value_range, write_range_partitioned)
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": range(2000),
+                       "v": rng.uniform(0, 1000, 2000)})
+    p = str(tmp_path / "rt")
+    bounds = write_range_partitioned(rd.from_pandas(df).repartition(4),
+                                     p, "v", n_parts=8)
+    assert len(bounds) == 7 and (np.diff(bounds) >= 0).all()
+    # disjointness: each partition's values fall inside its boundary slot
+    total = 0
+    for d in glob.glob(p + "/part=*"):
+        part = int(d.split("part=")[1])
+        vals = pa.concat_tables(
+            [pq.read_table(f) for f in glob.glob(d + "/*.parquet")])["v"] \
+            .to_numpy(zero_copy_only=False)
+        total += len(vals)
+        lo = -np.inf if part == 0 else bounds[part - 1]
+        hi = np.inf if part == len(bounds) else bounds[part]
+        assert (vals > lo).all() or part == 0
+        assert (vals <= hi).all()
+    assert total == 2000
+
+    # pruned scan returns exactly the rows in range
+    got = read_value_range(p, "v", 100.0, 300.0, bounds).to_pandas()
+    exp = df[(df.v >= 100.0) & (df.v <= 300.0)]
+    assert len(got) == len(exp)
+    assert set(got["id"]) == set(exp["id"])
