@@ -2625,6 +2625,16 @@ def _q_orders_price_range_scan(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
+def _q_qty_discount_hist2d(sf_dir: str):
+    """Joint quantity x discount heatmap: 10x11 fixed-grid 2D histogram
+    over lineitem (bounded combiner cells)."""
+    from credit_ocr_backend_ray.stages.relational import histogram2d
+
+    ds = _rp(_t(sf_dir, "lineitem"), columns=["l_quantity", "l_discount"])
+    return histogram2d(ds, "l_quantity", 0.0, 50.0, 10,
+                       "l_discount", 0.0, 0.11, 11)
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2773,6 +2783,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _q_video_scene_cuts,
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "orders_price_range_scan": _q_orders_price_range_scan,
+        "qty_discount_hist2d": _q_qty_discount_hist2d,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2889,6 +2900,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "qty_discount_hist2d": """
+            SELECT LEAST(GREATEST(CAST(floor(l_quantity / (50.0 / 10))
+                                       AS BIGINT), 0), 9) AS xbin,
+                   LEAST(GREATEST(CAST(floor(l_discount / (0.11 / 11))
+                                       AS BIGINT), 0), 10) AS ybin,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2
         """,
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders

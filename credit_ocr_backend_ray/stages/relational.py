@@ -608,6 +608,30 @@ def histogram(ds: "rd.Dataset", col: str, lo: float, hi: float,
                        ["bucket"], {}, count_alias="n", combine="driver")
 
 
+def histogram2d(ds: "rd.Dataset", xcol: str, xlo: float, xhi: float,
+                xbins: int, ycol: str, ylo: float, yhi: float,
+                ybins: int) -> "rd.Dataset":
+    """Fixed-grid 2D histogram (the heatmap / joint-distribution bin
+    counts): both bucket ids derive vectorized per batch, then one
+    combiner-grouped count over the bounded (xbin, ybin) key space —
+    only (cell, partial_count) rows cross the wire, the same shape as
+    the 1D ``histogram``. Edge clamping on both axes; only non-empty
+    cells emit rows (sparse contract)."""
+    xw = (xhi - xlo) / xbins
+    yw = (yhi - ylo) / ybins
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        x = t[xcol].to_numpy(zero_copy_only=False)
+        y = t[ycol].to_numpy(zero_copy_only=False)
+        bx = np.clip(np.floor((x - xlo) / xw).astype("int64"), 0, xbins - 1)
+        by = np.clip(np.floor((y - ylo) / yw).astype("int64"), 0, ybins - 1)
+        return pa.table({"xbin": pa.array(bx), "ybin": pa.array(by)})
+
+    return grouped_agg(ds.map_batches(bucketize, batch_format="pyarrow"),
+                       ["xbin", "ybin"], {}, count_alias="n",
+                       combine="driver")
+
+
 def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":
     """DISTINCT over ``cols``: project then grouped Count (partials combine
     per-partition, so only unique keys cross the shuffle), keys only out."""
