@@ -535,3 +535,18 @@ def test_range_partitioned_layout_and_pruned_scan(ray_session, tmp_path):
     exp = df[(df.v >= 100.0) & (df.v <= 300.0)]
     assert len(got) == len(exp)
     assert set(got["id"]) == set(exp["id"])
+
+
+def test_histogram2d_clamps_edges(ray_session):
+    from credit_ocr_backend_ray.stages.relational import histogram2d
+
+    df = pd.DataFrame({
+        "x": [-5.0, 0.0, 9.9, 100.0],   # below-range, edge, in, above
+        "y": [0.5, 0.5, 0.5, 2.0],
+    })
+    out = histogram2d(_ds(df), "x", 0.0, 10.0, 2,
+                      "y", 0.0, 1.0, 2).to_pandas()
+    got = {(r.xbin, r.ybin): r.n for r in out.itertuples()}
+    # x: -5 and 0 clamp/fall in bin 0; 9.9 bin 1; 100 clamps to bin 1
+    # y: 0.5 -> bin 1 (floor(0.5/0.5)=1); 2.0 clamps to bin 1
+    assert got == {(0, 1): 2, (1, 1): 2}
