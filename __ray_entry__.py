@@ -2635,6 +2635,15 @@ def _q_qty_discount_hist2d(sf_dir: str):
                        "l_discount", 0.0, 0.11, 11)
 
 
+def _q_events_within_minute(sf_dir: str):
+    """Distributed band self-join: all event pairs within one minute of
+    each other (both sides big — time-bucket replication, no broadcast)."""
+    from credit_ocr_backend_ray.stages.relational import band_self_join
+
+    ds = _rp(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    return band_self_join(ds, "ts", "event_id", 60_000_000)
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2784,6 +2793,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
+        "events_within_minute": _q_events_within_minute,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -2900,6 +2910,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "events_within_minute": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+            FROM events a JOIN events b
+              ON a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
         """,
         "qty_discount_hist2d": """
             SELECT LEAST(GREATEST(CAST(floor(l_quantity / (50.0 / 10))

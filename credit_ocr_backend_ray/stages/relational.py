@@ -1641,3 +1641,72 @@ def grouped_entropy(ds: "rd.Dataset", key: str, state_col: str,
                                batch_format="pandas")
                   .groupby("__shard").map_groups(per_shard,
                                                  batch_format="pandas"))
+
+
+def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
+                   band_us: int,
+                   keep_cols: Sequence[str] = ()) -> "rd.Dataset":
+    """Distributed band (interval) SELF-join: all row pairs whose
+    timestamps lie within ``band_us`` microseconds — the both-sides-big
+    sibling of ``range_join_broadcast`` (which needs one side to fit a
+    broadcast). Technique: time-bucket co-grouping with BOUNDARY
+    REPLICATION — every row lands in its ``band_us``-wide bucket AND the
+    next one, so any qualifying pair co-locates in the LATER row's home
+    bucket (the earlier row is there as home or as the replicated copy);
+    attributing each pair to exactly that bucket makes the emission
+    exactly-once with no dedup shuffle. In-bucket pairing is a fully
+    vectorized sorted window expansion (searchsorted + repeat — no
+    per-row Python loop); every row moves exactly twice regardless of
+    scale. Output: (id_a, id_b, dt_us) with ``id_a < id_b`` and
+    ``dt_us >= 0`` = |ts_a - ts_b|, plus ``keep_cols`` from each side
+    suffixed _a/_b. Partitioning assumption: one time bucket's rows fit
+    a worker (tune ``band_us``; salt pathological hot instants)."""
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        bk = ts // band_us
+        return pd.concat([b.assign(__bk=bk), b.assign(__bk=bk + 1)],
+                         ignore_index=True)
+
+    cols = list(keep_cols)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        base_cols = {"id_a": pd.Series([], dtype="int64"),
+                     "id_b": pd.Series([], dtype="int64"),
+                     "dt_us": pd.Series([], dtype="int64")}
+        for c in cols:
+            base_cols[f"{c}_a"] = pd.Series([], dtype="object")
+            base_cols[f"{c}_b"] = pd.Series([], dtype="object")
+        if not len(g):
+            return pd.DataFrame(base_cols)
+        g = (g.drop_duplicates([id_col])  # home + copy of the same row
+              .sort_values([ts_col, id_col], kind="mergesort"))
+        n = len(g)
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        bk = int(g["__bk"].iloc[0]) if "__bk" in g else 0
+        # wait-free window expansion: row i pairs with i+1 .. hi[i]-1
+        hi = np.searchsorted(ts, ts + band_us, side="right")
+        counts = np.clip(hi - np.arange(1, n + 1), 0, None)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(base_cols)
+        ia = np.repeat(np.arange(n), counts)
+        starts = np.arange(n) + 1
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ib = (np.arange(total) - np.repeat(offs, counts)
+              + np.repeat(starts, counts))
+        # exactly-once attribution: the LATER row's home bucket
+        keep = (ts[ib] // band_us) == bk
+        ia, ib = ia[keep], ib[keep]
+        lo_id = np.minimum(ids[ia], ids[ib])
+        hi_id = np.maximum(ids[ia], ids[ib])
+        out = {"id_a": lo_id, "id_b": hi_id, "dt_us": ts[ib] - ts[ia]}
+        for c in cols:
+            v = g[c].to_numpy()
+            a_first = ids[ia] == lo_id
+            out[f"{c}_a"] = np.where(a_first, v[ia], v[ib])
+            out[f"{c}_b"] = np.where(a_first, v[ib], v[ia])
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby("__bk").map_groups(pairs, batch_format="pandas"))

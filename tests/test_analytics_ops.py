@@ -550,3 +550,32 @@ def test_histogram2d_clamps_edges(ray_session):
     # x: -5 and 0 clamp/fall in bin 0; 9.9 bin 1; 100 clamps to bin 1
     # y: 0.5 -> bin 1 (floor(0.5/0.5)=1); 2.0 clamps to bin 1
     assert got == {(0, 1): 2, (1, 1): 2}
+
+
+def test_band_self_join_exactly_once_across_buckets(ray_session):
+    from credit_ocr_backend_ray.stages.relational import band_self_join
+
+    rng = np.random.default_rng(11)
+    t0 = pd.Timestamp("2024-01-01").value // 1000  # us
+    # 200 events over ~20 bucket widths, including exact-boundary times
+    offs = np.sort(rng.integers(0, 20 * 60_000_000, 196))
+    offs = np.concatenate([offs, [0, 60_000_000, 60_000_001,
+                                  119_999_999]])
+    ev = pd.DataFrame({
+        "event_id": range(len(offs)),
+        "ts": pd.to_datetime((t0 + offs) * 1000),
+    })
+    band = 60_000_000  # 1 minute
+    out = band_self_join(_ds(ev), "ts", "event_id", band).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # brute force
+    us = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    exp = set()
+    for i in range(len(ev)):
+        for j in range(i + 1, len(ev)):
+            if abs(int(us[i]) - int(us[j])) <= band:
+                a, b = sorted((i, j))
+                exp.add((a, b))
+    assert got == exp              # no pair lost across bucket borders
+    assert len(out) == len(got)    # and none emitted twice
+    assert (out["dt_us"] >= 0).all() and (out["dt_us"] <= band).all()
