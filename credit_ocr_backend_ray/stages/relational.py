@@ -1659,8 +1659,9 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
     per-row Python loop); every row moves exactly twice regardless of
     scale. Output: (id_a, id_b, dt_us) with ``id_a < id_b`` and
     ``dt_us >= 0`` = |ts_a - ts_b|, plus ``keep_cols`` from each side
-    suffixed _a/_b. Partitioning assumption: one time bucket's rows fit
-    a worker (tune ``band_us``; salt pathological hot instants)."""
+    suffixed _a/_b. ``id_col`` must be unique per row (it is the pair
+    identity). Partitioning assumption: one time bucket's rows fit a
+    worker (tune ``band_us``; salt pathological hot instants)."""
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         ts = b[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         bk = ts // band_us
@@ -1684,7 +1685,7 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
         ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         ids = g[id_col].to_numpy(np.int64)
         bk = int(g["__bk"].iloc[0]) if "__bk" in g else 0
-        # wait-free window expansion: row i pairs with i+1 .. hi[i]-1
+        # vectorized window expansion: row i pairs with i+1 .. hi[i]-1
         hi = np.searchsorted(ts, ts + band_us, side="right")
         counts = np.clip(hi - np.arange(1, n + 1), 0, None)
         total = int(counts.sum())
