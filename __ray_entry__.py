@@ -962,6 +962,53 @@ def _q_extract_fields_long(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_pdf_extract_pairs(sf_dir: str):
+    """Real application/pdf payloads through the FULL extraction chain:
+    plant deterministic single-font PDFs (sources/synth.py:pdf_doc_bytes —
+    same form geometry as the JSON layout channel), extract their text
+    layer distributed (functions/pdf.py via extract_document's %PDF
+    sniff), return the long-form field rows. Rows-only: parity with the
+    layout channel is pinned by tests/test_pdf.py instead of SQL."""
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.config import default_config
+    from credit_ocr_backend_ray.functions.document import extract_document
+    from credit_ocr_backend_ray.sources.synth import pdf_doc_bytes
+
+    ids = pq.read_table(_t(sf_dir, "documents"),
+                        columns=["doc_id"])["doc_id"].to_pylist()[:200]
+    cfg = default_config()["credit_request"]
+
+    def synth_pdfs(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "payload": pa.array([pdf_doc_bytes(int(d)) for d in dids],
+                                pa.binary()),
+        })
+
+    def extract(t: pa.Table) -> pa.Table:
+        dids, names, values, valids = [], [], [], []
+        for did, payload in zip(t["doc_id"].to_pylist(),
+                                t["payload"].to_pylist()):
+            out = extract_document(payload, cfg)
+            for f in out["fields"]:
+                dids.append(did)
+                names.append(f["name"])
+                values.append(f["value"])
+                valids.append(f["is_valid"])
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "field": pa.array(names, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "is_valid": pa.array(valids, pa.bool_()),
+        })
+
+    ds = rd.from_items([{"doc_id": i} for i in ids]).repartition(8)
+    return (ds.map_batches(synth_pdfs, batch_format="pyarrow")
+              .map_batches(extract, batch_format="pyarrow", batch_size=32))
+
+
 def _q_annotation_render(sf_dir: str):
     import hashlib
     import pyarrow as pa
@@ -2653,36 +2700,67 @@ def _q_temperature_mix(sf_dir: str):
     return temperature_mix_sample(ds)
 
 
-# The round-1 driver recorded exactly the first 50 registration-order
-# entries of queries() in CORRECTNESS_r01.json. With 97 oracled queries
-# the cap drops 47 regardless of order, so the first 50 are chosen to
-# span every operator family (relational core, windows, sources, sampling
-# /splits, the dedup family, the curation/chunking/packing funnel, text
-# analysis, similarity, media, graph, the analytics batch: funnel /
-# skyline / triangles / hamming / temperature mixing) rather than leaving
-# whole families past the cap; where two showcase slots covered the same
-# family (stratified vs md5 sampling, median vs quartiles, spectrum vs
-# top-terms, chunk vs chunk-dedup, salted vs plain join) one slot was
-# given to a newer family. Everything stays verified by
+# The driver records exactly the first 50 registration-order entries of
+# queries() in CORRECTNESS_r{N}.json. The window ROTATES per round so
+# every oracled query gets driver-certified in some round's artifact
+# (QUERIES.md carries the round->query certification map): r01+r02
+# certified 73 distinct queries; the r03 window holds the 38 oracled
+# queries never yet inside a driver window, plus 12 re-certifications of
+# the queries this round's kernels touched (hopping-window combiner
+# rewrite, dedup_latest vectorization, _with_shard hash mixing, bench
+# regression watchlist). Everything stays verified by
 # tools/check_correctness.py at sf0.001/0.01/0.1 either way.
 _SHOWCASE_ORDER = [
-    "agg_pricing", "filter_revenue", "recent_orders_pushdown",
-    "latest_event_per_user", "newest_orders", "top_lineitems_global",
-    "customer_nation", "top_brands_revenue", "orders_lineitem_join",
-    "sessionize_events", "asof_latest_order", "events_hopping_window",
-    "customer_running_total", "event_value_zscore", "funnel_conversion",
-    "order_price_histogram", "priority_price_quartiles",
-    "user_event_pivot", "lang_counts", "knn_cosine",
-    "customers_without_events", "orders_price_band_join",
-    "media_features", "pricing_rollup", "documents_sample",
-    "part_triangles", "train_split_counts", "top_terms",
-    "supplier_hamming_pairs", "events_from_jsonl", "training_batches",
-    "dedup_exact_documents", "dedup_latest_events", "corpus_overlap",
-    "recent_lineitems_bloom", "incremental_dedup", "source_quota_sample",
-    "decontamination_stats", "doc_quality_stats", "bm25_search",
-    "doc_chunks", "part_skyline", "packed_sequences", "intra_doc_dedup",
-    "source_reputation", "curated_pack", "event_session_components",
-    "temperature_mix_sample", "doc_top_tfidf", "doc_text_stats",
+    "events_within_minute",
+    "qty_discount_hist2d",
+    "orders_price_range_scan",
+    "customer_spend_bucketed",
+    "orders_lineitem_join_bucketed",
+    "top_bigrams",
+    "source_vocab_jaccard",
+    "priority_trimmed_mean",
+    "event_retention",
+    "event_transitions",
+    "user_event_entropy",
+    "session_event_pairs",
+    "event_value_next_delta",
+    "brand_price_p90_disc",
+    "priority_price_mad",
+    "doc_dup_grams",
+    "frequent_part_pairs",
+    "documents_stratified_sample",
+    "chunk_dedup",
+    "token_spectrum",
+    "event_session_components_bucketed",
+    "inverted_index",
+    "order_rolling_sum",
+    "orders_lineitem_join_salted",
+    "customer_event_full_outer",
+    "order_rolling_7d",
+    "order_price_cume",
+    "weighted_doc_sample",
+    "local_supplier_revenue",
+    "cube_flag_status",
+    "qty_price_regression",
+    "lineitem_measures_long",
+    "orders_page2",
+    "doc_mean_token_freq",
+    "top_term_per_source",
+    "event_props_agg",
+    "order_rank_in_customer",
+    "user_first_last_event",
+    "events_hopping_window",
+    "knn_cosine",
+    "doc_text_stats",
+    "dedup_latest_events",
+    "dedup_exact_documents",
+    "asof_latest_order",
+    "latest_event_per_user",
+    "supplier_hamming_pairs",
+    "agg_pricing",
+    "curated_pack",
+    "sessionize_events",
+    "orders_lineitem_join",
 ]
 
 
@@ -2830,6 +2908,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "annotation_plans": _q_annotation_plans,
         "annotation_render": _q_annotation_render,
         "annotation_thumbnails": _q_annotation_thumbnails,
+        "pdf_extract_pairs": _q_pdf_extract_pairs,
         "video_frame_sample": _q_video_frame_sample,
         "audio_resample": _q_audio_resample,
         "extraction_prompts": _q_extraction_prompts,

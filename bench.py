@@ -85,7 +85,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         runs.append(round(time.perf_counter() - t0, 3))
     headline = min(runs)
 
-    queries = {}
+    # best-of-2 per query: the first run pays worker-process UDF
+    # deserialization and module import for that query's code path, which
+    # dominated the r02-vs-r01 per-query swings (each query was timed once,
+    # cold, in sequence — ordering/contention noise, not regressions). The
+    # warm second run is the steady-state number; the cold one is kept for
+    # transparency.
+    queries: dict[str, float | str] = {}
+    queries_cold: dict[str, float | str] = {}
     import __ray_entry__ as e
     import ray.data as rd
     q = e.queries()
@@ -93,14 +100,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_exact_documents", "doc_text_stats", "knn_cosine",
                  "dedup_minhash", "asof_latest_order",
                  "events_hopping_window"):
-        try:
-            t = time.perf_counter()
-            res = q[name](sf_dir)
-            if isinstance(res, rd.Dataset):
-                res.count()  # consume the lazy plan
-            queries[name] = round(time.perf_counter() - t, 3)
-        except Exception as exc:  # keep the bench alive
-            queries[name] = f"error: {type(exc).__name__}"
+        walls = []
+        for _ in range(2):
+            try:
+                t = time.perf_counter()
+                res = q[name](sf_dir)
+                if isinstance(res, rd.Dataset):
+                    res.count()  # consume the lazy plan
+                walls.append(round(time.perf_counter() - t, 3))
+            except Exception as exc:  # keep the bench alive
+                walls = [f"error: {type(exc).__name__}"]
+                break
+        queries_cold[name] = walls[0]
+        queries[name] = (min(w for w in walls if isinstance(w, float))
+                         if isinstance(walls[0], float) else walls[0])
 
     ray.shutdown()
     return {
@@ -109,6 +122,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "runs": runs,
         "unit": "sec",
         "queries": queries,
+        "queries_cold_first_run": queries_cold,
         "sf": sf,
         "num_cpus": num_cpus,
         "docs": summary["rows"],

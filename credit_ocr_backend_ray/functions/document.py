@@ -5,8 +5,10 @@ extract -> persist, /root/reference/src/tasks/pipeline_tasks.py:147-166) as
 one pure function over one document, with the payload sniffed instead of
 extension-checked (/root/reference/src/api/main.py:331-338):
 
-- payload starting with ``{``  -> layout document (PDF stand-in): flatten
-  word boxes to line records (functions/layout.py);
+- payload starting with ``%PDF-`` -> real PDF: stdlib text-layer
+  extraction (functions/pdf.py) into the layout-document shape;
+- payload starting with ``{``  -> layout document (OCR-result stand-in):
+  flatten word boxes to line records (functions/layout.py);
 - otherwise                    -> HTML: DOM text-density boilerplate strip
   emitting the same line-record shape (functions/html_extract.py);
 
@@ -34,8 +36,13 @@ STATUS_ERROR = "Fehlerhaft"
 
 
 def payload_to_lines(payload: bytes) -> list[dict[str, Any]]:
-    head = payload.lstrip()[:1]
-    if head == b"{":
+    stripped = payload.lstrip()
+    if stripped[:5] == b"%PDF-":
+        # real application/pdf bytes: stdlib text-layer extraction
+        # (functions/pdf.py) into the same layout-document shape
+        from credit_ocr_backend_ray.functions.pdf import extract_pdf_layout
+        return flatten_layout(extract_pdf_layout(payload))
+    if stripped[:1] == b"{":
         return flatten_layout(json.loads(payload.decode("utf-8")))
     return html_to_lines(payload.decode("utf-8", errors="replace"))
 

@@ -17,12 +17,22 @@ summary) — not a distributed data sink; big tables belong in parquet.
 
 from __future__ import annotations
 
+import re
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _sax_escape
 
 import pandas as pd
 
 _FIXED_DATE = (1980, 1, 1, 0, 0, 0)
+
+# XML 1.0 forbids control chars other than \t \n \r; a cell value holding
+# e.g. \x00 would otherwise produce a workbook every parser rejects.
+_XML_INVALID = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]")
+
+
+def escape(s: str) -> str:
+    return _sax_escape(_XML_INVALID.sub("", s))
 
 _CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -139,9 +149,11 @@ def write_xlsx(df: pd.DataFrame, path: str,
         ("xl/worksheets/sheet1.xml", sheet),
         ("xl/sharedStrings.xml", shared),
     ]
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+    # ZIP_STORED: report files are tiny and stored entries make the bytes
+    # genuinely zlib-version-independent (the determinism contract above).
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
         for name, content in members:
             info = zipfile.ZipInfo(name, date_time=_FIXED_DATE)
-            info.compress_type = zipfile.ZIP_DEFLATED
+            info.compress_type = zipfile.ZIP_STORED
             zf.writestr(info, content)
     return len(df)

@@ -248,6 +248,25 @@ def _layout_doc(i: int) -> str:
         ensure_ascii=False)
 
 
+def pdf_doc_bytes(i: int) -> bytes:
+    """REAL single-font PDF with the same form geometry as
+    ``_layout_doc(i)``: labels at x=0.5 / values at x=3.0, value row at
+    y+0.01, line boxes y±0.09 (h=0.18in). Extracting its text layer
+    (functions/pdf.py) must yield the same reading order and the same
+    label-value pairs as the JSON layout channel — pinned by
+    tests/test_pdf.py."""
+    from credit_ocr_backend_ray.functions.pdf import build_pdf
+
+    runs = []
+    for r, (label, value) in enumerate(form_rows(i)):
+        y = float(r % 22) + 1.0
+        runs.append({"text": label, "x_in": 0.4, "y_top_in": y - 0.09,
+                     "h_in": 0.18})
+        runs.append({"text": value, "x_in": 2.9, "y_top_in": y + 0.01 - 0.09,
+                     "h_in": 0.18})
+    return build_pdf([runs])
+
+
 def rows_for_sf(sf: float) -> int:
     return max(int(round(sf * 1_000_000)), 100)
 

@@ -72,17 +72,18 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
                      .groupby(key).aggregate(Max(order_col,
                                                  alias_name="__max_ord")))
         wdf = winners.to_pandas()  # bounded by assumption (small_keys)
-        wmap = dict(zip(wdf[key], wdf["__max_ord"]))
-        ref = ray.put(wmap)
+        ref = ray.put(wdf)
 
-        def keep_winner(batch: pa.Table) -> pa.Table:
+        def keep_winner(batch: pd.DataFrame) -> pd.DataFrame:
             w = ray.get(ref)
-            keys = batch[key].to_pylist()
-            orders = batch[order_col].to_pylist()
-            mask = pa.array([w.get(k) == o for k, o in zip(keys, orders)])
-            return batch.filter(mask)
+            # vectorized winners lookup: map key -> max order, keep rows
+            # whose order equals it (keys absent from the map can't occur:
+            # the winners aggregate saw every key)
+            mx = batch[key].map(
+                pd.Series(w["__max_ord"].values, index=w[key].values))
+            return batch[batch[order_col].to_numpy() == mx.to_numpy()]
 
-        return ds.map_batches(keep_winner, batch_format="pyarrow")
+        return ds.map_batches(keep_winner, batch_format="pandas")
 
     # coarse-shard co-group (see dedup_exact): the per-shard pass is one
     # vectorized transform, never per-key group machinery

@@ -4,11 +4,11 @@ processed by actor-pool stages.
 The reference's multimodal surface is PDF bytes in, annotated page PNGs out
 (/root/reference/src/visualization/pdf_visualizer.py:83-189, rasterized at
 150 DPI via pdf2image, colored by confidence tier >=0.8 green / >=0.6
-orange / else red). Neither pdf2image/Pillow nor any image codec ships in
-this container, so the *decode/render* kernel is stubbed (deterministic fake
-or NotImplementedError) while all Ray-side plumbing — schema, actor
-signature, batch sizing for large binaries, output layout — is real and
-tested.
+orange / else red). No pdf2image/Pillow ships in this container, but PNG
+needs only stdlib zlib (functions/png.py), so the annotated-page sink
+emits REAL PNG bytes and the feature extractor REALLY decodes PNG/PPM
+payloads (width/height from pixels). Only formats that require external
+codecs (JPEG/MP4/...) fall back to the documented sha+size record.
 """
 
 from __future__ import annotations
@@ -38,12 +38,14 @@ def confidence_color(conf: float) -> str:
     return "#FF0000"
 
 
-def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
-    """STUB decode: no image/audio codecs in this environment. Produces a
-    deterministic fake feature record (sha + size) with the exact shape a
-    real decoder would emit, so downstream schema/plumbing is exercised.
-    Swap the body for PIL/ffmpeg in a full environment."""
-    return {
+def _decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Decode + feature-extract one media payload. REAL decode for the
+    formats the stdlib can parse — PNG (functions/png.py) and PPM —
+    yielding true width/height from the pixel data; formats that require
+    external codecs (JPEG, MP4, ...) fall back to the sha+size record
+    with ``width/height = None`` (documented: no such codec ships here;
+    swap in PIL/ffmpeg branches in a full environment)."""
+    rec: dict[str, Any] = {
         "ok": True,
         "sha256": hashlib.sha256(payload).hexdigest(),
         "n_bytes": len(payload),
@@ -51,6 +53,20 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
         "height": None,
         "frames": None,
     }
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            from credit_ocr_backend_ray.functions.png import decode_png
+            arr = decode_png(payload)
+            rec["height"], rec["width"] = arr.shape[:2]
+            rec["frames"] = 1
+        elif payload.startswith(b"P6\n"):
+            frames = split_ppm_stream(payload)
+            w, h, _ = parse_ppm(frames[0])
+            rec["width"], rec["height"] = w, h
+            rec["frames"] = len(frames)
+    except Exception:  # noqa: BLE001 — poison payload: keep sha record
+        rec["ok"] = False
+    return rec
 
 
 class MediaFeatureExtractor:
@@ -62,22 +78,26 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, strict: bool = False):
-        # a real impl loads codecs/models here, once per actor
+        # external codecs would load here, once per actor; strict=True
+        # makes codec-less formats an error instead of a sha-only record
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "media decode requires image/audio libraries not present "
-                "in this environment")
         payloads = batch["payload"].to_pylist()
         mtypes = batch["media_type"].to_pylist()
-        feats = [_decode_stub(p or b"", t) for p, t in zip(payloads, mtypes)]
+        feats = [_decode_media(p or b"", t) for p, t in zip(payloads, mtypes)]
+        if self.strict and any(f["width"] is None for f in feats):
+            raise NotImplementedError(
+                "payload format needs image/audio libraries not present "
+                "in this environment (only PNG/PPM decode in-sandbox)")
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
             "sha256": pa.array([f["sha256"] for f in feats], pa.string()),
             "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+            "width": pa.array([f["width"] for f in feats], pa.int64()),
+            "height": pa.array([f["height"] for f in feats], pa.int64()),
+            "n_frames": pa.array([f["frames"] for f in feats], pa.int64()),
             "decode_ok": pa.array([f["ok"] for f in feats], pa.bool_()),
         })
 
@@ -89,14 +109,13 @@ def _hex_rgb(color: str) -> tuple[int, int, int]:
     return int(color[1:3], 16), int(color[3:5], 16), int(color[5:7], 16)
 
 
-def render_annotation_ppm(fields: list[dict], dpi: int = PAGE_RENDER_DPI,
-                          border_px: int = 3, page: int = 1) -> bytes:
+def render_annotation_array(fields: list[dict], dpi: int = PAGE_RENDER_DPI,
+                            border_px: int = 3, page: int = 1):
     """REAL annotated-page raster (reference ANNOTATED stage,
     storage.py:31): white page, one colored rectangle border per field
-    bbox, inches scaled to pixels at ``dpi``. Encoded as binary PPM (P6) —
-    a real image format writable with numpy alone, so the multimodal sink
-    needs no external codec. Rectangle drawing is numpy slice assignment
-    (vectorized), not per-pixel Python."""
+    bbox, inches scaled to pixels at ``dpi``; returns the (h, w, 3) uint8
+    array. Rectangle drawing is numpy slice assignment (vectorized), not
+    per-pixel Python."""
     import numpy as np
 
     w, h = int(PAGE_W_IN * dpi), int(PAGE_H_IN * dpi)
@@ -118,22 +137,43 @@ def render_annotation_ppm(fields: list[dict], dpi: int = PAGE_RENDER_DPI,
         img[max(y1 - b + 1, 0):y1 + 1, x0:x1 + 1] = rgb
         img[y0:y1 + 1, x0:x0 + b] = rgb
         img[y0:y1 + 1, max(x1 - b + 1, 0):x1 + 1] = rgb
-    header = f"P6\n{w} {h}\n255\n".encode("ascii")
-    return header + img.tobytes()
+    return img
+
+
+def render_annotation_ppm(fields: list[dict], dpi: int = PAGE_RENDER_DPI,
+                          border_px: int = 3, page: int = 1) -> bytes:
+    """Annotated page encoded as binary PPM (P6) — numpy-only format kept
+    for the resize/frame-stream ops and as the uncompressed path."""
+    img = render_annotation_array(fields, dpi, border_px, page)
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def render_annotation_png(fields: list[dict], dpi: int = PAGE_RENDER_DPI,
+                          border_px: int = 3, page: int = 1) -> bytes:
+    """Annotated page as REAL PNG bytes (reference S13 parity — the
+    reference writes ``*_page1.png``, pdf_visualizer.py:186-189) via the
+    stdlib-zlib codec in functions/png.py. ~600x smaller than the PPM for
+    a typical page (mostly-blank rows deflate to nothing)."""
+    from credit_ocr_backend_ray.functions.png import encode_png
+    return encode_png(render_annotation_array(fields, dpi, border_px, page))
 
 
 class PageRenderer:
     """Actor-pool stage rendering the ANNOTATED page image per document —
     the Ray restatement of generate_visualization (extraction.py:345-382).
     Large binary outputs: run with small batch_size. Output column
-    ``annotation`` is the page-1 PPM bytes (the reference also keeps only
-    ``*_page1.png``, extraction.py:358-363)."""
+    ``annotation`` is the page-1 image; ``fmt="png"`` (default) matches
+    the reference's ``*_page1.png`` output (extraction.py:358-363),
+    ``fmt="ppm"`` keeps the uncompressed raster."""
 
-    def __init__(self, dpi: int = PAGE_RENDER_DPI):
+    def __init__(self, dpi: int = PAGE_RENDER_DPI, fmt: str = "png"):
         self.dpi = dpi
+        self.render = (render_annotation_png if fmt == "png"
+                       else render_annotation_ppm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        renders = [render_annotation_ppm(f, dpi=self.dpi)
+        renders = [self.render(f, dpi=self.dpi)
                    for f in batch["fields"].to_pylist()]
         return pa.table({
             "url": batch["url"],
@@ -152,28 +192,44 @@ def parse_ppm(data: bytes) -> tuple[int, int, memoryview]:
     return w, h, memoryview(data)[hdr_end:hdr_end + w * h * 3]
 
 
+def _box_downsample(arr, scale: int):
+    """Integer-factor box downsample (mean of each scale x scale tile) via
+    a numpy reshape — vectorized, no per-pixel Python."""
+    h, w = arr.shape[:2]
+    h2, w2 = h // scale * scale, w // scale * scale
+    return (arr[:h2, :w2]
+            .reshape(h2 // scale, scale, w2 // scale, scale, 3)
+            .mean(axis=(1, 3)).astype("uint8"))
+
+
 def resize_ppm(data: bytes, scale: int) -> bytes:
-    """REAL image resize without any codec: integer-factor box downsample
-    (mean of each scale x scale tile) of a P6 PPM via a numpy reshape —
-    vectorized, no per-pixel Python. The thumbnailing step of the
-    reference's annotation sink, generalized to a standalone op."""
+    """REAL image resize without any external codec: box downsample of a
+    P6 PPM. The thumbnailing step of the reference's annotation sink,
+    generalized to a standalone op."""
     import numpy as np
 
     w, h, px = parse_ppm(data)
-    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
-    h2, w2 = h // scale * scale, w // scale * scale
-    small = (arr[:h2, :w2]
-             .reshape(h2 // scale, scale, w2 // scale, scale, 3)
-             .mean(axis=(1, 3)).astype(np.uint8))
+    small = _box_downsample(
+        np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3), scale)
     header = f"P6\n{small.shape[1]} {small.shape[0]}\n255\n".encode("ascii")
     return header + small.tobytes()
 
 
+def resize_image(data: bytes, scale: int) -> bytes:
+    """Format-sniffing resize: PNG in -> PNG out (stdlib codec), PPM in ->
+    PPM out; anything else raises (caught per row by ThumbnailMaker)."""
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        from credit_ocr_backend_ray.functions.png import (
+            decode_png, encode_png)
+        return encode_png(_box_downsample(decode_png(data), scale))
+    return resize_ppm(data, scale)
+
+
 class ThumbnailMaker:
     """Actor-pool stage: downsample an image binary column. Real compute
-    (PPM path); any other format raises per row into the ``error`` column
-    rather than failing the task (poison-pill isolation, same policy as
-    the extraction stage)."""
+    (PNG and PPM paths); any other format raises per row into the
+    ``error`` column rather than failing the task (poison-pill isolation,
+    same policy as the extraction stage)."""
 
     def __init__(self, scale: int = 8, col: str = "annotation"):
         self.scale = scale
@@ -184,7 +240,7 @@ class ThumbnailMaker:
         errs: list[str | None] = []
         for b in batch[self.col].to_pylist():
             try:
-                thumbs.append(resize_ppm(b, self.scale))
+                thumbs.append(resize_image(b, self.scale))
                 errs.append(None)
             except Exception as exc:  # noqa: BLE001 — per-row capture
                 thumbs.append(None)

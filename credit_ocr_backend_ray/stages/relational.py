@@ -117,7 +117,12 @@ def _with_shard(b: pd.DataFrame, key: str, n_shards: int) -> pd.DataFrame:
     64 shards keep each group a vectorized pandas pass)."""
     a = b[key].to_numpy()
     if np.issubdtype(a.dtype, np.number):
-        s = ((a.astype(np.int64) % n_shards) + n_shards) % n_shards
+        # Fibonacci mix (same constant as bucket_store/graph) before the
+        # mod: identity mod collapses stride-patterned keys (e.g. all
+        # multiples of 64) into one hot shard.
+        mixed = (a.astype(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        s = (mixed % np.uint64(n_shards)).astype(np.int64)
     else:
         from credit_ocr_backend_ray.functions.hashing import (
             hash_strings_u64)
@@ -184,38 +189,53 @@ def windowed_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
 def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
                        size_s: int, hop_s: int,
                        sum_cols: dict[str, str],
-                       combine: str | None = None) -> "rd.Dataset":
+                       combine: str | None = None,
+                       count_alias: str = "n") -> "rd.Dataset":
     """Hopping (sliding) event-time windows: every event lands in
-    ``size_s/hop_s`` overlapping windows, derived per batch with integer
-    MICROSECOND arithmetic (exactly reproducible in SQL — float epoch math
-    drifts at floor boundaries), then the combiner grouped aggregate. The
-    fan-out multiplies rows by size/hop BEFORE the shuffle, but each
-    exploded row carries only (window_start, keys, values)."""
+    ``size_s/hop_s`` overlapping windows, derived with integer MICROSECOND
+    arithmetic (exactly reproducible in SQL — float epoch math drifts at
+    floor boundaries).
+
+    De-amplified shape: each batch first COMBINES rows into partials keyed
+    by the hop granule (``ts // hop_us``) x keys — sums + a count — and
+    only those bounded partials are exploded into the size/hop overlapping
+    windows that contain their granule. Shuffle volume is
+    granules x keys x batches x (size/hop), independent of the row count;
+    the naive row x k pre-shuffle fan-out (60x at size=1h/hop=1min) never
+    materializes."""
     if size_s % hop_s:
         raise ValueError("size_s must be a multiple of hop_s")
     k_count = size_s // hop_s
-    size_us = size_s * 1_000_000
     hop_us = hop_s * 1_000_000
     keys = list(keys)
+    in_cols = list(sum_cols)
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        us = b[ts_col].astype("datetime64[us]").astype("int64")
+    def partial_explode(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[keys + in_cols].copy()
+        f["__g"] = (b[ts_col].astype("datetime64[us]").astype("int64")
+                    // hop_us)
+        p = f.groupby(["__g", *keys], as_index=False, sort=False).agg(
+            **{c: (c, "sum") for c in in_cols},
+            __hn=(in_cols[0], "size"))
+        # the k windows containing granule g start at granules g-k+1 .. g
+        g = p["__g"].to_numpy()
         frames = []
-        for k in range(k_count):
-            off = k * hop_us
-            ws = (us - off) // size_us * size_us + off
-            f = b[keys + list(sum_cols)].copy()
-            f["window_start"] = pd.to_datetime(ws, unit="us")
-            frames.append(f)
+        for j in range(k_count):
+            q = p.drop(columns="__g").copy()
+            q["window_start"] = pd.to_datetime((g - j) * hop_us, unit="us")
+            frames.append(q)
         return pd.concat(frames, ignore_index=True)
 
-    exploded = ds.map_batches(explode, batch_format="pandas")
+    partials = ds.map_batches(partial_explode, batch_format="pandas")
     # same combine default as windowed_agg: driver-fold only when the
     # window starts (bounded by the time range) are the sole keys
     if combine is None:
         combine = "driver" if not keys else "shuffle"
-    return grouped_agg(exploded, ["window_start", *keys], sum_cols,
-                       combine=combine)
+    # the count is now a SUM of partial counts, so it rides sum_cols and
+    # grouped_agg's own row count is suppressed
+    return grouped_agg(partials, ["window_start", *keys],
+                       {**sum_cols, "__hn": count_alias},
+                       count_alias=None, combine=combine)
 
 
 def broadcast_anti_join(ds: "rd.Dataset", keys: set, on: str) -> "rd.Dataset":
@@ -1645,28 +1665,72 @@ def grouped_entropy(ds: "rd.Dataset", key: str, state_col: str,
 
 def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
                    band_us: int,
-                   keep_cols: Sequence[str] = ()) -> "rd.Dataset":
+                   keep_cols: Sequence[str] = (),
+                   n_salt: int = 1, n_shards: int = 64) -> "rd.Dataset":
     """Distributed band (interval) SELF-join: all row pairs whose
     timestamps lie within ``band_us`` microseconds — the both-sides-big
     sibling of ``range_join_broadcast`` (which needs one side to fit a
-    broadcast). Technique: time-bucket co-grouping with BOUNDARY
-    REPLICATION — every row lands in its ``band_us``-wide bucket AND the
-    next one, so any qualifying pair co-locates in the LATER row's home
-    bucket (the earlier row is there as home or as the replicated copy);
-    attributing each pair to exactly that bucket makes the emission
-    exactly-once with no dedup shuffle. In-bucket pairing is a fully
-    vectorized sorted window expansion (searchsorted + repeat — no
-    per-row Python loop); every row moves exactly twice regardless of
+    broadcast). Technique: time-bucket COARSE-SHARD co-grouping with
+    BOUNDARY REPLICATION — every row lands in its ``band_us``-wide bucket
+    AND the next one, so any qualifying pair co-locates in the LATER
+    row's home bucket (the earlier row is there as home or as the
+    replicated copy); attributing each pair to exactly that bucket makes
+    the emission exactly-once with no dedup shuffle.
+
+    The shuffle groups ``n_shards`` hash-shards of the bucket key (ONE
+    vectorized pandas pass per shard), never per-bucket groups — a 7-day
+    stream at band=1s has ~600k buckets, and per-group machinery at that
+    cardinality dominated the wall clock (measured: the r03 sf1 stress).
+    Within a shard, rows sort by (bucket, ts) and a composite key
+    ``segment * 4*band_us + (ts - bucket*band_us + band_us)`` keeps the
+    window expansion one searchsorted over ALL buckets at once: segments
+    are >= 2*band_us apart in composite space, so a window can never leak
+    into the next bucket. Every row moves exactly twice regardless of
     scale. Output: (id_a, id_b, dt_us) with ``id_a < id_b`` and
     ``dt_us >= 0`` = |ts_a - ts_b|, plus ``keep_cols`` from each side
     suffixed _a/_b. ``id_col`` must be unique per row (it is the pair
-    identity). Partitioning assumption: one time bucket's rows fit a
-    worker (tune ``band_us``; salt pathological hot instants)."""
+    identity). Partitioning assumption: one shard's rows fit a worker
+    (tune ``n_shards``).
+
+    ``n_salt`` is the hot-bucket salt path: with ``n_salt = s > 1`` each
+    row is id-hashed into one of ``s`` groups and replicated into the
+    ``s`` CELLS ``(bucket, min(g,h), max(g,h))`` for h = 0..s-1 (the
+    triangular block-partitioned self-join); a cell computes only pairs
+    whose two group ids match its (i, j), so every pair is produced in
+    exactly one cell and the hottest worker holds ~2/s of a pathological
+    instant's rows instead of all of them. Cost: 2s copies per row across
+    the shuffle (vs 2 unsalted) — use for skew, not by default. Results
+    are identical to the unsalted path (pinned by test)."""
+    s = int(n_salt)
+    ncells = s * (s + 1) // 2 if s > 1 else 1
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         ts = b[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         bk = ts // band_us
-        return pd.concat([b.assign(__bk=bk), b.assign(__bk=bk + 1)],
-                         ignore_index=True)
+        if s <= 1:
+            out = pd.concat([b.assign(__bk=bk), b.assign(__bk=bk + 1)],
+                            ignore_index=True)
+            key = out["__bk"].to_numpy(np.int64)
+        else:
+            grp = ((b[id_col].to_numpy(np.int64).view(np.uint64) * _MIX)
+                   >> np.uint64(41)).astype(np.int64) % s
+            frames = []
+            for h in range(s):
+                i = np.minimum(grp, h)
+                j = np.maximum(grp, h)
+                cell = i * s - i * (i - 1) // 2 + (j - i)  # triangular ix
+                frames.append(b.assign(__g=grp, __ci=i, __cj=j,
+                                       __cell=cell, __bk=bk))
+                frames.append(b.assign(__g=grp, __ci=i, __cj=j,
+                                       __cell=cell, __bk=bk + 1))
+            out = pd.concat(frames, ignore_index=True)
+            key = (out["__bk"].to_numpy(np.int64) * ncells
+                   + out["__cell"].to_numpy(np.int64))
+        out["__key"] = key
+        out["__shard"] = ((key.view(np.uint64) * _MIX) >> np.uint64(40)
+                          ).astype(np.int64) % n_shards
+        return out
 
     cols = list(keep_cols)
 
@@ -1679,14 +1743,18 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
             base_cols[f"{c}_b"] = pd.Series([], dtype="object")
         if not len(g):
             return pd.DataFrame(base_cols)
-        g = (g.drop_duplicates([id_col])  # home + copy of the same row
-              .sort_values([ts_col, id_col], kind="mergesort"))
+        g = g.sort_values(["__key", ts_col, id_col], kind="mergesort")
         n = len(g)
         ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         ids = g[id_col].to_numpy(np.int64)
-        bk = int(g["__bk"].iloc[0]) if "__bk" in g else 0
-        # vectorized window expansion: row i pairs with i+1 .. hi[i]-1
-        hi = np.searchsorted(ts, ts + band_us, side="right")
+        key = g["__key"].to_numpy(np.int64)
+        bk = key // ncells if s > 1 else key
+        # dense segment index per (bucket, cell) run + in-bucket offset:
+        # composite space puts segments >= 2*band apart, so ONE
+        # searchsorted handles every bucket in the shard
+        seg = np.concatenate([[0], np.cumsum(np.diff(key) != 0)])
+        comp = seg * (4 * band_us) + (ts - bk * band_us + band_us)
+        hi = np.searchsorted(comp, comp + band_us, side="right")
         counts = np.clip(hi - np.arange(1, n + 1), 0, None)
         total = int(counts.sum())
         if total == 0:
@@ -1697,7 +1765,15 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
         ib = (np.arange(total) - np.repeat(offs, counts)
               + np.repeat(starts, counts))
         # exactly-once attribution: the LATER row's home bucket
-        keep = (ts[ib] // band_us) == bk
+        keep = (ts[ib] // band_us) == bk[ib]
+        if s > 1:
+            # a cell (i, j) owns exactly the pairs whose group ids are
+            # {i, j} — every pair maps to one cell, so no cross-cell dups
+            grp = g["__g"].to_numpy(np.int64)
+            ga, gb = grp[ia], grp[ib]
+            keep &= ((np.minimum(ga, gb) == g["__ci"].to_numpy(np.int64)[ia])
+                     & (np.maximum(ga, gb)
+                        == g["__cj"].to_numpy(np.int64)[ia]))
         ia, ib = ia[keep], ib[keep]
         lo_id = np.minimum(ids[ia], ids[ib])
         hi_id = np.maximum(ids[ia], ids[ib])
@@ -1710,4 +1786,4 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
         return pd.DataFrame(out)
 
     return (ds.map_batches(bucketize, batch_format="pandas")
-              .groupby("__bk").map_groups(pairs, batch_format="pandas"))
+              .groupby("__shard").map_groups(pairs, batch_format="pandas"))

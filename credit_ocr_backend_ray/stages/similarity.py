@@ -322,25 +322,53 @@ def knn_ivf(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
 
 def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       bits: int = 6, bucket_cap: int = 500) -> pd.DataFrame:
-    """Near-identical vector pairs via LSH buckets + in-bucket exact check.
-    Buckets hotter than ``bucket_cap`` rows are capped before the O(n²)
-    in-bucket check; the dropped-row count is carried through the pair
-    stream and reported with a logging.warning — no silent truncation
-    (raise ``bits`` to thin hot buckets instead)."""
+                       bits: int | None = None, n_bands: int = 4,
+                       bucket_cap: int = 500,
+                       approx_count: int | None = None) -> pd.DataFrame:
+    """Near-identical vector pairs via banded multi-probe LSH + in-bucket
+    exact check (the MinHash-LSH shape adapted to hyperplane hashes).
+
+    Scale-aware bucketing: ``bits`` defaults to the corpus size — derived
+    so the EXPECTED bucket occupancy is ~``bucket_cap/4`` (``ceil(log2(n /
+    (bucket_cap/4)))``), so buckets don't overflow the cap as the corpus
+    grows (the fixed-64-bucket failure mode: every bucket is corpus/64 and
+    the cap drops rows). Recall lost to the extra planes is recovered by
+    ``n_bands`` INDEPENDENT hash tables: a pair is a candidate if it
+    co-buckets in ANY band (P_miss = (1-p^bits)^n_bands). Pass
+    ``approx_count`` when the caller already knows the corpus size to skip
+    the count pass.
+
+    Buckets hotter than ``bucket_cap`` rows are still capped before the
+    O(n²) in-bucket check as a backstop; the dropped-row count is carried
+    through the pair stream and reported with a logging.warning — no
+    silent truncation."""
     import logging
-    planes_holder: dict[str, np.ndarray] = {}
+    import math
+    if bits is None:
+        n = approx_count if approx_count is not None else ds.count()
+        target_occ = max(8, bucket_cap // 4)
+        bits = max(4, math.ceil(math.log2(max(2, n) / target_occ)))
+    planes_holder: dict[str, list[np.ndarray]] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = _norm_rows(_as_matrix(batch[vec_col]))
         if "p" not in planes_holder:
-            planes_holder["p"] = _hyperplanes(vecs.shape[1], bits)
-        buckets = lsh_bucket_ids(vecs, planes_holder["p"])
-        return pa.table({
-            id_col: batch[id_col],
-            vec_col: batch[vec_col],
-            "bucket": pa.array(buckets, pa.int64()),
-        })
+            # one independent hyperplane set per band, seeded off the
+            # shared LSH seed so every worker derives identical planes
+            rng = np.random.default_rng(_LSH_SEED)
+            planes_holder["p"] = [
+                rng.standard_normal((bits, vecs.shape[1]))
+                for _ in range(n_bands)]
+        tables = []
+        for band, planes in enumerate(planes_holder["p"]):
+            buckets = lsh_bucket_ids(vecs, planes)
+            tables.append(pa.table({
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                # fold (band, bucket) into one shuffle key
+                "bucket": pa.array(buckets * n_bands + band, pa.int64()),
+            }))
+        return pa.concat_tables(tables)
 
     def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)  # deterministic under the cap

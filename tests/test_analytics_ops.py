@@ -579,3 +579,58 @@ def test_band_self_join_exactly_once_across_buckets(ray_session):
     assert got == exp              # no pair lost across bucket borders
     assert len(out) == len(got)    # and none emitted twice
     assert (out["dt_us"] >= 0).all() and (out["dt_us"] <= band).all()
+
+
+def test_band_self_join_salted_matches_unsalted(ray_session):
+    """Hot-bucket salt path (triangular block cells): identical pair set
+    to the unsalted plan, including on a pathological hot instant where
+    200 rows share ONE timestamp (the case salting exists for)."""
+    from credit_ocr_backend_ray.stages.relational import band_self_join
+
+    rng = np.random.default_rng(13)
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    offs = np.concatenate([
+        np.sort(rng.integers(0, 10 * 60_000_000, 150)),
+        np.full(200, 3 * 60_000_000 + 17),   # hot instant
+    ])
+    ev = pd.DataFrame({"event_id": range(len(offs)),
+                       "ts": pd.to_datetime((t0 + offs) * 1000)})
+    band = 60_000_000
+    plain = (band_self_join(_ds(ev), "ts", "event_id", band)
+             .to_pandas().sort_values(["id_a", "id_b"])
+             .reset_index(drop=True))
+    salted = (band_self_join(_ds(ev), "ts", "event_id", band, n_salt=4)
+              .to_pandas().sort_values(["id_a", "id_b"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+    assert len(plain) >= 200 * 199 // 2  # the hot instant's own pairs
+
+
+@pytest.mark.parametrize("n", [1500, 6000])
+def test_embedding_near_dup_planted_recall_no_truncation(ray_session, caplog,
+                                                         n):
+    """Scale-aware LSH: bits derives from the corpus count so buckets stay
+    under the cap at BOTH corpus sizes (zero truncation warnings), and the
+    banded multi-probe recovers every planted near-identical pair."""
+    import logging
+
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, 16))
+    n_pairs = 20
+    rows = [{"vec_id": i, "embedding": v.tolist()}
+            for i, v in enumerate(vecs)]
+    for j in range(n_pairs):  # planted near-duplicates of the first 20
+        rows.append({"vec_id": n + j,
+                     "embedding": (vecs[j] + 1e-4).tolist()})
+    ds = rd.from_items(rows).repartition(8)
+
+    with caplog.at_level(logging.WARNING,
+                         logger="credit_ocr_backend_ray.stages.similarity"):
+        pairs = embedding_near_dup(ds, threshold=0.98)
+    assert not any("bucket cap" in r.message for r in caplog.records)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted = {(j, n + j) for j in range(n_pairs)}
+    assert planted <= found, planted - found

@@ -50,19 +50,27 @@ def test_date_accepts_exactly_ddmmyyyy(d):
 @given(st.text(max_size=50))
 def test_number_extracts_digits_or_none(s):
     digits = "".join(ch for ch in s if ch.isdigit())
-    if digits and not digits.isascii():
-        # reference quirk: str.isdigit() admits Unicode digits (e.g. '²')
-        # that int() rejects -> ValueError, caught per row by callers
+    if not (s and digits):
+        assert clean_value(s, "number") is None
+        return
+    # reference quirk: str.isdigit() admits some Unicode digits that int()
+    # rejects (e.g. '²' — isdigit but not category Nd), which raise
+    # ValueError caught per row by callers. Nd digits like Thai '๐' ARE
+    # accepted by int() and must parse. The kernel's contract is exactly
+    # int()'s: derive the expectation from int(digits) itself.
+    try:
+        expected = int(digits)
+    except ValueError:
+        expected = ValueError
+    if expected is ValueError:
         try:
             clean_value(s, "number")
             raised = False
         except ValueError:
             raised = True
         assert raised
-    elif s and digits:
-        assert clean_value(s, "number") == int(digits)
     else:
-        assert clean_value(s, "number") is None
+        assert clean_value(s, "number") == expected
 
 
 @given(st.text(max_size=30))
@@ -78,7 +86,7 @@ def test_string_strips(s):
 
 
 @given(st.text(max_size=200), st.text(max_size=200))
-@settings(max_examples=50)
+@settings(max_examples=50, deadline=None)  # first call pays pandas hash-kernel warm-up
 def test_jaccard_bounds_and_symmetry(a, b):
     from credit_ocr_backend_ray.functions.hashing import jaccard
 

@@ -224,6 +224,45 @@ def test_hopping_window_membership(ray_session):
     assert (out["s"] == 2.0).all() and (out["n"] == 1).all()
 
 
+def test_hopping_window_high_fanout_stress(ray_session):
+    """size=1h / hop=1min (k=60): the de-amplified combiner shape must
+    match a direct explode-then-groupby reference without ever shipping
+    rows x 60 across the shuffle (partials are granule x key bounded)."""
+    from credit_ocr_backend_ray.stages.relational import hopping_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    base = pd.Timestamp("2024-03-01").value // 1000  # us
+    us = base + rng.integers(0, 6 * 3600, n) * 1_000_000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(us, unit="us"),
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(1, 100, n).astype("float64"),
+    })
+
+    out = (hopping_window_agg(_ds(df), "ts", ["g"], 3600, 60, {"v": "s"})
+           .to_pandas().sort_values(["window_start", "g"])
+           .reset_index(drop=True))
+
+    # direct reference: explode every row into its 60 windows, groupby
+    hop_us, size_us = 60 * 1_000_000, 3600 * 1_000_000
+    frames = []
+    for j in range(60):
+        off = j * hop_us
+        ws = (us - off) // size_us * size_us + off
+        frames.append(pd.DataFrame({
+            "window_start": pd.to_datetime(ws, unit="us"),
+            "g": df["g"], "v": df["v"]}))
+    ref = (pd.concat(frames).groupby(["window_start", "g"], as_index=False)
+           .agg(s=("v", "sum"), n=("v", "size"))
+           .sort_values(["window_start", "g"]).reset_index(drop=True))
+
+    assert len(out) == len(ref)
+    pd.testing.assert_frame_equal(
+        out[["window_start", "g", "s", "n"]].astype({"n": "int64"}),
+        ref.astype({"n": "int64"}), check_dtype=False)
+
+
 def test_broadcast_anti_join(ray_session):
     from credit_ocr_backend_ray.stages.relational import broadcast_anti_join
 

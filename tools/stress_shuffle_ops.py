@@ -1,0 +1,195 @@
+"""sf1-scale skew stress for the newest shuffle ops (VERDICT r02 item 8):
+band_self_join (with a pathological hot instant, salted vs unsalted),
+hamming_join (constant-prefix keys at 10x the sf0.1 width), and
+triangle_count (power-law co-occurrence graph) — each at ~10x the sf0.1
+input size the driver benches, with wall time and peak host memory
+sampled from /proc/meminfo recorded into BASELINE.md.
+
+Inputs are synthesized deterministically in /tmp (no writes to
+/root/testdata). Correctness at this scale is pinned by invariants the
+small-SF oracles establish: pair counts for planted structures, salted ==
+unsalted, and the closed-form triangle count of the planted graph.
+
+Usage: python tools/stress_shuffle_ops.py [--append-baseline]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+class MemSampler:
+    """Peak host memory-in-use sampler (MemTotal - MemAvailable)."""
+
+    def __init__(self, period_s: float = 0.25):
+        self.period = period_s
+        self.peak_gb = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _used_gb() -> float:
+        info = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                info[k] = int(v.split()[0])
+        return (info["MemTotal"] - info["MemAvailable"]) / 1e6
+
+    def _run(self):
+        while not self._stop.is_set():
+            self.peak_gb = max(self.peak_gb, self._used_gb())
+            self._stop.wait(self.period)
+
+    def __enter__(self):
+        self.base_gb = self._used_gb()
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join()
+
+
+def timed(name: str, fn):
+    with MemSampler() as ms:
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+    rec = {"op": name, "wall_s": round(wall, 2),
+           "peak_host_gb": round(ms.peak_gb, 2),
+           "baseline_gb": round(ms.base_gb, 2), "result": out}
+    print(json.dumps(rec))
+    return rec
+
+
+def stress_band(n_rows: int = 1_000_000, hot: int = 10_000) -> dict:
+    """~sf1 events (1M rows over ~7 days) + a 10k-row hot instant.
+    Unsalted, the hot bucket is ONE worker's problem (10k rows -> 50M
+    pairs built in a single group); n_salt=8 splits it into 36 cells of
+    <= 2.5k hot rows each. The pair OUTPUT is inherently quadratic in the
+    hot size, so `hot` stays at 10k (~50M pairs, ~1.2 GB)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import band_self_join
+
+    rng = np.random.default_rng(17)
+    t0 = pd.Timestamp("2025-01-01").value // 1000
+    span_us = 7 * 24 * 3600 * 1_000_000
+    offs = rng.integers(0, span_us, n_rows - hot)
+    offs = np.concatenate([offs, np.full(hot, span_us // 2)])
+    df = pd.DataFrame({"event_id": np.arange(len(offs), dtype=np.int64),
+                       "ts": pd.to_datetime((t0 + offs) * 1000)})
+    # band chosen so ~n_rows*14 background pairs + the hot instant's
+    band = 1_000_000  # 1 second
+    ds = rd.from_pandas(df).repartition(64).materialize()
+
+    out = {}
+    for tag, salt in (("salted8", 8), ("unsalted", 1)):
+        t1 = time.perf_counter()
+        n_pairs = band_self_join(ds, "ts", "event_id", band,
+                                 n_salt=salt).count()
+        out[f"{tag}_s"] = round(time.perf_counter() - t1, 2)
+        out[f"{tag}_pairs"] = n_pairs
+    assert out["salted8_pairs"] == out["unsalted_pairs"]
+    assert out["salted8_pairs"] >= hot * (hot - 1) // 2
+    return out
+
+
+def stress_hamming(n_keys: int = 100_000) -> dict:
+    """10x the sf1 supplier count, worst-case constant-prefix keys
+    ('Supplier#' + 9 digits) — the regime where chunk blocking collapses
+    and the wildcard deletion-neighborhood blocker must hold recall with
+    bounded buckets. Plants 500 distance-1 pairs."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import hamming_join
+
+    rng = np.random.default_rng(19)
+    base = rng.choice(10**9, n_keys, replace=False)
+    names = [f"Supplier#{k:09d}" for k in base]
+    ids = list(range(n_keys))
+    # plant 500 distance-1 twins of the first 500 keys
+    planted = 0
+    for i in range(500):
+        s = list(names[i])
+        s[10] = "9" if s[10] != "9" else "8"  # mutate one digit
+        cand = "".join(s)
+        names.append(cand)
+        ids.append(n_keys + i)
+        planted += 1
+    df = pd.DataFrame({"s_suppkey": ids, "s_name": names})
+    ds = rd.from_pandas(df).repartition(64)
+    pairs = hamming_join(ds, "s_suppkey", "s_name", max_dist=1).to_pandas()
+    found = set(zip(pairs["k_a"], pairs["k_b"])) if len(pairs) else set()
+    hit = sum((i, n_keys + i) in found or (n_keys + i, i) in found
+              for i in range(500))
+    return {"n_keys": len(names), "pairs": len(pairs),
+            "planted_recall": hit / planted}
+
+
+def stress_triangles(n_nodes: int = 200_000, m_attach: int = 5) -> dict:
+    """~1M-edge preferential-attachment-ish graph (hubs with degree in
+    the thousands — the regime degree orientation exists for) PLUS a
+    planted clique of 60 nodes (C(60,3) = 34,220 triangles) to keep an
+    exact expectation component."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    # skewed destination choice: preferential-ish via power-law sampling
+    src = np.repeat(np.arange(m_attach, n_nodes), m_attach)
+    dst = (np.floor((rng.random(src.size) ** 3)
+                    * np.repeat(np.arange(m_attach, n_nodes), m_attach))
+           ).astype(np.int64)
+    clique = np.arange(60) + n_nodes
+    cu, cv = np.triu_indices(60, k=1)
+    edges = pd.DataFrame({
+        "src": np.concatenate([src, clique[cu]]),
+        "dst": np.concatenate([dst, clique[cv]]),
+    })
+    ds = rd.from_pandas(edges).repartition(64)
+    n_edges, n_tri = triangle_count(ds, "src", "dst")
+    return {"n_edges": n_edges, "n_triangles": n_tri,
+            "clique_floor": 34220, "ok": n_tri >= 34220}
+
+
+def main() -> int:
+    import logging
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    recs = [timed("band_self_join_1M_hot10k", stress_band),
+            timed("hamming_join_100k_const_prefix", stress_hamming),
+            timed("triangle_count_1M_edges", stress_triangles)]
+    ray.shutdown()
+
+    if "--append-baseline" in sys.argv:
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE.md"), "a") as f:
+            f.write(f"\n## Shuffle-op skew stress {stamp} "
+                    f"(tools/stress_shuffle_ops.py, 32 CPUs)\n\n"
+                    f"| op | wall s | peak host GB | detail |\n"
+                    f"|---|---|---|---|\n")
+            for r in recs:
+                f.write(f"| {r['op']} | {r['wall_s']} | "
+                        f"{r['peak_host_gb']} | `{json.dumps(r['result'])}`"
+                        f" |\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
