@@ -2691,6 +2691,48 @@ def _q_events_within_minute(sf_dir: str):
     return band_self_join(ds, "ts", "event_id", 60_000_000)
 
 
+def _q_orders_profile(sf_dir: str):
+    """Distributed data profiling of the orders table: per-column row /
+    null / exact-distinct counts + typed min/max (one combiner pass for
+    counts, one typed global aggregate for extrema, one distinct
+    shuffle)."""
+    from credit_ocr_backend_ray.stages.relational import profile_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate"]
+    return profile_columns(_rp(_t(sf_dir, "orders"), columns=cols), cols)
+
+
+def _q_priority_price_outliers(sf_dir: str):
+    """Per-priority Tukey-fence outlier counts over order prices (exact
+    linear-interpolation quartiles, integer-only output)."""
+    from credit_ocr_backend_ray.stages.relational import iqr_outliers
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    return iqr_outliers(ds, ["o_orderpriority"], "o_totalprice", k=1.5)
+
+
+def _q_events_compacted(sf_dir: str):
+    """Small-file compaction invariance: fragment the events table into
+    64 tiny files, compact to ~25k-row files, read back — content must
+    hash-match a plain scan of the source (layout-only op)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import compact_dataset
+
+    frag = os.path.join("/tmp/compact",
+                        os.path.basename(sf_dir.rstrip("/")), "frag")
+    comp = os.path.join("/tmp/compact",
+                        os.path.basename(sf_dir.rstrip("/")), "compacted")
+    import shutil
+    shutil.rmtree(frag, ignore_errors=True)
+    os.makedirs(frag, exist_ok=True)
+    _rp(_t(sf_dir, "events")).repartition(64).write_parquet(frag)
+    info = compact_dataset(frag, comp, target_rows_per_file=25_000)
+    assert info["files_out"] < info["files_in"], info
+    return rd.read_parquet(comp)
+
+
 def _q_temperature_mix(sf_dir: str):
     """alpha=0.5 temperature-mixed half-corpus sample: small sources
     up-weighted, integer-exact per-source md5 thresholds."""
@@ -2872,6 +2914,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
+        "orders_profile": _q_orders_profile,
+        "priority_price_outliers": _q_priority_price_outliers,
+        "events_compacted": _q_events_compacted,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
         "customer_event_full_outer": _q_customer_event_full_outer,
         "order_rolling_7d": _q_order_rolling_7d,
@@ -3189,6 +3234,59 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
                    round(quantile_cont(o_totalprice, 0.75), 4) AS p75
             FROM orders GROUP BY o_orderpriority
+        """,
+        "orders_profile": """
+            WITH p AS (
+                SELECT 'o_orderkey' AS col_name, count(*) AS n,
+                       count(*) - count(o_orderkey) AS n_null,
+                       count(DISTINCT o_orderkey) AS n_distinct,
+                       CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                       CAST(max(o_orderkey) AS VARCHAR) AS max_v
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       count(*) - count(o_custkey),
+                       count(DISTINCT o_custkey),
+                       CAST(min(o_custkey) AS VARCHAR),
+                       CAST(max(o_custkey) AS VARCHAR) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus),
+                       CAST(min(o_orderstatus) AS VARCHAR),
+                       CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority),
+                       CAST(min(o_orderpriority) AS VARCHAR),
+                       CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+                UNION ALL
+                SELECT 'o_orderdate', count(*),
+                       count(*) - count(o_orderdate),
+                       count(DISTINCT o_orderdate),
+                       CAST(min(o_orderdate) AS VARCHAR),
+                       CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+            SELECT col_name, n, n_null, n_distinct, min_v, max_v
+            FROM p ORDER BY col_name
+        """,
+        "priority_price_outliers": """
+            WITH q AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority, count(*) AS n,
+                   CAST(sum(CASE WHEN o.o_totalprice
+                                      < q.q1 - 1.5 * (q.q3 - q.q1)
+                                  OR o.o_totalprice
+                                      > q.q3 + 1.5 * (q.q3 - q.q1)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM orders o JOIN q USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+        """,
+        "events_compacted": """
+            SELECT * FROM events
         """,
         "order_price_ntile": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,

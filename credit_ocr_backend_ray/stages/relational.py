@@ -1787,3 +1787,114 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
 
     return (ds.map_batches(bucketize, batch_format="pandas")
               .groupby("__shard").map_groups(pairs, batch_format="pandas"))
+
+
+def profile_columns(ds: "rd.Dataset", cols: Sequence[str]) -> pd.DataFrame:
+    """Distributed data profiling: one output row per column with
+    ``(col_name, n, n_null, n_distinct, min_v, max_v)`` — the ingest-time
+    sanity report every large pipeline runs before burning cluster hours
+    on bad data. Two combiner-shaped passes share one read:
+
+    - n/nulls/min/max: per-batch Arrow partials (one row per column per
+      batch), folded on the driver — O(cols x blocks) rows ever leave a
+      worker;
+    - n_distinct (EXACT): per-batch distinct (column, value) pairs, then
+      a distributed distinct + per-column count — the one genuinely
+      shuffling statistic. Values travel as strings (one type column
+      across heterogeneous inputs). At 100 TB run the HLL sketch
+      (stages/sketch.py) instead when +-2% suffices; exact is kept here
+      because it is the oracle-checkable contract.
+
+    min/max are returned as strings (CAST semantics — comparable across
+    int/string/timestamp columns in one frame)."""
+    import pyarrow.compute as pc
+
+    cols = list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in cols:
+            col = t[c]
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "n_null": pa.array(nulls, pa.int64())})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    folded = stats.groupby("col_name", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"))
+
+    # min/max: typed per-batch partials in SEPARATE per-column columns
+    # (folding stringified values would compare numerics
+    # lexicographically; one shared column can't hold mixed types), one
+    # partial row per batch, folded typed on the driver and stringified
+    # only at the very end for the cross-type output frame
+    def extrema(t: pa.Table) -> pa.Table:
+        arrs = {}
+        for c in cols:
+            vals = t[c].drop_null()
+            typ = t.schema.field(c).type
+            # keep the COLUMN type even for an all-null batch, or Arrow
+            # can't unify this partial's schema with the other batches'
+            arrs[f"__mn_{c}"] = pa.array(
+                [pc.min(vals).as_py() if len(vals) else None], type=typ)
+            arrs[f"__mx_{c}"] = pa.array(
+                [pc.max(vals).as_py() if len(vals) else None], type=typ)
+        return pa.table(arrs)
+
+    ext = ds.map_batches(extrema, batch_format="pyarrow").to_pandas()
+    folded["min_v"] = [
+        None if ext[f"__mn_{c}"].dropna().empty
+        else str(ext[f"__mn_{c}"].dropna().min())
+        for c in folded["col_name"]]
+    folded["max_v"] = [
+        None if ext[f"__mx_{c}"].dropna().empty
+        else str(ext[f"__mx_{c}"].dropna().max())
+        for c in folded["col_name"]]
+
+    def uniq(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(t[c].drop_null())
+            names.extend([c] * len(u))
+            vals.extend(str(v) for v in u.to_pylist())
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "__val": pa.array(vals, pa.string())})
+
+    dist = (ds.map_batches(uniq, batch_format="pyarrow")
+              .groupby(["col_name", "__val"]).count()
+              .groupby("col_name").count().to_pandas()
+              .rename(columns={"count()": "n_distinct"}))
+    out = folded.merge(dist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return (out[["col_name", "n", "n_null", "n_distinct",
+                 "min_v", "max_v"]]
+            .sort_values("col_name").reset_index(drop=True))
+
+
+def iqr_outliers(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                 k: float = 1.5) -> "rd.Dataset":
+    """Per-key Tukey-fence outlier counts: rows outside
+    ``[q1 - k*IQR, q3 + k*IQR]`` with exact linear-interpolation
+    quartiles (``percentile_cont`` semantics, same contract as
+    ``grouped_multi_quantile``). One hash shuffle, per-group vectorized
+    (holistic statistic: bounded-cardinality keys, one key's rows fit a
+    worker). Output: (keys..., n, n_outliers) — integer-only values, no
+    float hash drift."""
+    keys = list(keys)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][keys].copy()
+        v = g[col].to_numpy(dtype=np.float64)
+        q1 = np.quantile(v, 0.25, method="linear")
+        q3 = np.quantile(v, 0.75, method="linear")
+        iqr = q3 - q1
+        lo, hi = q1 - k * iqr, q3 + k * iqr
+        out["n"] = len(v)
+        out["n_outliers"] = int(((v < lo) | (v > hi)).sum())
+        return out
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_group, batch_format="pandas")

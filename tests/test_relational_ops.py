@@ -891,3 +891,58 @@ def test_kmv_source_overlap_planted(ray_session):
     out2 = kmv_source_overlap(_ds(pd.DataFrame(rows)), k=256)
     assert out2.set_index(["source_a", "source_b"]).loc[
         ("A", "B"), "est_jaccard"] == ab["est_jaccard"]
+
+
+def test_profile_columns(ray_session):
+    from credit_ocr_backend_ray.stages.relational import profile_columns
+
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, None],
+        "s": ["b", "a", None, "a", "c"],
+    })
+    out = profile_columns(_ds(df), ["k", "s"]).set_index("col_name")
+    assert out.loc["k", "n"] == 5 and out.loc["k", "n_null"] == 1
+    assert out.loc["k", "n_distinct"] == 3
+    # typed extrema: numeric min/max, not lexicographic
+    assert out.loc["k", "min_v"] == "1.0" and out.loc["k", "max_v"] == "3.0"
+    assert out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "c"
+
+
+def test_profile_columns_numeric_not_lexicographic(ray_session):
+    # 9 < 100 numerically but "9" > "100" as strings — the bug a stringly
+    # fold would reintroduce
+    from credit_ocr_backend_ray.stages.relational import profile_columns
+
+    df = pd.DataFrame({"k": [9, 100, 25]})
+    out = profile_columns(_ds(df), ["k"]).set_index("col_name")
+    assert out.loc["k", "min_v"] == "9" and out.loc["k", "max_v"] == "100"
+
+
+def test_iqr_outliers(ray_session):
+    from credit_ocr_backend_ray.stages.relational import iqr_outliers
+
+    # group a: tight cluster + one far point; group b: no outliers
+    df = pd.DataFrame({
+        "g": ["a"] * 9 + ["b"] * 4,
+        "v": [10.0, 11, 12, 13, 14, 15, 16, 17, 1000] + [1.0, 2, 3, 4],
+    })
+    out = (iqr_outliers(_ds(df), ["g"], "v").to_pandas()
+           .set_index("g"))
+    assert out.loc["a", "n"] == 9 and out.loc["a", "n_outliers"] == 1
+    assert out.loc["b", "n"] == 4 and out.loc["b", "n_outliers"] == 0
+
+
+def test_compact_dataset_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import compact_dataset
+
+    df = pd.DataFrame({"k": range(1000), "v": [f"x{i}" for i in range(1000)]})
+    frag = str(tmp_path / "frag")
+    rd.from_pandas(df).repartition(32).write_parquet(frag)
+    comp = str(tmp_path / "comp")
+    info = compact_dataset(frag, comp, target_rows_per_file=400)
+    assert info["rows"] == 1000
+    assert info["files_out"] <= 3 < info["files_in"]
+    back = rd.read_parquet(comp).to_pandas().sort_values("k")
+    assert back["v"].tolist() == df["v"].tolist()
