@@ -1795,9 +1795,9 @@ def profile_columns(ds: "rd.Dataset", cols: Sequence[str]) -> pd.DataFrame:
     sanity report every large pipeline runs before burning cluster hours
     on bad data. Two combiner-shaped passes share one read:
 
-    - n/nulls/min/max: per-batch Arrow partials (one row per column per
-      batch), folded on the driver — O(cols x blocks) rows ever leave a
-      worker;
+    - n/nulls/min/max: ONE per-batch Arrow partial row (typed per-column
+      columns), folded on the driver — O(cols x blocks) rows ever leave
+      a worker;
     - n_distinct (EXACT): per-batch distinct (column, value) pairs, then
       a distributed distinct + per-column count — the one genuinely
       shuffling statistic. Values travel as strings (one type column
@@ -1811,48 +1811,36 @@ def profile_columns(ds: "rd.Dataset", cols: Sequence[str]) -> pd.DataFrame:
 
     cols = list(cols)
 
+    # counts + typed extrema in ONE partial pass: per batch, one row with
+    # per-column columns (__n_c, __null_c, __mn_c, __mx_c). Typed min/max
+    # partials live in SEPARATE per-column columns because a stringly
+    # fold would compare numerics lexicographically and one shared column
+    # cannot hold mixed types; all-null batches keep the column type so
+    # batch schemas unify. The fold is O(cols x blocks) rows, driver-side.
     def partial(t: pa.Table) -> pa.Table:
-        names, ns, nulls = [], [], []
+        arrs: dict[str, pa.Array] = {}
         for c in cols:
             col = t[c]
-            names.append(c)
-            ns.append(len(col))
-            nulls.append(col.null_count)
-        return pa.table({"col_name": pa.array(names, pa.string()),
-                         "n": pa.array(ns, pa.int64()),
-                         "n_null": pa.array(nulls, pa.int64())})
-
-    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    folded = stats.groupby("col_name", as_index=False).agg(
-        n=("n", "sum"), n_null=("n_null", "sum"))
-
-    # min/max: typed per-batch partials in SEPARATE per-column columns
-    # (folding stringified values would compare numerics
-    # lexicographically; one shared column can't hold mixed types), one
-    # partial row per batch, folded typed on the driver and stringified
-    # only at the very end for the cross-type output frame
-    def extrema(t: pa.Table) -> pa.Table:
-        arrs = {}
-        for c in cols:
-            vals = t[c].drop_null()
+            vals = col.drop_null()
             typ = t.schema.field(c).type
-            # keep the COLUMN type even for an all-null batch, or Arrow
-            # can't unify this partial's schema with the other batches'
+            arrs[f"__n_{c}"] = pa.array([len(col)], pa.int64())
+            arrs[f"__null_{c}"] = pa.array([col.null_count], pa.int64())
             arrs[f"__mn_{c}"] = pa.array(
                 [pc.min(vals).as_py() if len(vals) else None], type=typ)
             arrs[f"__mx_{c}"] = pa.array(
                 [pc.max(vals).as_py() if len(vals) else None], type=typ)
         return pa.table(arrs)
 
-    ext = ds.map_batches(extrema, batch_format="pyarrow").to_pandas()
+    ext = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    folded = pd.DataFrame({"col_name": cols})
+    folded["n"] = [int(ext[f"__n_{c}"].sum()) for c in cols]
+    folded["n_null"] = [int(ext[f"__null_{c}"].sum()) for c in cols]
     folded["min_v"] = [
         None if ext[f"__mn_{c}"].dropna().empty
-        else str(ext[f"__mn_{c}"].dropna().min())
-        for c in folded["col_name"]]
+        else str(ext[f"__mn_{c}"].dropna().min()) for c in cols]
     folded["max_v"] = [
         None if ext[f"__mx_{c}"].dropna().empty
-        else str(ext[f"__mx_{c}"].dropna().max())
-        for c in folded["col_name"]]
+        else str(ext[f"__mx_{c}"].dropna().max()) for c in cols]
 
     def uniq(t: pa.Table) -> pa.Table:
         names, vals = [], []
