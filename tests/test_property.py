@@ -176,3 +176,46 @@ def test_extract_document_handles_jsonish_payloads(payload):
     cfg = default_config()["credit_request"]
     out = extract_document(payload, cfg)
     assert out["status"] in ("Fertig", "Fehlerhaft")
+
+
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1, max_size=20).filter(lambda s: s.strip()),
+        st.floats(min_value=0.1, max_value=7.0, allow_nan=False),
+        st.floats(min_value=0.1, max_value=10.0, allow_nan=False),
+        st.floats(min_value=0.05, max_value=0.5, allow_nan=False)),
+    min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(runs):
+    """Any printable-ASCII single-page PDF we can write, we can read back
+    with exact text and Courier-metric geometry."""
+    from credit_ocr_backend_ray.functions.pdf import (
+        build_pdf, extract_pdf_layout)
+
+    spec = [{"text": t, "x_in": x, "y_top_in": y, "h_in": h}
+            for t, x, y, h in runs]
+    doc = extract_pdf_layout(build_pdf([spec]))
+    lines = doc["pages"][0]["lines"]
+    assert [ln["content"] for ln in lines] == [r["text"] for r in spec]
+    # tolerance: the writer formats coordinates/font size as %.4f POINTS
+    # -> up to 0.5e-4 pt (~7e-7 in) quantization, scaled by len() for the
+    # width term
+    for ln, r in zip(lines, spec):
+        p = ln["polygon"]
+        assert abs(p[0]["x"] - r["x_in"]) < 1e-5
+        assert abs(p[0]["y"] - r["y_top_in"]) < 1e-5
+        assert abs((p[2]["y"] - p[0]["y"]) - r["h_in"]) < 1e-5
+        assert abs((p[1]["x"] - p[0]["x"])
+                   - 0.6 * r["h_in"] * len(r["text"])) < 3e-5
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    import numpy as np
+    from credit_ocr_backend_ray.functions.png import decode_png, encode_png
+
+    arr = (np.random.default_rng(seed)
+           .integers(0, 256, (h, w, 3)).astype(np.uint8))
+    assert (decode_png(encode_png(arr)) == arr).all()
