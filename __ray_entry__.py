@@ -2362,6 +2362,16 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_supplier_edit1_pairs(sf_dir: str):
+    """Levenshtein-distance-<=1 self-join over supplier names (FastSS
+    deletion-neighborhood blocking + exact O(len) verify) — the
+    insert/delete-tolerant sibling of the Hamming join."""
+    from credit_ocr_backend_ray.stages.dedup import edit1_join
+
+    ds = _rp(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    return edit1_join(ds, "s_suppkey", "s_name")
+
+
 def _q_event_transitions(sf_dir: str):
     """First-order Markov transition counts over each user's
     (ts, event_id)-ordered event stream."""
@@ -2915,6 +2925,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
         "orders_profile": _q_orders_profile,
+        "supplier_edit1_pairs": _q_supplier_edit1_pairs,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
@@ -3234,6 +3245,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
                    round(quantile_cont(o_totalprice, 0.75), 4) AS p75
             FROM orders GROUP BY o_orderpriority
+        """,
+        "supplier_edit1_pairs": """
+            SELECT a.s_suppkey AS k_a, b.s_suppkey AS k_b,
+                   levenshtein(a.s_name, b.s_name) AS dist
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+             AND levenshtein(a.s_name, b.s_name) <= 1
         """,
         "orders_profile": """
             WITH p AS (

@@ -756,3 +756,131 @@ def hamming_join(ds: "rd.Dataset", id_col: str, str_col: str,
                 .groupby("pair_shard")
                 .map_groups(finish, batch_format="pandas")
                 .drop_columns(["pair_shard"]))
+
+
+def _lev_le1(a: str, b: str) -> int:
+    """Exact Levenshtein distance capped at 2 (returns 0, 1, or 2 meaning
+    '>1'). O(len) single scan — the only distances the edit1 join needs."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == lb:
+        diffs = sum(x != y for x, y in zip(a, b))
+        return 1 if diffs == 1 else 2
+    if abs(la - lb) != 1:
+        return 2
+    if la > lb:
+        a, b = b, a
+        la, lb = lb, la
+    # b is a plus one inserted char: skip the first mismatch in b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def edit1_join(ds: "rd.Dataset", id_col: str, str_col: str,
+               max_len: int = 64) -> "rd.Dataset":
+    """Self-join on Levenshtein distance <= 1 (substitution, insertion,
+    OR deletion — the typo-join ``hamming_join`` cannot express because
+    Hamming is substitution-only over equal lengths). Blocking is the
+    FastSS deletion neighborhood (Bocek et al., 2007): each string emits
+    itself plus its ``len`` single-character deletions as keys; two
+    strings within one edit always share a key (equal -> the string
+    itself; substitution -> both delete the substituted position; indel
+    -> the shorter string IS a deletion variant of the longer). Shuffle
+    carries (key_hash, id, string); verification is the exact O(len)
+    ``_lev_le1`` scan per in-bucket candidate pair. Hot buckets cap at
+    ``_BUCKET_CAP`` with the dropped count logged (no silent caps), and
+    cross-key duplicate pairs collapse in one coarse pair-shard co-group
+    — the same contract as ``hamming_join``. Strings longer than
+    ``max_len`` are skipped (reported): L+1 keys per row is the blocking
+    cost, linear in string length."""
+    def explode(t: pa.Table) -> pa.Table:
+        from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+        ids = t[id_col].to_pylist()
+        strs = t[str_col].to_pylist()
+        out_id, out_s, out_key = [], [], []
+        n_skipped = 0
+        for i, s in zip(ids, strs):
+            if not s:
+                continue
+            if len(s) > max_len:
+                n_skipped += 1
+                continue
+            # the string itself + every single-deletion variant; keys are
+            # length-tagged so only len/len and len/len+1 rows co-bucket
+            out_id.append(i)
+            out_s.append(s)
+            out_key.append(f"F{len(s)}|{s}")
+            for c in range(len(s)):
+                out_id.append(i)
+                out_s.append(s)
+                out_key.append(f"F{len(s) - 1}|{s[:c]}{s[c + 1:]}")
+        if n_skipped:
+            logger.warning("edit1_join: %d strings longer than %d skipped",
+                           n_skipped, max_len)
+        keys = (hash_strings_u64(out_key) if out_key
+                else np.array([], np.uint64))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            str_col: pa.array(out_s, pa.string()),
+            "del_key": pa.array(keys, pa.uint64()),
+            "shard": pa.array((keys % np.uint64(_BAND_SHARDS)).astype(
+                np.int32), pa.int32()),
+        })
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, d_out, t_out = [], [], [], []
+        for _, bucket in g.groupby("del_key", sort=False):
+            rows = sorted(set(zip(bucket[id_col].astype("int64"),
+                                  bucket[str_col])))
+            dropped = max(0, len(rows) - _BUCKET_CAP)
+            rows = rows[:_BUCKET_CAP]
+            first = True
+            for x in range(len(rows)):
+                ida, sa = rows[x]
+                for y in range(x + 1, len(rows)):
+                    idb, sb = rows[y]
+                    if ida == idb:
+                        continue
+                    d = _lev_le1(sa, sb)
+                    if d <= 1:
+                        a, b = (ida, idb) if ida < idb else (idb, ida)
+                        a_out.append(a)
+                        b_out.append(b)
+                        d_out.append(d)
+                        t_out.append(dropped if first else 0)
+                        first = False
+            if dropped and first:
+                a_out.append(-1)
+                b_out.append(-1)
+                d_out.append(-1)
+                t_out.append(dropped)
+        return pd.DataFrame({"k_a": pd.Series(a_out, dtype="int64"),
+                             "k_b": pd.Series(b_out, dtype="int64"),
+                             "dist": pd.Series(d_out, dtype="int64"),
+                             "n_trunc": pd.Series(t_out, dtype="int64")})
+
+    allp = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("shard")
+              .map_groups(shard_pairs, batch_format="pandas"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        trunc = int(b["n_trunc"].sum())
+        if trunc:
+            logger.warning(
+                "edit1_join: %d rows dropped by the %d-row bucket cap",
+                trunc, _BUCKET_CAP)
+        b = b[b["k_a"] >= 0]
+        return b.drop(columns=["n_trunc"]).drop_duplicates(["k_a", "k_b"])
+
+    def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pair_shard"] = ((b["k_a"] * 31 + b["k_b"]) % 64).astype("int32")
+        return b
+
+    return (allp.map_batches(add_pair_shard, batch_format="pandas")
+                .groupby("pair_shard")
+                .map_groups(finish, batch_format="pandas")
+                .drop_columns(["pair_shard"]))

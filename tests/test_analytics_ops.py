@@ -634,3 +634,38 @@ def test_embedding_near_dup_planted_recall_no_truncation(ray_session, caplog,
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     planted = {(j, n + j) for j in range(n_pairs)}
     assert planted <= found, planted - found
+
+
+def test_edit1_join_all_three_edit_kinds(ray_session):
+    """Blocking recall for every edit kind the Hamming join cannot
+    express: substitution, insertion, AND deletion — plus exact-dup
+    (dist 0) and a dist-2 pair that must NOT appear."""
+    from credit_ocr_backend_ray.stages.dedup import _lev_le1, edit1_join
+
+    assert _lev_le1("abc", "abc") == 0
+    assert _lev_le1("abc", "abd") == 1      # substitution
+    assert _lev_le1("abc", "abxc") == 1     # insertion
+    assert _lev_le1("abc", "ac") == 1       # deletion
+    assert _lev_le1("abc", "xyc") == 2      # two substitutions
+    assert _lev_le1("abc", "abcde") == 2    # length gap 2
+
+    rows = [
+        {"k": 1, "s": "kreditantrag"},
+        {"k": 2, "s": "kreditantrag"},    # dist 0 of 1
+        {"k": 3, "s": "kreditentrag"},    # substitution of 1
+        {"k": 4, "s": "kreditanttrag"},   # insertion into 1
+        {"k": 5, "s": "kreditntrag"},     # deletion from 1
+        {"k": 6, "s": "darlehen"},        # unrelated
+        {"k": 7, "s": "kredituntrug"},    # dist 2 from 1 — excluded
+    ]
+    import ray.data as rd
+    out = (edit1_join(rd.from_items(rows).repartition(4), "k", "s")
+           .to_pandas())
+    got = {(a, b): d for a, b, d in zip(out["k_a"], out["k_b"],
+                                        out["dist"])}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(1, 4)] == 1 and got[(1, 5)] == 1
+    assert (1, 7) not in got and (1, 6) not in got
+    # the planted variants of the SAME base also pair with each other
+    # when within one edit: 2 is identical to 1, so 2-3/2-4/2-5 too
+    assert got[(2, 3)] == 1 and got[(2, 4)] == 1 and got[(2, 5)] == 1
