@@ -2362,6 +2362,96 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_canonical_urls(sf_dir: str):
+    """URL canonicalization over four deterministic messy spellings per
+    doc (mixed case, default ports, tracking params, fragments, unsorted
+    query) — the dedup key a multi-crawl corpus collapses on. The oracle
+    pins the exact canonical string per variant class."""
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.functions.links import (
+        canonicalize_urls_batch)
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def messy(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls = []
+        for d in ids:
+            m = d % 4
+            if m == 0:
+                urls.append(f"HTTP://WWW.Example.com:80/a/{d}"
+                            f"?utm_campaign=z&b=2&a=1#top")
+            elif m == 1:
+                urls.append(f"https://shop.example.com/item/{d}")
+            elif m == 2:
+                urls.append(f"https://News.Example.com:443/{d}"
+                            f"?z=9&a=1&utm_source=mail")
+            else:
+                urls.append(f"http://example.com:8080/p/{d}?x=1#frag")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    out = ds.map_batches(messy, batch_format="pyarrow") \
+            .map_batches(canonicalize_urls_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "canonical_url"])
+
+
+def _q_documents_from_warc(sf_dir: str):
+    """WARC round-trip: shard the documents table into Common-Crawl-style
+    per-record-gzipped .warc.gz files (one Ray task per shard), read them
+    back through the native WARC source, recover (doc_id, text) — the
+    content must hash-match a plain scan of the source table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from datetime import datetime, timedelta
+    from credit_ocr_backend_ray.sources.warc import read_warc, write_warc
+
+    base = os.path.join("/tmp/warc", os.path.basename(sf_dir.rstrip("/")))
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        k = int(g["__shard"].iloc[0])
+        path = os.path.join(base, f"shard-{k:02d}.warc.gz")
+        epoch = datetime(2024, 1, 1)
+        n = write_warc(
+            ({"url": f"https://corpus.example/doc/{int(d)}",
+              "ts": epoch + timedelta(seconds=int(d)),
+              "body": (t or "").encode("utf-8")}
+             for d, t in zip(g["doc_id"], g["text"])), path)
+        return pd.DataFrame({"path": [path], "n": [n]})
+
+    docs = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def shard_of(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shard"] = (b["doc_id"] % 8).astype("int64")
+        return b
+
+    shards = (docs.map_batches(shard_of, batch_format="pandas")
+                  .groupby("__shard")
+                  .map_groups(write_shard, batch_format="pandas")
+                  .to_pandas())
+    assert shards["n"].sum() > 0
+
+    out = read_warc(sorted(shards["path"]))
+
+    def recover(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(u.rsplit("/", 1)[1]) for u in urls],
+                               pa.int64()),
+            "text": pa.array([p.decode("utf-8")
+                              for p in t["payload"].to_pylist()],
+                             pa.string()),
+        })
+
+    return out.map_batches(recover, batch_format="pyarrow")
+
+
 def _q_supplier_edit1_pairs(sf_dir: str):
     """Levenshtein-distance-<=1 self-join over supplier names (FastSS
     deletion-neighborhood blocking + exact O(len) verify) — the
@@ -2926,6 +3016,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_within_minute": _q_events_within_minute,
         "orders_profile": _q_orders_profile,
         "supplier_edit1_pairs": _q_supplier_edit1_pairs,
+        "documents_from_warc": _q_documents_from_warc,
+        "canonical_urls": _q_canonical_urls,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
@@ -3245,6 +3337,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
                    round(quantile_cont(o_totalprice, 0.75), 4) AS p75
             FROM orders GROUP BY o_orderpriority
+        """,
+        "documents_from_warc": """
+            SELECT doc_id, text FROM documents
+        """,
+        "canonical_urls": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'http://www.example.com/a/' || doc_id
+                                 || '?a=1&b=2'
+                     WHEN 1 THEN 'https://shop.example.com/item/'
+                                 || doc_id
+                     WHEN 2 THEN 'https://news.example.com/' || doc_id
+                                 || '?a=1&z=9'
+                     ELSE 'http://example.com:8080/p/' || doc_id
+                          || '?x=1'
+                   END AS canonical_url
+            FROM documents
         """,
         "supplier_edit1_pairs": """
             SELECT a.s_suppkey AS k_a, b.s_suppkey AS k_b,

@@ -64,3 +64,52 @@ def link_stats_batch(t: pa.Table, html_col: str = "html",
         n_hosts[i] = len({urlsplit(x).netloc for x in targets})
     return (t.append_column("n_links", pa.array(n_links))
              .append_column("n_target_hosts", pa.array(n_hosts)))
+
+
+_URL_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+                     r"(?:\?([^#]*))?(?:#.*)?$")
+_TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=", "msclkid=")
+
+
+def canonicalize_url(u: str) -> str:
+    """Canonical form of an absolute URL — the key a web-corpus dedup
+    keys on (the same page arrives under many spellings across crawls):
+
+    - scheme and host lowercased;
+    - default port stripped (:80 for http, :443 for https);
+    - fragment dropped;
+    - tracking parameters removed (utm_*, gclid, fbclid, msclkid);
+    - remaining query parameters sorted (lexicographic on the raw
+      ``k=v`` text — deterministic, encoding-preserving: nothing is
+      re-quoted, so the transform is idempotent and engine-portable);
+    - empty path becomes ``/``.
+
+    Non-URL / relative strings pass through unchanged (garbage stays a
+    distinct key rather than colliding on an error value)."""
+    m = _URL_RE.match(u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = m.group(3) or "/"
+    q = m.group(4)
+    out = f"{scheme}://{host}{path}"
+    if q:
+        parts = sorted(p for p in q.split("&")
+                       if p and not p.startswith(_TRACKING_PREFIXES))
+        if parts:
+            out += "?" + "&".join(parts)
+    return out
+
+
+def canonicalize_urls_batch(t: pa.Table, url_col: str = "url",
+                            out_col: str = "canonical_url") -> pa.Table:
+    """map_batches kernel: append the canonical-URL column."""
+    urls = t[url_col].to_pylist()
+    return t.append_column(
+        out_col, pa.array([canonicalize_url(u or "") for u in urls],
+                          pa.string()))

@@ -1,0 +1,134 @@
+"""Minimal WARC source/sink (stdlib) — the web-corpus-native ingestion
+format (ISO 28500; what Common Crawl ships). The reference ingests
+uploaded documents one by one (src/api/main.py:319-379); a 100 TB crawl
+arrives as sharded ``.warc.gz`` instead, so the engine reads it natively:
+
+- ``write_warc``: WARC/1.0 ``response`` records (WARC-Target-URI,
+  WARC-Date, Content-Length-framed HTTP payload), one gzip member per
+  record when ``gzip_=True`` — exactly Common Crawl's layout, which is
+  what makes a ``.warc.gz`` splittable at member boundaries.
+- ``parse_warc``: bytes of one WARC file -> records. Multi-member gzip
+  decompresses with one stdlib call (``gzip.decompress`` concatenates
+  members per RFC 1952).
+- ``read_warc``: sharded WARC files -> ``ray.data.Dataset`` of
+  (url, warc_ts, payload). One read task per shard
+  (``read_binary_files`` keeps a file one block), parsing vectorized at
+  the record-scan level — the per-shard loop is over RECORDS (bounded by
+  shard size), the same granularity any WARC reader pays.
+
+Scope: response/resource records, Content-Length framing (mandatory in
+WARC), optional HTTP header stripping. No chunked transfer decoding —
+archived records are Content-Length-framed by the spec.
+"""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+from typing import Any, Iterable
+
+_CRLF = b"\r\n"
+
+
+def _warc_record(url: str, ts: datetime, body: bytes,
+                 http_headers: bool = True) -> bytes:
+    if http_headers:
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+                   b"charset=utf-8\r\nContent-Length: "
+                   + str(len(body)).encode() + b"\r\n\r\n" + body)
+        ctype = b"application/http; msgtype=response"
+    else:
+        payload = body
+        ctype = b"text/plain"
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+           b"WARC-Date: " +
+           ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + _CRLF +
+           b"Content-Type: " + ctype + _CRLF +
+           b"Content-Length: " + str(len(payload)).encode() + _CRLF +
+           _CRLF)
+    return hdr + payload + _CRLF + _CRLF
+
+
+def write_warc(records: Iterable[dict[str, Any]], path: str,
+               gzip_: bool = True) -> int:
+    """Write records ``{url, ts (datetime), body (bytes)}`` as a WARC
+    file; one gzip member per record when ``gzip_`` (the Common Crawl
+    layout). Returns the record count."""
+    n = 0
+    with open(path, "wb") as f:
+        for r in records:
+            raw = _warc_record(r["url"], r["ts"], r["body"])
+            f.write(gzip.compress(raw, 6) if gzip_ else raw)
+            n += 1
+    return n
+
+
+def parse_warc(data: bytes, strip_http: bool = True) -> list[dict[str, Any]]:
+    """One WARC file's bytes -> list of {url, warc_ts, payload}. Handles
+    plain and (multi-member) gzip input; skips non-response records and
+    records missing a target URI."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    out: list[dict[str, Any]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if not data.startswith(b"WARC/", pos):
+            nxt = data.find(b"WARC/", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        length = int(headers.get("content-length", 0))
+        body = data[hdr_end + 4:hdr_end + 4 + length]
+        pos = hdr_end + 4 + length + 4  # payload + record-final CRLFCRLF
+        if headers.get("warc-type") not in ("response", "resource"):
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        if strip_http and body.startswith(b"HTTP/"):
+            he = body.find(b"\r\n\r\n")
+            if he >= 0:
+                body = body[he + 4:]
+        ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
+        out.append({
+            "url": url,
+            "warc_ts": datetime.strptime(
+                ts, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=None),
+            "payload": body,
+        })
+    return out
+
+
+def read_warc(paths: list[str] | str, strip_http: bool = True):
+    """Sharded WARC files -> Dataset(url, warc_ts, payload). One read
+    task per file; records parsed inside the task (never on the
+    driver)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: "pa.Table") -> "pa.Table":
+        urls, tss, payloads = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for rec in parse_warc(blob, strip_http=strip_http):
+                urls.append(rec["url"])
+                tss.append(rec["warc_ts"])
+                payloads.append(rec["payload"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

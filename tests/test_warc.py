@@ -1,0 +1,74 @@
+"""WARC source/sink (sources/warc.py): round-trip through the real
+Common-Crawl layout (one gzip member per record), HTTP header stripping,
+and resilience to truncated/garbage tails."""
+
+import gzip
+from datetime import datetime
+
+import pytest
+
+from credit_ocr_backend_ray.sources.warc import (
+    parse_warc, read_warc, write_warc)
+
+
+def _recs(n=5):
+    return [{"url": f"https://ex.org/{i}",
+             "ts": datetime(2024, 1, 1, 0, 0, i),
+             "body": f"körper {i}".encode("utf-8")} for i in range(n)]
+
+
+def test_warc_roundtrip_gzip(tmp_path):
+    p = str(tmp_path / "a.warc.gz")
+    assert write_warc(_recs(), p) == 5
+    raw = open(p, "rb").read()
+    assert raw[:2] == b"\x1f\x8b"           # gzip magic
+    out = parse_warc(raw)
+    assert [r["url"] for r in out] == [f"https://ex.org/{i}"
+                                       for i in range(5)]
+    assert out[3]["payload"].decode("utf-8") == "körper 3"
+    assert out[2]["warc_ts"] == datetime(2024, 1, 1, 0, 0, 2)
+    # per-record gzip members: each record is independently decodable
+    # (the property that makes .warc.gz splittable)
+    first_member_len = len(gzip.compress(b""))  # not used as offset —
+    # instead decompress member-by-member via GzipFile boundaries
+    import io
+    gf = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    whole = gf.read()
+    assert whole.count(b"WARC/1.0") == 5
+
+
+def test_warc_plain_and_http_stripping(tmp_path):
+    p = str(tmp_path / "b.warc")
+    write_warc(_recs(2), p, gzip_=False)
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"WARC/1.0")
+    with_http = parse_warc(raw, strip_http=False)
+    assert with_http[0]["payload"].startswith(b"HTTP/1.1 200 OK")
+    stripped = parse_warc(raw)
+    assert stripped[0]["payload"] == "körper 0".encode("utf-8")
+
+
+def test_warc_skips_garbage_and_non_response():
+    rec = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n"
+           b"\r\nhi\r\n\r\n")
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/1\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    out = parse_warc(b"junk" + rec + good + b"trailing garbage")
+    assert len(out) == 1 and out[0]["url"] == "https://x/1"
+    assert out[0]["payload"] == b"body"
+    assert parse_warc(b"") == []
+
+
+def test_read_warc_dataset(ray_session, tmp_path):
+    p1 = str(tmp_path / "s1.warc.gz")
+    p2 = str(tmp_path / "s2.warc.gz")
+    write_warc(_recs(3), p1)
+    write_warc([{"url": "https://ex.org/zz",
+                 "ts": datetime(2024, 2, 2),
+                 "body": b"zz"}], p2)
+    df = read_warc([p1, p2]).to_pandas().sort_values("url")
+    assert len(df) == 4
+    assert df.iloc[-1]["payload"] == b"zz"
+    assert str(df.iloc[0]["warc_ts"]) == "2024-01-01 00:00:00"
