@@ -1960,6 +1960,110 @@ def _q_local_supplier_revenue(sf_dir: str):
     return agg.map_batches(fin, batch_format="pandas")
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (dates shifted to this corpus's 1995-2001 range):
+    segment-filtered customers x date-filtered orders x late-shipping
+    lineitems, revenue per order, top-10. Both date filters push down to
+    the parquet read; two fact-fact shuffles; the final sort runs over
+    the aggregated (bounded) group set, never the fact stream. Revenue
+    in int64 micro-units before any sum (see agg_pricing)."""
+    import pyarrow.compute as pc
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, shuffle_join)
+
+    cut = pa_timestamp("1997-01-01")
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"],
+             filter=pc.field("l_shipdate") > cut)
+    od = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"],
+             filter=pc.field("o_orderdate") < cut)
+    cu = _rp(_t(sf_dir, "customer"),
+             columns=["c_custkey", "c_mktsegment"],
+             filter=pc.field("c_mktsegment") == "BUILDING")
+
+    j = shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    j = shuffle_join(j, cu, on="o_custkey", right_on="c_custkey")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b["l_extendedprice"].to_numpy(dtype=np.float64)
+             * (1 - b["l_discount"].to_numpy(dtype=np.float64)))
+        b = b[["l_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+        b["rev_micro"] = np.floor(r * 10000 + 0.5).astype("int64")
+        return b
+
+    agg = grouped_agg(j.map_batches(rev, batch_format="pandas"),
+                      ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                      {"rev_micro": "rev_micro"}, count_alias=None)
+    top = (agg.sort(["rev_micro", "o_orderdate", "l_orderkey"],
+                    descending=[True, False, False]).limit(10))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = (b["rev_micro"] / 10000.0).round(4)
+        b["o_orderdate"] = b["o_orderdate"].astype("datetime64[us]")
+        return b[["l_orderkey", "revenue", "o_orderdate",
+                  "o_orderpriority"]]
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
+def _q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape: customers who returned items in a quarter,
+    ranked by lost revenue — date-filtered orders x returned lineitems
+    (both filters at the read), one fact-fact shuffle, one shuffle to
+    customers, nation attached by broadcast, top-20 over the aggregated
+    set."""
+    import pyarrow.compute as pc
+    from credit_ocr_backend_ray.stages.relational import (
+        broadcast_join, grouped_agg, shuffle_join)
+
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_returnflag"],
+             filter=pc.field("l_returnflag") == "R")
+    od = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_custkey", "o_orderdate"],
+             filter=(pc.field("o_orderdate")
+                     >= pa_timestamp("1996-01-01"))
+                    & (pc.field("o_orderdate")
+                       < pa_timestamp("1996-07-01")))
+    cu = _rp(_t(sf_dir, "customer"),
+             columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+
+    nat = pd.read_parquet(_t(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+
+    j = shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    j = shuffle_join(j, cu, on="o_custkey", right_on="c_custkey")
+    j = broadcast_join(j, nat.rename(columns={"n_nationkey": "c_nationkey"}),
+                       on="c_nationkey")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b["l_extendedprice"].to_numpy(dtype=np.float64)
+             * (1 - b["l_discount"].to_numpy(dtype=np.float64)))
+        # Dataset.join coalesces the right key into the LEFT key's name:
+        # the customer key arrives as o_custkey
+        b = (b[["o_custkey", "c_name", "c_acctbal", "n_name"]]
+             .rename(columns={"o_custkey": "c_custkey"}))
+        b["rev_micro"] = np.floor(r * 10000 + 0.5).astype("int64")
+        return b
+
+    agg = grouped_agg(j.map_batches(rev, batch_format="pandas"),
+                      ["c_custkey", "c_name", "c_acctbal", "n_name"],
+                      {"rev_micro": "rev_micro"}, count_alias=None)
+    top = (agg.sort(["rev_micro", "c_custkey"],
+                    descending=[True, False]).limit(20))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = (b["rev_micro"] / 10000.0).round(4)
+        return b[["c_custkey", "c_name", "revenue", "c_acctbal",
+                  "n_name"]]
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
 def _q_page_link_stats(sf_dir: str):
     """The web-graph side of the crawl: per-page outbound-link counts
     (href regex + urljoin resolution, functions/links.py) over the raw
@@ -3018,6 +3122,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "supplier_edit1_pairs": _q_supplier_edit1_pairs,
         "documents_from_warc": _q_documents_from_warc,
         "canonical_urls": _q_canonical_urls,
+        "shipping_priority": _q_shipping_priority,
+        "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
         "orders_lineitem_join_salted": _q_orders_lineitem_join_salted,
@@ -3340,6 +3446,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_from_warc": """
             SELECT doc_id, text FROM documents
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT))
+                         / 10000.0, 4) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 10000 + 0.5) AS BIGINT)) DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "returned_item_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT))
+                         / 10000.0, 4) AS revenue,
+                   c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 10000 + 0.5) AS BIGINT)) DESC,
+                     c_custkey
+            LIMIT 20
         """,
         "canonical_urls": """
             SELECT doc_id,
