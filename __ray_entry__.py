@@ -2466,6 +2466,30 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_lineitem_box_scan(sf_dir: str):
+    """Two-dimensional data skipping: lineitem written ONCE as a Z-order
+    (Morton) clustered layout over (l_quantity, l_extendedprice), then a
+    box scan reads only the partitions whose 2-D extents intersect the
+    query rectangle. Result is layout-independent, so the plain
+    two-sided BETWEEN oracle pins it exactly."""
+    from credit_ocr_backend_ray.state.bucket_store import (
+        read_box, write_zorder)
+
+    li = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice"])
+    base = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")),
+                        "lineitem_zorder")
+    manifest = write_zorder(li, base, "l_quantity", "l_extendedprice",
+                            n_parts=16)
+    out, n_hit = read_box(base, 10.0, 20.0, 10_000.0, 30_000.0,
+                          manifest)
+    assert 0 < n_hit <= manifest["n_parts"]
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "l_quantity", "l_extendedprice"])
+
+
 def _q_canonical_urls(sf_dir: str):
     """URL canonicalization over four deterministic messy spellings per
     doc (mixed case, default ports, tracking params, fragments, unsorted
@@ -3123,6 +3147,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "documents_from_warc": _q_documents_from_warc,
         "canonical_urls": _q_canonical_urls,
         "shipping_priority": _q_shipping_priority,
+        "lineitem_box_scan": _q_lineitem_box_scan,
         "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
@@ -3446,6 +3471,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_from_warc": """
             SELECT doc_id, text FROM documents
+        """,
+        "lineitem_box_scan": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_quantity BETWEEN 10.0 AND 20.0
+              AND l_extendedprice BETWEEN 10000.0 AND 30000.0
         """,
         "shipping_priority": """
             SELECT l_orderkey,

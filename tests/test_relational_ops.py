@@ -946,3 +946,34 @@ def test_compact_dataset_roundtrip(ray_session, tmp_path):
     assert info["files_out"] <= 3 < info["files_in"]
     back = rd.read_parquet(comp).to_pandas().sort_values("k")
     assert back["v"].tolist() == df["v"].tolist()
+
+
+def test_zorder_box_scan_prunes_and_is_exact(ray_session, tmp_path):
+    """Z-order layout: a small query box must (a) return exactly the
+    brute-force filter result and (b) SKIP most partitions — the
+    2-D data-skipping property the layout exists for."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import (
+        read_box, write_zorder)
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "x": rng.uniform(0, 100, n),
+        "y": rng.uniform(0, 100, n),
+    })
+    base = str(tmp_path / "z")
+    manifest = write_zorder(rd.from_pandas(df).repartition(8), base,
+                            "x", "y", n_parts=16)
+    out, n_hit = read_box(base, 10.0, 20.0, 60.0, 70.0, manifest)
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    exp = df[(df.x >= 10) & (df.x <= 20) & (df.y >= 60) & (df.y <= 70)] \
+        .sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == exp["id"].tolist()
+    # a 10x10 box of a 100x100 uniform space: Morton locality must let
+    # the manifest skip well over half the 16 partitions
+    assert n_hit <= 6, n_hit
+    # empty box -> zero partitions read
+    _, n0 = read_box(base, 200.0, 300.0, 0.0, 1.0, manifest)
+    assert n0 == 0
