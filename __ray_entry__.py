@@ -2466,6 +2466,33 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_click_purchase_band(sf_dir: str):
+    """Keyed stream-stream time-band join: every (click, purchase) pair
+    of the same user within one day — both sides big, one key-hash
+    co-group, composite-key searchsorted inside each shard."""
+    import pyarrow.compute as pc
+    from credit_ocr_backend_ray.stages.relational import time_band_join
+
+    clicks = _rp(_t(sf_dir, "events"),
+                 columns=["event_id", "user_id", "ts", "event_type"],
+                 filter=pc.field("event_type") == "click")
+    buys = _rp(_t(sf_dir, "events"),
+               columns=["event_id", "user_id", "ts", "event_type"],
+               filter=pc.field("event_type") == "purchase")
+    out = time_band_join(clicks, buys, "user_id", "user_id", "ts", "ts",
+                         band_us=86_400_000_000,
+                         left_cols=["event_id"], right_cols=["event_id"])
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "click_id": b["l_event_id"].astype("int64"),
+            "purchase_id": b["r_event_id"].astype("int64"),
+            "dt_us": b["dt_us"].astype("int64"),
+        })
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_lineitem_box_scan(sf_dir: str):
     """Two-dimensional data skipping: lineitem written ONCE as a Z-order
     (Morton) clustered layout over (l_quantity, l_extendedprice), then a
@@ -3148,6 +3175,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": _q_canonical_urls,
         "shipping_priority": _q_shipping_priority,
         "lineitem_box_scan": _q_lineitem_box_scan,
+        "click_purchase_band": _q_click_purchase_band,
         "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
@@ -3471,6 +3499,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_from_warc": """
             SELECT doc_id, text FROM documents
+        """,
+        "click_purchase_band": """
+            SELECT e.event_id AS click_id, f.event_id AS purchase_id,
+                   epoch_us(f.ts) - epoch_us(e.ts) AS dt_us
+            FROM events e JOIN events f
+              ON e.user_id = f.user_id
+             AND e.event_type = 'click' AND f.event_type = 'purchase'
+             AND abs(epoch_us(e.ts) - epoch_us(f.ts)) <= 86400000000
         """,
         "lineitem_box_scan": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -1886,3 +1886,103 @@ def iqr_outliers(ds: "rd.Dataset", keys: Sequence[str], col: str,
 
     return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         per_group, batch_format="pandas")
+
+
+def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
+                   left_key: str, right_key: str,
+                   left_ts: str, right_ts: str, band_us: int,
+                   left_cols: Sequence[str], right_cols: Sequence[str],
+                   n_shards: int = 64) -> "rd.Dataset":
+    """Keyed two-table TIME-BAND join (the stream-stream join of a
+    streaming engine, batch-shaped): all (left, right) pairs with equal
+    key and |ts_l - ts_r| <= ``band_us``. Both sides are big — no
+    broadcast; the only shuffle is ONE key-hash co-group over the tagged
+    union of both streams (each row moves exactly once).
+
+    Inside a shard, keys factorize to dense codes and rows map to the
+    composite ``code * span + (ts - ts_min) + band`` with ``span =
+    ts_range + 2*band + 2`` — segments sit >= band apart on both sides,
+    so one vectorized searchsorted of every left row against the sorted
+    right composites finds each row's match window without a per-key
+    loop. Guard: ``codes * span`` must fit int64 — raise ``n_shards``
+    for corpora with more than ~2^62/span keys per shard (asserted).
+
+    Output: left_cols + right_cols + ``dt_us`` (right ts minus left ts,
+    signed). Partitioning assumption: one key-hash shard's rows fit a
+    worker (tune ``n_shards``); pair volume is inherently
+    |matches| — skewed hot keys produce quadratic output for that key,
+    which no partitioning can remove."""
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+    lcols = list(left_cols)
+    rcols = list(right_cols)
+
+    def tag(side: int, key: str, ts: str, keep: list[str]):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "__key": b[key].to_numpy(np.int64),
+                "__ts": b[ts].to_numpy("datetime64[us]").astype(np.int64),
+                "__side": np.full(len(b), side, dtype=np.int8),
+            })
+            for c in lcols:
+                out[f"l_{c}"] = b[c].to_numpy() if (side == 0 and c in b) \
+                    else None
+            for c in rcols:
+                out[f"r_{c}"] = b[c].to_numpy() if (side == 1 and c in b) \
+                    else None
+            out["__shard"] = ((out["__key"].to_numpy(np.int64)
+                               .view(np.uint64) * _MIX) >> np.uint64(40)
+                              ).astype(np.int64) % n_shards
+            return out
+        return fn
+
+    tagged = left.map_batches(tag(0, left_key, left_ts, lcols),
+                              batch_format="pandas").union(
+        right.map_batches(tag(1, right_key, right_ts, rcols),
+                          batch_format="pandas"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        base = {"dt_us": pd.Series([], dtype="int64")}
+        for c in lcols:
+            base[f"l_{c}"] = pd.Series([], dtype="object")
+        for c in rcols:
+            base[f"r_{c}"] = pd.Series([], dtype="object")
+        if not len(g):
+            return pd.DataFrame(base)
+        keys = g["__key"].to_numpy(np.int64)
+        ts = g["__ts"].to_numpy(np.int64)
+        uniq = np.unique(keys)
+        code = np.searchsorted(uniq, keys).astype(np.int64)
+        rel = ts - ts.min()
+        span = int(rel.max()) + 2 * band_us + 2
+        assert (len(uniq) + 1) * span < 2 ** 62, \
+            "composite overflow: raise n_shards"
+        comp = code * span + rel + band_us
+        is_r = (g["__side"].to_numpy() == 1)
+        r_order = np.argsort(comp[is_r], kind="stable")
+        r_comp = comp[is_r][r_order]
+        r_idx = np.flatnonzero(is_r)[r_order]
+        l_idx = np.flatnonzero(~is_r)
+        if not len(r_idx) or not len(l_idx):
+            return pd.DataFrame(base)
+        l_comp = comp[l_idx]
+        lo = np.searchsorted(r_comp, l_comp - band_us, side="left")
+        hi = np.searchsorted(r_comp, l_comp + band_us, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(base)
+        ia = np.repeat(np.arange(len(l_idx)), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ib = (np.arange(total) - np.repeat(offs, counts)
+              + np.repeat(lo, counts))
+        li = l_idx[ia]
+        ri = r_idx[ib]
+        out = {"dt_us": ts[ri] - ts[li]}
+        for c in lcols:
+            out[f"l_{c}"] = g[f"l_{c}"].to_numpy()[li]
+        for c in rcols:
+            out[f"r_{c}"] = g[f"r_{c}"].to_numpy()[ri]
+        return pd.DataFrame(out)
+
+    return tagged.groupby("__shard").map_groups(pairs,
+                                                batch_format="pandas")

@@ -977,3 +977,34 @@ def test_zorder_box_scan_prunes_and_is_exact(ray_session, tmp_path):
     # empty box -> zero partitions read
     _, n0 = read_box(base, 200.0, 300.0, 0.0, 1.0, manifest)
     assert n0 == 0
+
+
+def test_time_band_join_planted(ray_session):
+    """Keyed two-table band join: matches only same-key rows within the
+    band, both directions, no per-key loop (composite searchsorted)."""
+    from credit_ocr_backend_ray.stages.relational import time_band_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "ts": [t0, t0 + 10 * m, t0, t0],
+        "lid": [100, 101, 102, 103],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2, 9],
+        "ts": [t0 + 2 * m, t0 + 30 * m, t0 - 3 * m, t0],
+        "rid": [7, 8, 9, 10],
+    })
+    out = (time_band_join(_ds(left), _ds(right), "k", "k", "ts", "ts",
+                          band_us=5 * 60_000_000,
+                          left_cols=["lid"], right_cols=["rid"])
+           .to_pandas())
+    got = {(a, b): d for a, b, d in
+           zip(out["l_lid"], out["r_rid"], out["dt_us"])}
+    # lid 100 (k=1, t0): rid 7 at +2m in band; rid 8 at +30m out
+    # lid 101 (k=1, +10m): nothing within 5m (rid 7 is -8m, rid 8 +20m)
+    # lid 102 (k=2, t0): rid 9 at -3m in band (negative dt)
+    # lid 103 (k=3): no right rows; rid 10 has no left key
+    assert got == {(100, 7): 2 * 60_000_000,
+                   (102, 9): -3 * 60_000_000}
