@@ -831,6 +831,12 @@ def edit1_join(ds: "rd.Dataset", id_col: str, str_col: str,
         })
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # verification stays a per-CANDIDATE O(len) char scan on purpose:
+        # the oracle contract is CHARACTER Levenshtein (SQL levenshtein),
+        # and the hamming-style byte-matrix vectorization would count a
+        # multibyte substitution as 2+ byte diffs and drop true pairs.
+        # Candidates are bounded by the deletion-neighborhood blocking +
+        # the bucket cap, so the scan never sees the n^2 of the corpus.
         a_out, b_out, d_out, t_out = [], [], [], []
         for _, bucket in g.groupby("del_key", sort=False):
             rows = sorted(set(zip(bucket[id_col].astype("int64"),
