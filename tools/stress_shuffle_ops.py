@@ -173,7 +173,10 @@ def main() -> int:
 
     recs = [timed("band_self_join_1M_hot10k", stress_band),
             timed("hamming_join_100k_const_prefix", stress_hamming),
-            timed("triangle_count_1M_edges", stress_triangles)]
+            timed("triangle_count_1M_edges", stress_triangles),
+            timed("time_band_join_1M_hotkey", stress_time_band),
+            timed("edit1_join_100k_const_prefix", stress_edit1),
+            timed("zorder_box_scan_2M", stress_zorder)]
     ray.shutdown()
 
     if "--append-baseline" in sys.argv:
@@ -189,6 +192,94 @@ def main() -> int:
                         f"{r['peak_host_gb']} | `{json.dumps(r['result'])}`"
                         f" |\n")
     return 0
+
+
+
+
+def stress_time_band(n_left: int = 500_000, n_right: int = 500_000,
+                     hot_frac: float = 0.02) -> dict:
+    """1M-row stream-stream band join with a hot key holding 2% of both
+    sides — the skew regime the docstring warns about (pair output is
+    inherently quadratic in the hot key's density)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import time_band_join
+
+    rng = np.random.default_rng(29)
+    t0 = pd.Timestamp("2025-03-01").value // 1000
+    span = 30 * 24 * 3600 * 1_000_000
+    n_keys = 50_000
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        keys = r.integers(0, n_keys, n)
+        keys[: int(n * hot_frac)] = 7  # hot key
+        return pd.DataFrame({
+            "k": keys,
+            "ts": pd.to_datetime((t0 + r.integers(0, span, n)) * 1000),
+            "rid": np.arange(n, dtype=np.int64),
+        })
+
+    left = rd.from_pandas(mk(n_left, 41)).repartition(32).materialize()
+    right = rd.from_pandas(mk(n_right, 43)).repartition(32).materialize()
+    n_pairs = time_band_join(left, right, "k", "k", "ts", "ts",
+                             band_us=3600 * 1_000_000,
+                             left_cols=["rid"], right_cols=["rid"]).count()
+    return {"n_left": n_left, "n_right": n_right, "pairs": n_pairs}
+
+
+def stress_edit1(n_keys: int = 100_000) -> dict:
+    """edit1_join at 100k constant-prefix keys with 300 planted
+    distance-1 twins covering all three edit kinds."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import edit1_join
+
+    rng = np.random.default_rng(37)
+    base = rng.choice(10**9, n_keys, replace=False)
+    names = [f"Supplier#{k:09d}" for k in base]
+    ids = list(range(n_keys))
+    for i in range(300):
+        s = names[i]
+        kind = i % 3
+        if kind == 0:    # substitution
+            cand = s[:10] + ("9" if s[10] != "9" else "8") + s[11:]
+        elif kind == 1:  # deletion
+            cand = s[:10] + s[11:]
+        else:            # insertion
+            cand = s[:10] + "7" + s[10:]
+        names.append(cand)
+        ids.append(n_keys + i)
+    ds = rd.from_pandas(pd.DataFrame({"k": ids, "s": names})) \
+           .repartition(64)
+    pairs = edit1_join(ds, "k", "s").to_pandas()
+    found = set(zip(pairs["k_a"], pairs["k_b"]))
+    hit = sum((i, n_keys + i) in found for i in range(300))
+    return {"n_keys": len(names), "pairs": len(pairs),
+            "planted_recall": hit / 300}
+
+
+def stress_zorder(n_rows: int = 2_000_000) -> dict:
+    """Z-order layout + box scan at 2M rows: write once, assert the
+    small box prunes most partitions and matches the exact filter
+    count."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import (
+        read_box, write_zorder)
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "id": np.arange(n_rows, dtype=np.int64),
+        "x": rng.uniform(0, 1000, n_rows),
+        "y": rng.uniform(0, 1000, n_rows),
+    })
+    base = "/tmp/stress_zorder"
+    manifest = write_zorder(rd.from_pandas(df).repartition(64), base,
+                            "x", "y", n_parts=32)
+    out, n_hit = read_box(base, 100.0, 160.0, 700.0, 760.0, manifest)
+    n = out.count()
+    exact = int(((df.x >= 100) & (df.x <= 160)
+                 & (df.y >= 700) & (df.y <= 760)).sum())
+    return {"rows": n_rows, "box_rows": n, "exact": exact,
+            "match": n == exact, "parts_read": n_hit, "parts_total": 32}
 
 
 if __name__ == "__main__":
