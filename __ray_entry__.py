@@ -2466,6 +2466,23 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_orders_from_orc(sf_dir: str):
+    """ORC round-trip: orders written as one ORC file per block (content-
+    hash names, idempotent), read back through the ORC source — content
+    must hash-match a plain scan (Ray ships no ORC reader; this one is
+    one pyarrow decode task per file)."""
+    from credit_ocr_backend_ray.sources.orc import read_orc, write_orc
+
+    base = os.path.join("/tmp/orc", os.path.basename(sf_dir.rstrip("/")),
+                        "orders")
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    od = _rp(_t(sf_dir, "orders")).repartition(8)
+    n_files = write_orc(od, base)
+    assert n_files > 0
+    return read_orc(base)
+
+
 def _q_click_purchase_band(sf_dir: str):
     """Keyed stream-stream time-band join: every (click, purchase) pair
     of the same user within one day — both sides big, one key-hash
@@ -3176,6 +3193,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "lineitem_box_scan": _q_lineitem_box_scan,
         "click_purchase_band": _q_click_purchase_band,
+        "orders_from_orc": _q_orders_from_orc,
         "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
@@ -3499,6 +3517,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_from_warc": """
             SELECT doc_id, text FROM documents
+        """,
+        "orders_from_orc": """
+            SELECT * FROM orders
         """,
         "click_purchase_band": """
             SELECT e.event_id AS click_id, f.event_id AS purchase_id,

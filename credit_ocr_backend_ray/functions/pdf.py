@@ -214,11 +214,21 @@ def _page_content_streams(pdf: bytes) -> list[bytes]:
     streams = []
     for cid in pages:
         body = objects.get(cid, b"")
-        m = _STREAM_RE.search(body)
-        if not m:
+        ms = re.search(rb"stream\r?\n", body)
+        if not ms:
             streams.append(b"")
             continue
-        raw = m.group(1)
+        start = ms.end()
+        # honor /Length (the spec's framing): a delimiter regex would
+        # truncate compressed payloads whose last byte happens to be \r
+        # (it gets eaten as part of "\r?\nendstream") — found by the
+        # hypothesis round-trip property
+        mlen = re.search(rb"/Length\s+(\d+)", body)
+        if mlen:
+            raw = body[start:start + int(mlen.group(1))]
+        else:
+            m = _STREAM_RE.search(body)
+            raw = m.group(1) if m else b""
         if re.search(rb"/Filter\s*/FlateDecode", body):
             raw = zlib.decompress(raw)
         streams.append(raw)

@@ -72,3 +72,20 @@ def test_read_warc_dataset(ray_session, tmp_path):
     assert len(df) == 4
     assert df.iloc[-1]["payload"] == b"zz"
     assert str(df.iloc[0]["warc_ts"]) == "2024-01-01 00:00:00"
+
+
+def test_orc_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from credit_ocr_backend_ray.sources.orc import read_orc, write_orc
+
+    df = pd.DataFrame({"k": range(100), "s": [f"v{i}" for i in range(100)]})
+    base = str(tmp_path / "orc")
+    n = write_orc(rd.from_pandas(df).repartition(4), base)
+    assert 1 <= n <= 4
+    back = read_orc(base).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+    # idempotent: re-writing the same content produces the same files
+    n2 = write_orc(rd.from_pandas(df).repartition(4), base)
+    import glob as g
+    assert n2 == n and len(g.glob(base + "/*.orc")) == n
