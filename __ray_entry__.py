@@ -2466,6 +2466,17 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_doc_text_normalized(sf_dir: str):
+    """Corpus text normalization (lower -> collapse whitespace -> trim ->
+    NFC), Arrow kernels for the string ops with an isascii fast path
+    around the NFC step."""
+    from credit_ocr_backend_ray.stages.text import normalize_text
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return (normalize_text(ds, "text")
+            .select_columns(["doc_id", "norm_text"]))
+
+
 def _q_orders_from_orc(sf_dir: str):
     """ORC round-trip: orders written as one ORC file per block (content-
     hash names, idempotent), read back through the ORC source — content
@@ -3194,6 +3205,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_box_scan": _q_lineitem_box_scan,
         "click_purchase_band": _q_click_purchase_band,
         "orders_from_orc": _q_orders_from_orc,
+        "doc_text_normalized": _q_doc_text_normalized,
         "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
@@ -3520,6 +3532,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_from_orc": """
             SELECT * FROM orders
+        """,
+        "doc_text_normalized": """
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g'))) AS norm_text
+            FROM documents
         """,
         "click_purchase_band": """
             SELECT e.event_id AS click_id, f.event_id AS purchase_id,

