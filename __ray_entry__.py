@@ -2466,6 +2466,43 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_doc_kfold_counts(sf_dir: str):
+    """Deterministic 5-fold CV assignment over documents (md5 % k, no
+    shuffle), counted per (lang, fold)."""
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_agg, kfold_assign)
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    folded = kfold_assign(ds, "doc_id", k=5)
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__one"] = 1
+        return b
+
+    out = grouped_agg(folded.map_batches(one, batch_format="pandas"),
+                      ["lang", "fold"], {"__one": "n_docs"},
+                      count_alias=None)
+    return out
+
+
+def _q_priority_price_winsorized(sf_dir: str):
+    """Per-priority winsorized order prices (clamp to the exact
+    [p05, p95] quantiles) — data-cleaning op, checked value-exact."""
+    from credit_ocr_backend_ray.stages.relational import winsorize_per_key
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = winsorize_per_key(ds, ["o_orderpriority"], "o_totalprice",
+                            0.05, 0.95, alias="w_price")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["w_price"] = b["w_price"].round(4) + 0.0
+        return b[["o_orderkey", "o_orderpriority", "w_price"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_doc_text_normalized(sf_dir: str):
     """Corpus text normalization (lower -> collapse whitespace -> trim ->
     NFC), Arrow kernels for the string ops with an isascii fast path
@@ -3206,6 +3243,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_band": _q_click_purchase_band,
         "orders_from_orc": _q_orders_from_orc,
         "doc_text_normalized": _q_doc_text_normalized,
+        "doc_kfold_counts": _q_doc_kfold_counts,
+        "priority_price_winsorized": _q_priority_price_winsorized,
         "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,
         "events_compacted": _q_events_compacted,
@@ -3532,6 +3571,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_from_orc": """
             SELECT * FROM orders
+        """,
+        "doc_kfold_counts": """
+            SELECT lang,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS UBIGINT)
+                        % 5 AS BIGINT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "priority_price_winsorized": """
+            WITH q AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.05) AS ql,
+                       quantile_cont(o_totalprice, 0.95) AS qh
+                FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderkey, o.o_orderpriority,
+                   round(least(greatest(o.o_totalprice, q.ql), q.qh), 4)
+                       + 0.0 AS w_price
+            FROM orders o JOIN q USING (o_orderpriority)
         """,
         "doc_text_normalized": """
             SELECT doc_id,

@@ -1986,3 +1986,46 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
 
     return tagged.groupby("__shard").map_groups(pairs,
                                                 batch_format="pandas")
+
+
+def kfold_assign(ds: "rd.Dataset", key_col: str, k: int = 5,
+                 fold_col: str = "fold") -> "rd.Dataset":
+    """Deterministic k-fold cross-validation assignment: fold = first 32
+    bits of ``md5(str(key))`` mod k — the same engine-independence
+    contract as ``hash_split`` (reproducible across engines, stable
+    under repartitioning, a key can never migrate between folds between
+    runs). Embarrassingly parallel, no shuffle."""
+    import hashlib
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        folds = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(kk).encode()).digest()[:4],
+                            "big") % k for kk in keys),
+            dtype=np.int64, count=len(keys))
+        return t.append_column(fold_col, pa.array(folds, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def winsorize_per_key(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                      p_lo: float = 0.05, p_hi: float = 0.95,
+                      alias: str | None = None) -> "rd.Dataset":
+    """Per-key winsorization (outlier clamping, the data-cleaning
+    sibling of ``iqr_outliers``): values clip to the key's exact
+    [p_lo, p_hi] quantiles (``percentile_cont`` linear interpolation).
+    One hash shuffle; per-group vectorized clip (holistic statistic —
+    bounded-cardinality keys, one key's rows fit a worker)."""
+    keys = list(keys)
+    out_col = alias or f"w_{col}"
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy(dtype=np.float64)
+        ql = np.quantile(v, p_lo, method="linear")
+        qh = np.quantile(v, p_hi, method="linear")
+        g = g.copy()
+        g[out_col] = np.clip(v, ql, qh)
+        return g
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_group, batch_format="pandas")

@@ -1008,3 +1008,37 @@ def test_time_band_join_planted(ray_session):
     # lid 103 (k=3): no right rows; rid 10 has no left key
     assert got == {(100, 7): 2 * 60_000_000,
                    (102, 9): -3 * 60_000_000}
+
+
+def test_kfold_assign_deterministic_and_balanced(ray_session):
+    import hashlib
+    from credit_ocr_backend_ray.stages.relational import kfold_assign
+
+    df = pd.DataFrame({"k": range(500)})
+    out = kfold_assign(_ds(df), "k", k=5).to_pandas()
+    # exact md5 contract
+    for kk, f in zip(out["k"], out["fold"]):
+        exp = int.from_bytes(
+            hashlib.md5(str(kk).encode()).digest()[:4], "big") % 5
+        assert f == exp
+    # roughly balanced and stable under repartitioning
+    sizes = out["fold"].value_counts()
+    assert len(sizes) == 5 and sizes.min() > 50
+    again = kfold_assign(_ds(df).repartition(7), "k", k=5).to_pandas()
+    assert dict(zip(again["k"], again["fold"])) == \
+        dict(zip(out["k"], out["fold"]))
+
+
+def test_winsorize_per_key(ray_session):
+    from credit_ocr_backend_ray.stages.relational import winsorize_per_key
+
+    vals = np.arange(1.0, 101.0)  # 1..100
+    df = pd.DataFrame({"g": ["a"] * 100, "v": vals})
+    out = (winsorize_per_key(_ds(df), ["g"], "v", 0.05, 0.95)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    ql = np.quantile(vals, 0.05, method="linear")
+    qh = np.quantile(vals, 0.95, method="linear")
+    assert out["w_v"].min() == ql and out["w_v"].max() == qh
+    # interior values unchanged
+    mid = out[(out.v > ql) & (out.v < qh)]
+    assert (mid["w_v"] == mid["v"]).all()
