@@ -2466,6 +2466,33 @@ def _q_supplier_hamming_pairs(sf_dir: str):
     return hamming_join(ds, "s_suppkey", "s_name", max_dist=1)
 
 
+def _q_near_dup_index_probe(sf_dir: str):
+    """Persisted MinHash-LSH index round: index the documents corpus
+    once, then probe a synthetic increment (every doc_id % 100 == 0,
+    with its last two words dropped) — only probed band buckets and
+    candidate text buckets are read, never the corpus. Rows-only:
+    planted-pair recall + exact jaccard pinned in
+    tests/test_incremental.py."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.incremental import (
+        minhash_index_query, minhash_index_write)
+
+    idx_dir = os.path.join("/tmp/lshindex",
+                           os.path.basename(sf_dir.rstrip("/")))
+    docs = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    minhash_index_write(docs, idx_dir)
+
+    base = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).to_pandas()
+    inc = base[base["doc_id"] % 100 == 0].copy()
+    inc["doc_id"] = inc["doc_id"] + 1_000_000
+    inc["text"] = inc["text"].map(
+        lambda t: " ".join((t or "").split()[:-2]))
+    pairs = minhash_index_query(rd.from_pandas(inc).repartition(4),
+                                idx_dir, threshold=0.8)
+    return pairs
+
+
 def _q_doc_kfold_counts(sf_dir: str):
     """Deterministic 5-fold CV assignment over documents (md5 % k, no
     shuffle), counted per (lang, fold)."""
@@ -3244,6 +3271,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_from_orc": _q_orders_from_orc,
         "doc_text_normalized": _q_doc_text_normalized,
         "doc_kfold_counts": _q_doc_kfold_counts,
+        "near_dup_index_probe": _q_near_dup_index_probe,
         "priority_price_winsorized": _q_priority_price_winsorized,
         "returned_item_customers": _q_returned_item_customers,
         "priority_price_outliers": _q_priority_price_outliers,

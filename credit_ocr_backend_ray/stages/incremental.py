@@ -118,3 +118,135 @@ def incremental_dedup_run(ds: "rd.Dataset", index_dir: str, run_id: str,
     fresh = dedup_against_index(within, index_dir, hash_col).materialize()
     hash_index_append(fresh, index_dir, run_id, hash_col)
     return fresh
+
+
+# ----------------------------------------------- persisted near-dup index
+
+_LSH_BUCKETS = 64
+
+
+def minhash_index_write(ds: "rd.Dataset", index_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bands: int = 16) -> int:
+    """Persist a MinHash-LSH INDEX of the corpus so later increments can
+    be near-dup-checked WITHOUT rescanning the corpus — the approximate
+    sibling of the exact content-hash index above. Two bucketed parquet
+    sub-tables:
+
+    - ``bands/``: (band_key, doc_id), bucketed by band-key hash — the
+      LSH probe structure;
+    - ``texts/``: (doc_id, text), bucketed by id hash — the verification
+      payloads, fetched only for candidate ids.
+
+    Returns the indexed document count."""
+    from credit_ocr_backend_ray.functions.hashing import (
+        minhash_bands, minhash_signature)
+    from credit_ocr_backend_ray.state.bucket_store import write_bucketed
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id, out_key = [], []
+        for i, txt in zip(ids, texts):
+            for k in minhash_bands(minhash_signature(txt or ""), bands):
+                out_id.append(i)
+                # store as int64 (two's-complement view) — the bucketed
+                # store keys on int64
+                out_key.append(np.uint64(k).astype(np.int64).item())
+        return pa.table({"band_key": pa.array(out_key, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64())})
+
+    write_bucketed(ds.map_batches(band_rows, batch_format="pyarrow"),
+                   os.path.join(index_dir, "bands"), "band_key",
+                   n_buckets=_LSH_BUCKETS)
+    n = write_bucketed(ds.select_columns([id_col, text_col]),
+                       os.path.join(index_dir, "texts"), id_col,
+                       n_buckets=_LSH_BUCKETS)
+    return n
+
+
+@ray.remote
+def _probe_band_bucket(files: list[str], probe: pd.DataFrame,
+                       id_col: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    if not files:
+        return pa.table({"new_id": pa.array([], pa.int64()),
+                         "idx_id": pa.array([], pa.int64())})
+    idx = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                    ignore_index=True)
+    j = probe.merge(idx, on="band_key", how="inner")
+    out = (j[["new_id", id_col]].rename(columns={id_col: "idx_id"})
+           .drop_duplicates())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _fetch_texts_bucket(files: list[str], ids: np.ndarray,
+                        id_col: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    frames = []
+    for f in files:
+        t = pq.read_table(f).to_pandas()
+        frames.append(t[t[id_col].isin(ids)])
+    if not frames:
+        return pa.table({})
+    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                preserve_index=False)
+
+
+def minhash_index_query(new_ds: "rd.Dataset", index_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bands: int = 16,
+                        threshold: float = 0.8) -> pd.DataFrame:
+    """Near-dup check of a (small) NEW increment against the persisted
+    index: only the band buckets the increment's keys hash into are read
+    (<= 64 bounded task reads), then only the candidate ids' text
+    buckets — never the whole corpus. Returns verified pairs
+    (new_id, idx_id, jaccard >= threshold). Contract: the increment is
+    small relative to the index (its band keys and candidate texts fit
+    the driver); the index side stays on disk."""
+    from credit_ocr_backend_ray.functions.hashing import (
+        jaccard, minhash_bands, minhash_signature)
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucket_files, bucket_of_int)
+
+    new_rows = new_ds.select_columns([id_col, text_col]).to_pandas()
+    probe_id, probe_key = [], []
+    for i, txt in zip(new_rows[id_col], new_rows[text_col]):
+        for k in minhash_bands(minhash_signature(txt or ""), bands):
+            probe_id.append(int(i))
+            probe_key.append(np.uint64(k).astype(np.int64).item())
+    probe = pd.DataFrame({"new_id": probe_id, "band_key": probe_key})
+    probe["bucket"] = bucket_of_int(probe["band_key"].to_numpy(np.int64),
+                                    _LSH_BUCKETS)
+
+    bands_dir = os.path.join(index_dir, "bands")
+    refs = [_probe_band_bucket.remote(bucket_files(bands_dir, int(b)),
+                                      g.drop(columns="bucket"), id_col)
+            for b, g in probe.groupby("bucket")]
+    cands = pd.concat([r.to_pandas() for r in ray.get(refs)],
+                      ignore_index=True).drop_duplicates()
+    if cands.empty:
+        return pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                             "idx_id": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    texts_dir = os.path.join(index_dir, "texts")
+    idx_ids = cands["idx_id"].unique()
+    tb = pd.Series(bucket_of_int(idx_ids.astype(np.int64), _LSH_BUCKETS),
+                   index=idx_ids)
+    trefs = [_fetch_texts_bucket.remote(
+                bucket_files(texts_dir, int(b)),
+                np.asarray(ids.index, dtype=np.int64), id_col)
+             for b, ids in tb.groupby(tb)]
+    idx_texts = pd.concat([r.to_pandas() for r in ray.get(trefs)],
+                          ignore_index=True).set_index(id_col)[text_col]
+    new_texts = new_rows.set_index(id_col)[text_col]
+
+    out = []
+    for nid, iid in zip(cands["new_id"], cands["idx_id"]):
+        j = jaccard(new_texts.get(nid) or "", idx_texts.get(iid) or "")
+        if j >= threshold:
+            out.append((int(nid), int(iid), float(j)))
+    return (pd.DataFrame(out, columns=["new_id", "idx_id", "jaccard"])
+            .sort_values(["new_id", "idx_id"]).reset_index(drop=True))

@@ -3,6 +3,8 @@ index, anti-join paths, append-only idempotence."""
 
 import hashlib
 
+import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -72,3 +74,43 @@ def test_index_append_idempotent(ray_session, tmp_path, corpus):
     import pyarrow.parquet as pq
     total = sum(pq.read_metadata(f).num_rows for f in index_files(idx))
     assert total == 20  # re-running a run id does not double the index
+
+
+def test_minhash_index_write_query(ray_session, tmp_path):
+    """Persisted LSH index: plant near-dups of indexed docs in the new
+    increment; the query must recover them reading only probed buckets,
+    and report exact jaccard values."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.functions.hashing import jaccard
+    from credit_ocr_backend_ray.stages.incremental import (
+        minhash_index_write, minhash_index_query)
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(400)]
+    corpus = [{"doc_id": i,
+               "text": " ".join(rng.choice(vocab, 60))}
+              for i in range(200)]
+    idx_dir = str(tmp_path / "lshidx")
+    n = minhash_index_write(rd.from_items(corpus).repartition(8), idx_dir)
+    assert n == 200
+
+    # new increment: 10 unrelated docs + 5 near-dups of indexed docs
+    new_rows = [{"doc_id": 1000 + i,
+                 "text": " ".join(rng.choice(vocab, 60))}
+                for i in range(10)]
+    for i in range(5):
+        base = corpus[i]["text"].split()
+        new_rows.append({"doc_id": 2000 + i,
+                         "text": " ".join(base[:-2])})  # drop 2 words
+    pairs = minhash_index_query(rd.from_items(new_rows).repartition(4),
+                                idx_dir, threshold=0.8)
+    got = set(zip(pairs["new_id"], pairs["idx_id"]))
+    assert {(2000 + i, i) for i in range(5)} <= got
+    # jaccard values are exact
+    for r in pairs.itertuples():
+        if (r.new_id, r.idx_id) in {(2000 + i, i) for i in range(5)}:
+            exp = jaccard(new_rows[10 + r.new_id - 2000]["text"],
+                          corpus[r.idx_id]["text"])
+            assert r.jaccard == exp
+    # no verified pair below threshold
+    assert (pairs["jaccard"] >= 0.8).all()
