@@ -881,6 +881,35 @@ def _q_events_from_jsonl(sf_dir: str):
         rd.read_json(os.path.join(d, "events.jsonl")))
 
 
+def _q_events_from_jsonl_robust(sf_dir: str):
+    """Error-tolerant JSONL ingest: the events JSONL with garbage lines
+    planted every 100 lines; good rows aggregate to the SAME oracle as
+    the clean file (the quarantine absorbs exactly the planted lines —
+    asserted), instead of rd.read_json aborting the whole job."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.sources.warc import read_jsonl_robust
+
+    d = _events_alt_format(sf_dir, "jsonl")
+    dirty = os.path.join(d, "events_dirty.jsonl")
+    marker = os.path.join(d, "_dirty_done")
+    if not os.path.exists(marker):
+        n_bad = 0
+        with open(os.path.join(d, "events.jsonl"), "rb") as src, \
+                open(dirty, "wb") as dst:
+            for i, line in enumerate(src):
+                dst.write(line)
+                if i % 100 == 0:
+                    dst.write(b'{"event_type": "broken", "value":\n')
+                    dst.write(b"<<<not json %d>>>\n" % i)
+                    n_bad += 2
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(str(n_bad))
+    n_bad = int(open(marker, encoding="utf-8").read())
+    data, quarantine = read_jsonl_robust([dirty])
+    assert quarantine.count() == n_bad
+    return _agg_events_by_type(data)
+
+
 def _q_events_from_csv(sf_dir: str):
     import ray.data as rd
     d = _events_alt_format(sf_dir, "csv")
@@ -3212,6 +3241,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_event_history": _q_user_event_history,
         "approx_price_quantiles": _q_approx_price_quantiles,
         "events_from_jsonl": _q_events_from_jsonl,
+        "events_from_jsonl_robust": _q_events_from_jsonl_robust,
         "events_from_csv": _q_events_from_csv,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_latest_events": _q_dedup_latest_events,
@@ -3997,6 +4027,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "events_from_jsonl": """
+            SELECT event_type, round(sum(value), 4) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_from_jsonl_robust": """
             SELECT event_type, round(sum(value), 4) AS sum_value,
                    count(*) AS n
             FROM events GROUP BY event_type

@@ -89,3 +89,22 @@ def test_orc_roundtrip(ray_session, tmp_path):
     n2 = write_orc(rd.from_pandas(df).repartition(4), base)
     import glob as g
     assert n2 == n and len(g.glob(base + "/*.orc")) == n
+
+
+def test_read_jsonl_robust_quarantine(ray_session, tmp_path):
+    from credit_ocr_backend_ray.sources.warc import read_jsonl_robust
+
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write("garbage line\n")
+        f.write("\n")                       # blank: ignored entirely
+        f.write('{"a": 2, "b": "y"}\n')
+        f.write('{"a": 3, "b":\n')          # truncated
+    data, quar = read_jsonl_robust([p])
+    d = data.to_pandas().sort_values("a")
+    q = quar.to_pandas()
+    assert d["a"].tolist() == [1, 2]
+    assert q["line_no"].tolist() == [2, 5]
+    assert all(q["error"].str.contains("JSONDecodeError"))
+    assert q["raw"].iloc[0] == "garbage line"
