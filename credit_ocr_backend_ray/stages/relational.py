@@ -1892,7 +1892,7 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
                    left_key: str, right_key: str,
                    left_ts: str, right_ts: str, band_us: int,
                    left_cols: Sequence[str], right_cols: Sequence[str],
-                   n_shards: int = 64) -> "rd.Dataset":
+                   n_shards: int = 64, n_salt: int = 1) -> "rd.Dataset":
     """Keyed two-table TIME-BAND join (the stream-stream join of a
     streaming engine, batch-shaped): all (left, right) pairs with equal
     key and |ts_l - ts_r| <= ``band_us``. Both sides are big — no
@@ -1910,11 +1910,19 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
     Output: left_cols + right_cols + ``dt_us`` (right ts minus left ts,
     signed). Partitioning assumption: one key-hash shard's rows fit a
     worker (tune ``n_shards``); pair volume is inherently
-    |matches| — skewed hot keys produce quadratic output for that key,
-    which no partitioning can remove."""
+    |matches| — skewed hot keys produce quadratic OUTPUT for that key,
+    which no partitioning can remove — but the COMPUTE of a hot key can
+    be spread: ``n_salt = s > 1`` row-hashes each side into ``s`` groups
+    and replicates left rows across the ``s`` cells ``(gl, *)`` / right
+    rows across ``(*, gr)`` (bipartite block partitioning); cell
+    ``(gl, gr)`` produces exactly the pairs between those two groups, so
+    every pair appears once and the hottest worker holds ~2/s of the hot
+    key's rows. Cost: s copies per row. Results identical to unsalted
+    (pinned by test)."""
     _MIX = np.uint64(0x9E3779B97F4A7C15)
     lcols = list(left_cols)
     rcols = list(right_cols)
+    s = int(n_salt)
 
     def tag(side: int, key: str, ts: str, keep: list[str]):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -1929,7 +1937,25 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
             for c in rcols:
                 out[f"r_{c}"] = b[c].to_numpy() if (side == 1 and c in b) \
                     else None
-            out["__shard"] = ((out["__key"].to_numpy(np.int64)
+            if s > 1:
+                # bipartite block cells: a LEFT row in group g goes to
+                # cells (g, 0..s-1); a RIGHT row to cells (0..s-1, g)
+                grp = ((out["__key"].to_numpy(np.int64).view(np.uint64)
+                        * _MIX) >> np.uint64(23)).astype(np.int64)
+                # mix in the row's own id-ish timestamp so one key's rows
+                # spread across groups (key alone would put the whole hot
+                # key in ONE group, defeating the salt)
+                grp = (grp ^ out["__ts"].to_numpy(np.int64)) % s
+                frames = []
+                for h in range(s):
+                    cell = (grp * s + h) if side == 0 else (h * s + grp)
+                    frames.append(out.assign(__cell=cell))
+                out = pd.concat(frames, ignore_index=True)
+            else:
+                out["__cell"] = 0
+            out["__shard"] = (((out["__key"].to_numpy(np.int64)
+                                * (s * s if s > 1 else 1)
+                                + out["__cell"].to_numpy(np.int64))
                                .view(np.uint64) * _MIX) >> np.uint64(40)
                               ).astype(np.int64) % n_shards
             return out
@@ -1949,6 +1975,8 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
         if not len(g):
             return pd.DataFrame(base)
         keys = g["__key"].to_numpy(np.int64)
+        if s > 1:  # a (key, cell) pair is its own segment under salt
+            keys = keys * (s * s) + g["__cell"].to_numpy(np.int64)
         ts = g["__ts"].to_numpy(np.int64)
         uniq = np.unique(keys)
         code = np.searchsorted(uniq, keys).astype(np.int64)

@@ -1042,3 +1042,36 @@ def test_winsorize_per_key(ray_session):
     # interior values unchanged
     mid = out[(out.v > ql) & (out.v < qh)]
     assert (mid["w_v"] == mid["v"]).all()
+
+
+def test_time_band_join_salted_matches_unsalted(ray_session):
+    """Bipartite block-cell salt: identical pair set to the unsalted
+    plan, including on a hot key carrying most rows of both sides."""
+    from credit_ocr_backend_ray.stages.relational import time_band_join
+
+    rng = np.random.default_rng(61)
+    t0 = pd.Timestamp("2024-05-01").value // 1000
+    span = 3600 * 1_000_000
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        k = r.integers(0, 20, n)
+        k[: n // 2] = 7  # hot key holds half of each side
+        return pd.DataFrame({
+            "k": k,
+            "ts": pd.to_datetime((t0 + r.integers(0, span, n)) * 1000),
+            "rid": np.arange(n, dtype=np.int64),
+        })
+
+    left, right = mk(400, 1), mk(300, 2)
+    kw = dict(band_us=60_000_000, left_cols=["rid"], right_cols=["rid"])
+    plain = (time_band_join(_ds(left), _ds(right), "k", "k", "ts", "ts",
+                            **kw).to_pandas()
+             .sort_values(["l_rid", "r_rid"]).reset_index(drop=True))
+    salted = (time_band_join(_ds(left), _ds(right), "k", "k", "ts", "ts",
+                             n_salt=4, **kw).to_pandas()
+              .sort_values(["l_rid", "r_rid"]).reset_index(drop=True))
+    assert len(plain) > 1000  # the hot key really is quadratic-ish
+    pd.testing.assert_frame_equal(
+        plain[["l_rid", "r_rid", "dt_us"]].astype("int64"),
+        salted[["l_rid", "r_rid", "dt_us"]].astype("int64"))
