@@ -1789,7 +1789,8 @@ def band_self_join(ds: "rd.Dataset", ts_col: str, id_col: str,
               .groupby("__shard").map_groups(pairs, batch_format="pandas"))
 
 
-def profile_columns(ds: "rd.Dataset", cols: Sequence[str]) -> pd.DataFrame:
+def profile_columns(ds: "rd.Dataset", cols: Sequence[str],
+                    approx_distinct: bool = False) -> pd.DataFrame:
     """Distributed data profiling: one output row per column with
     ``(col_name, n, n_null, n_distinct, min_v, max_v)`` — the ingest-time
     sanity report every large pipeline runs before burning cluster hours
@@ -1801,8 +1802,10 @@ def profile_columns(ds: "rd.Dataset", cols: Sequence[str]) -> pd.DataFrame:
     - n_distinct (EXACT): per-batch distinct (column, value) pairs, then
       a distributed distinct + per-column count — the one genuinely
       shuffling statistic. Values travel as strings (one type column
-      across heterogeneous inputs). At 100 TB run the HLL sketch
-      (stages/sketch.py) instead when +-2% suffices; exact is kept here
+      across heterogeneous inputs). ``approx_distinct=True`` replaces
+      this with per-column HLL register banks (one fixed-2KB bank per
+      column per batch, shuffle volume O(cols x batches) — the 100 TB
+      path for high-cardinality columns, +-2%); exact stays the default
       because it is the oracle-checkable contract.
 
     min/max are returned as strings (CAST semantics — comparable across
@@ -1841,6 +1844,33 @@ def profile_columns(ds: "rd.Dataset", cols: Sequence[str]) -> pd.DataFrame:
     folded["max_v"] = [
         None if ext[f"__mx_{c}"].dropna().empty
         else str(ext[f"__mx_{c}"].dropna().max()) for c in cols]
+
+    if approx_distinct:
+        from credit_ocr_backend_ray.stages.sketch import (
+            _estimate, _registers)
+
+        def hll_partial(t: pa.Table) -> pa.Table:
+            names, banks = [], []
+            for c in cols:
+                vals = [str(v) for v in t[c].drop_null().to_pylist()]
+                names.append(c)
+                banks.append(_registers(vals).tobytes())
+            return pa.table({"col_name": pa.array(names, pa.string()),
+                             "__regs": pa.array(banks, pa.binary())})
+
+        regs = (ds.map_batches(hll_partial, batch_format="pyarrow")
+                  .to_pandas())
+        nd = {}
+        for c, g in regs.groupby("col_name"):
+            acc = None
+            for b in g["__regs"]:
+                r = np.frombuffer(b, dtype=np.uint8)
+                acc = r.copy() if acc is None else np.maximum(acc, r)
+            nd[c] = int(round(_estimate(acc)))
+        folded["n_distinct"] = [nd[c] for c in folded["col_name"]]
+        return (folded[["col_name", "n", "n_null", "n_distinct",
+                        "min_v", "max_v"]]
+                .sort_values("col_name").reset_index(drop=True))
 
     def uniq(t: pa.Table) -> pa.Table:
         names, vals = [], []

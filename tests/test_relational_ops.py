@@ -1075,3 +1075,23 @@ def test_time_band_join_salted_matches_unsalted(ray_session):
     pd.testing.assert_frame_equal(
         plain[["l_rid", "r_rid", "dt_us"]].astype("int64"),
         salted[["l_rid", "r_rid", "dt_us"]].astype("int64"))
+
+
+def test_profile_columns_approx_distinct(ray_session):
+    """The 100 TB path: HLL per-column distinct within a few percent of
+    exact, shuffle volume O(cols x batches) not O(values)."""
+    from credit_ocr_backend_ray.stages.relational import profile_columns
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({
+        "hi": rng.integers(0, 1_000_000, 30_000),  # ~29.6k distinct
+        "lo": rng.choice(["a", "b", "c"], 30_000),
+    })
+    import ray.data as rd
+    out = profile_columns(rd.from_pandas(df).repartition(8),
+                          ["hi", "lo"],
+                          approx_distinct=True).set_index("col_name")
+    exact_hi = df["hi"].nunique()
+    assert abs(out.loc["hi", "n_distinct"] - exact_hi) / exact_hi < 0.05
+    assert abs(out.loc["lo", "n_distinct"] - 3) <= 1
+    assert out.loc["hi", "n"] == 30_000
