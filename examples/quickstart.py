@@ -88,10 +88,10 @@ def main() -> int:
     one = rd.read_parquet(out_files, columns=["url", "fields"]).limit(8)
     imgs = one.map_batches(PageRenderer, batch_format="pyarrow",
                            batch_size=8, concurrency=1).take_all()
-    ppm_path = os.path.join(out_dir, "annotated_page1.ppm")
-    with open(ppm_path, "wb") as f:
-        f.write(imgs[0]["annotation"])
-    print(f"annotation: {ppm_path} ({len(imgs[0]['annotation'])} bytes)")
+    png_path = os.path.join(out_dir, "annotated_page1.png")
+    with open(png_path, "wb") as f:
+        f.write(imgs[0]["annotation"])  # real PNG (stdlib-zlib codec)
+    print(f"annotation: {png_path} ({len(imgs[0]['annotation'])} bytes)")
 
     ray.shutdown()
     return 0
