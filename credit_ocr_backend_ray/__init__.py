@@ -44,4 +44,17 @@ def _install_log_filters() -> None:
     ).addFilter(_DropSchemaHashNoise())
 
 
+def _install_compat_patches() -> None:
+    """Install the hash-shuffle empty-block schema patch (compat.py) at
+    import time so EVERY ``Dataset.join`` / hash-shuffle consumer built by
+    this package — shuffle_join and its callers, the TPC-H composites,
+    doc_mean_token_freq — is protected from the ray 2.49.2 broadcast race
+    without each call site having to opt in. Idempotent; a Ray version
+    whose internals moved just logs and skips."""
+    from credit_ocr_backend_ray.compat import install_hash_shuffle_schema_patch
+
+    install_hash_shuffle_schema_patch()
+
+
 _install_log_filters()
+_install_compat_patches()

@@ -1,0 +1,116 @@
+"""Driver-side compatibility patches for Ray Data internals.
+
+One patch lives here: re-arming the hash-shuffle schema broadcast when it
+is spent on an empty block. It fixes a race that intermittently fails every
+``Dataset.join`` (and any hash-shuffle consumer) whose input contains empty
+leading blocks — the r03 driver window's one red query
+(``doc_mean_token_freq``) died on exactly this.
+
+Mechanics of the upstream bug (ray 2.49.2,
+``ray/data/_internal/execution/operators/hash_shuffle.py``):
+
+- Aggregator actors learn a side's schema from the FIRST shuffled block:
+  that block's shuffle task is launched with ``send_empty_blocks=True`` so
+  even partitions that receive no rows get an empty-but-typed shard
+  (``_shuffle_block``, the ``send_empty_blocks`` branch).
+- But ``_shuffle_block`` EARLY-RETURNS on a block with ``num_rows == 0``
+  before fanning anything out, while the driver has already flipped
+  ``_has_schemas_broadcasted[input_index] = True`` at submit time.
+- Net effect: if the first-scheduled block of a side happens to be empty
+  (a filter/groupby upstream produced one), no schema is ever broadcast for
+  that side, and every aggregator partition that receives zero rows of it
+  builds a ZERO-COLUMN table; ``pa.Table.join`` then dies with
+  "No match or multiple matches for key field reference ... on right side".
+
+Which block runs first is a scheduling race, so small scales pass most runs
+and large scales (thousands of blocks, many of them empty) fail most runs.
+
+The fix is driver-side only — the flag and the block metadata (``num_rows``)
+live in ``_do_add_input_inner``, which executes in the streaming executor on
+the driver — so patching the operator class here covers every pipeline this
+package builds. Per block: remember whether the broadcast was requested,
+delegate to the stock implementation one block at a time, and if the
+opportunity was consumed by a block KNOWN to be empty, re-arm the flag so
+the next block retries. Blocks with unknown ``num_rows`` keep stock
+behavior (treated as non-empty).
+
+A side that is empty in EVERY block still cannot broadcast a schema (there
+is nothing to early-return around upstream); that failure mode is inherent
+to the upstream operator and is documented on ``stages.relational
+.shuffle_join``.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+_PATCH_FLAG = "_cob_ray_empty_block_schema_patch"
+
+
+def install_hash_shuffle_schema_patch() -> bool:
+    """Idempotently install the re-arm patch. Returns True when the patch
+    is active (installed now or previously), False when this Ray version's
+    internals don't match and the patch was skipped."""
+    try:
+        from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase,
+        )
+    except ImportError:  # internals moved — assume upstream fixed it
+        logger.warning(
+            "hash_shuffle internals not found; empty-block schema patch "
+            "skipped (assuming this Ray version fixed the broadcast race)"
+        )
+        return False
+
+    if getattr(HashShufflingOperatorBase, _PATCH_FLAG, False):
+        return True
+
+    # NOTE: _has_schemas_broadcasted is an INSTANCE attribute (set in
+    # __init__), so it can't be probed on the class here; the wrapper
+    # below fails loudly (AttributeError per bundle) if it moves.
+    orig = getattr(HashShufflingOperatorBase, "_do_add_input_inner", None)
+    if orig is None:
+        logger.warning(
+            "hash_shuffle shape changed; empty-block schema patch skipped"
+        )
+        return False
+
+    def _do_add_input_inner(self, input_bundle, input_index: int) -> None:
+        # Feed the stock implementation one block at a time so the
+        # broadcast-consumed check pairs with exactly the block that
+        # received send_empty_blocks=True.
+        blocks = list(zip(input_bundle.block_refs, input_bundle.metadata))
+        if len(blocks) <= 1:
+            subs = [(input_bundle, blocks[0][1] if blocks else None)]
+        else:
+            subs = [
+                (
+                    RefBundle(
+                        [blk],
+                        schema=input_bundle.schema,
+                        owns_blocks=input_bundle.owns_blocks,
+                    ),
+                    blk[1],
+                )
+                for blk in blocks
+            ]
+        for sub, meta in subs:
+            requested = not self._has_schemas_broadcasted[input_index]
+            orig(self, sub, input_index)
+            if (
+                requested
+                and self._has_schemas_broadcasted[input_index]
+                and meta is not None
+                and meta.num_rows == 0
+            ):
+                # _shuffle_block early-returns on empty blocks without
+                # fanning out schema shards: the opportunity was wasted,
+                # re-arm it for the next block.
+                self._has_schemas_broadcasted[input_index] = False
+
+    HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner
+    setattr(HashShufflingOperatorBase, _PATCH_FLAG, True)
+    return True

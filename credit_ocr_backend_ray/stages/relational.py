@@ -260,7 +260,19 @@ def shuffle_join(left: "rd.Dataset", right: "rd.Dataset", on: str,
     fits in the object store; this is for the fact-fact case (e.g.
     lineitem x orders). ``num_partitions`` is the shuffle fan-out; each
     partition is an aggregator actor, so default it to the cluster's CPU
-    count (at 100 TB: blocks-per-core x nodes, set explicitly)."""
+    count (at 100 TB: blocks-per-core x nodes, set explicitly).
+
+    Empty-block schema race: ray 2.49.2's hash-shuffle loses a side's
+    schema broadcast when the first-scheduled block of that side is empty
+    (``_shuffle_block`` early-returns before fanning out typed shards),
+    and ``pa.Table.join`` then dies with "No match ... for key field
+    reference" in aggregators that saw zero rows of it — the r03 driver
+    window's one red query. ``compat.install_hash_shuffle_schema_patch``
+    (installed at package import) re-arms the broadcast after each
+    known-empty block so the first NON-empty block carries it; regression
+    test: tests/test_relational_ops.py::test_shuffle_join_empty_leading_blocks.
+    A side empty in EVERY block still cannot broadcast (upstream
+    limitation) — join output is empty/left-only then anyway."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, cpus)

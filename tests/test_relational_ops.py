@@ -1095,3 +1095,37 @@ def test_profile_columns_approx_distinct(ray_session):
     assert abs(out.loc["hi", "n_distinct"] - exact_hi) / exact_hi < 0.05
     assert abs(out.loc["lo", "n_distinct"] - 3) <= 1
     assert out.loc["hi", "n"] == 30_000
+
+
+def test_shuffle_join_empty_leading_blocks(ray_session):
+    """Regression for the r03 driver window's one red query
+    (doc_mean_token_freq): ray 2.49.2's hash shuffle consumes a side's
+    one schema-broadcast opportunity on the first-SCHEDULED block, and
+    _shuffle_block early-returns on empty blocks without fanning out the
+    typed shards — so a right side whose leading blocks are empty (here 7
+    of 8, the shape a selective filter/groupby produces) makes
+    pa.Table.join die with "No match ... for key field reference" in
+    every aggregator that received zero right rows. Without
+    compat.install_hash_shuffle_schema_patch (installed at package
+    import) this failed 6/6 runs; with it the broadcast is re-armed
+    after each known-empty block and the join is deterministic."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.compat import install_hash_shuffle_schema_patch
+    from credit_ocr_backend_ray.stages.relational import shuffle_join
+
+    assert install_hash_shuffle_schema_patch()  # idempotent: already on
+
+    for trial in range(3):
+        left = rd.range(200, override_num_blocks=4).map_batches(
+            lambda b: {"token": [f"t{i % 50}" for i in b["id"]],
+                       "v": [int(i) for i in b["id"]]})
+        # 8 right blocks, only the last non-empty: the schema broadcast
+        # is guaranteed to be attempted on an empty block first
+        right = rd.range(800, override_num_blocks=8).map_batches(
+            lambda b: {"token": [f"t{i % 50}" for i in b["id"] if i >= 790],
+                       "w": [int(i) for i in b["id"] if i >= 790]})
+        out = shuffle_join(left, right, on="token", num_partitions=8)
+        df = out.to_pandas()
+        # tokens t40..t49 appear 4x on the left and 1x on the right
+        assert len(df) == 40, f"trial {trial}: got {len(df)} rows"
+        assert set(df["token"]) == {f"t{i}" for i in range(40, 50)}
