@@ -103,7 +103,6 @@ def build_pdf(pages: list[list[dict[str, Any]]]) -> bytes:
 
 # ------------------------------------------------------------------ reader
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
@@ -200,11 +199,42 @@ def _tokenize_content(data: bytes):
                 i = j
 
 
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
+def _iter_objects(pdf: bytes):
+    """Yield ``(obj_num, body)`` by scanning object headers and slicing
+    stream-carrying objects by their /Length framing FIRST — a compressed
+    (or raw) payload that happens to contain the byte sequence ``endobj``
+    must not terminate the object early, so ``endobj`` is only searched
+    after the framed payload. Objects without a direct /Length fall back
+    to the delimiter scan (indirect-length refs are out of scope)."""
+    pos, n = 0, len(pdf)
+    while True:
+        m = _OBJ_HDR_RE.search(pdf, pos)
+        if not m:
+            return
+        start = m.end()
+        end = pdf.find(b"endobj", start)
+        ms = _STREAM_START_RE.search(pdf, start)
+        if ms is not None and (end == -1 or ms.start() < end):
+            # stream object: /Length lives in the dict BEFORE the
+            # stream marker; re-locate endobj past the framed payload
+            mlen = re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)",
+                             pdf[start:ms.start()])
+            if mlen:
+                end = pdf.find(b"endobj", ms.end() + int(mlen.group(1)))
+        if end == -1:
+            end = n
+        yield int(m.group(1)), pdf[start:end]
+        pos = end + len(b"endobj")
+
+
 def _page_content_streams(pdf: bytes) -> list[bytes]:
     """Decoded content stream per page, in page-tree order (the simple
     linear /Kids order our scope covers)."""
-    objects: dict[int, bytes] = {
-        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf)}
+    objects: dict[int, bytes] = dict(_iter_objects(pdf))
     pages = []
     for num, body in sorted(objects.items()):
         if re.search(rb"/Type\s*/Page\b", body) and b"/Pages" not in body:

@@ -214,9 +214,15 @@ def hopping_window_agg(ds: "rd.Dataset", ts_col: str, keys: Sequence[str],
         f = b[keys + in_cols].copy()
         f["__g"] = (b[ts_col].astype("datetime64[us]").astype("int64")
                     // hop_us)
-        p = f.groupby(["__g", *keys], as_index=False, sort=False).agg(
+        # dropna=False: a null key must aggregate into a null GROUP (the
+        # downstream Arrow group_by keeps null keys, so dropping here
+        # would silently lose those rows from every window); the count
+        # partial rides __g (always present) so sum_cols may be empty
+        # (count-only hopping windows)
+        p = f.groupby(["__g", *keys], as_index=False, sort=False,
+                      dropna=False).agg(
             **{c: (c, "sum") for c in in_cols},
-            __hn=(in_cols[0], "size"))
+            __hn=("__g", "size"))
         # the k windows containing granule g start at granules g-k+1 .. g
         g = p["__g"].to_numpy()
         frames = []
@@ -1846,16 +1852,26 @@ def profile_columns(ds: "rd.Dataset", cols: Sequence[str],
                 [pc.max(vals).as_py() if len(vals) else None], type=typ)
         return pa.table(arrs)
 
-    ext = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # fold the partials in ARROW, not pandas: an all-null block's typed
+    # int64 partial would force pandas' float64 coercion and the string
+    # cast would emit "9.0" for an integer column — breaking the CAST
+    # contract. pc.min/max stay typed and null-skipping; one tiny table
+    # (one row per input block) is ray.get here, O(cols x blocks).
+    ext = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                .to_arrow_refs()),
+        promote_options="default")
+
+    def _extremum(name: str, fn) -> str | None:
+        v = fn(ext[name]).as_py()  # null-skipping; None when all null
+        return None if v is None else str(v)
+
     folded = pd.DataFrame({"col_name": cols})
-    folded["n"] = [int(ext[f"__n_{c}"].sum()) for c in cols]
-    folded["n_null"] = [int(ext[f"__null_{c}"].sum()) for c in cols]
-    folded["min_v"] = [
-        None if ext[f"__mn_{c}"].dropna().empty
-        else str(ext[f"__mn_{c}"].dropna().min()) for c in cols]
-    folded["max_v"] = [
-        None if ext[f"__mx_{c}"].dropna().empty
-        else str(ext[f"__mx_{c}"].dropna().max()) for c in cols]
+    folded["n"] = [int(pc.sum(ext[f"__n_{c}"]).as_py()) for c in cols]
+    folded["n_null"] = [int(pc.sum(ext[f"__null_{c}"]).as_py())
+                        for c in cols]
+    folded["min_v"] = [_extremum(f"__mn_{c}", pc.min) for c in cols]
+    folded["max_v"] = [_extremum(f"__mx_{c}", pc.max) for c in cols]
 
     if approx_distinct:
         from credit_ocr_backend_ray.stages.sketch import (
@@ -1947,7 +1963,8 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
     so one vectorized searchsorted of every left row against the sorted
     right composites finds each row's match window without a per-key
     loop. Guard: ``codes * span`` must fit int64 — raise ``n_shards``
-    for corpora with more than ~2^62/span keys per shard (asserted).
+    for corpora with more than ~2^62/span keys per shard (explicit
+    ValueError — survives ``python -O``).
 
     Output: left_cols + right_cols + ``dt_us`` (right ts minus left ts,
     signed). Partitioning assumption: one key-hash shard's rows fit a
@@ -2024,8 +2041,10 @@ def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
         code = np.searchsorted(uniq, keys).astype(np.int64)
         rel = ts - ts.min()
         span = int(rel.max()) + 2 * band_us + 2
-        assert (len(uniq) + 1) * span < 2 ** 62, \
-            "composite overflow: raise n_shards"
+        # explicit raise, not assert: under python -O an overflowing
+        # code*span would wrap int64 and silently emit wrong pairs
+        if (len(uniq) + 1) * span >= 2 ** 62:
+            raise ValueError("composite overflow: raise n_shards")
         comp = code * span + rel + band_us
         is_r = (g["__side"].to_numpy() == 1)
         r_order = np.argsort(comp[is_r], kind="stable")

@@ -125,3 +125,25 @@ def test_pdf_garbage_payload_is_poison_isolated():
     assert out["status"] in ("Fertig", "Fehlerhaft")
     out2 = extract_document(b"%PDF-1.4\n" + bytes(range(256)) * 4, cfg)
     assert out2["status"] in ("Fertig", "Fehlerhaft")  # never raises
+
+
+def test_object_scan_survives_endobj_in_stream_payload():
+    """ADVICE r3: a stream payload containing the byte sequence 'endobj'
+    (or 'endstream') must not truncate the object — the scanner slices
+    by /Length framing before searching for the object terminator."""
+    from credit_ocr_backend_ray.functions import pdf as P
+
+    raw = b"hello endobj world endstream trailing"
+    body = (b"%PDF-1.4\n"
+            b"7 0 obj\n<< /Length " + str(len(raw)).encode()
+            + b" >>\nstream\n" + raw + b"\nendstream\nendobj\n"
+            b"8 0 obj\n<< /Foo /Bar >>\nendobj\n")
+    objs = dict(P._iter_objects(body))
+    assert set(objs) == {7, 8}
+    assert raw in objs[7]
+    assert b"/Foo" in objs[8]
+    # indirect /Length (e.g. '/Length 9 0 R') must NOT be used as framing
+    body2 = (b"5 0 obj\n<< /Length 9 0 R >>\nstream\nabc\nendstream\n"
+             b"endobj\n")
+    objs2 = dict(P._iter_objects(body2))
+    assert b"abc" in objs2[5]

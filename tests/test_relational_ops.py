@@ -1129,3 +1129,44 @@ def test_shuffle_join_empty_leading_blocks(ray_session):
         # tokens t40..t49 appear 4x on the left and 1x on the right
         assert len(df) == 40, f"trial {trial}: got {len(df)} rows"
         assert set(df["token"]) == {f"t{i}" for i in range(40, 50)}
+
+
+def test_hopping_window_null_key_and_count_only(ray_session):
+    """ADVICE r3: (a) the pandas partial groupby must pass dropna=False
+    or rows with a null key silently vanish from every window; (b) the
+    count partial must ride __g so count-only hopping windows (empty
+    sum_cols) work instead of IndexError."""
+    from credit_ocr_backend_ray.stages.relational import hopping_window_agg
+
+    ts = pd.to_datetime([0, 600, 1800, 3000], unit="s")
+    df = pd.DataFrame({"ts": ts,
+                       "g": ["a", None, "a", None],
+                       "v": [1.0, 10.0, 2.0, 20.0]})
+    out = (hopping_window_agg(_ds(df), "ts", ["g"], 3600, 1800,
+                              {"v": "s"})
+           .to_pandas())
+    null_rows = out[out["g"].isna()]
+    # each null-key event lands in 2 windows of the 3600/1800 hop
+    assert null_rows["n"].sum() == 4, out
+    assert null_rows["s"].sum() == 60.0  # (10+20) counted in 2 windows
+
+    cnt = (hopping_window_agg(_ds(df[["ts", "g"]]), "ts", ["g"],
+                              3600, 1800, {})
+           .to_pandas())
+    assert cnt["n"].sum() == 8  # 4 events x 2 windows
+
+
+def test_profile_columns_int_extrema_with_all_null_block(ray_session):
+    """ADVICE r3: an all-null block's typed int64 partial must not force
+    a float fold — min_v/max_v stay '9'/'100', not '9.0'/'100.0'
+    (CAST-to-VARCHAR contract)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import profile_columns
+
+    a = pd.DataFrame({"x": pd.array([9, 100, 50], dtype="Int64")})
+    b = pd.DataFrame({"x": pd.array([None, None], dtype="Int64")})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = profile_columns(ds, ["x"]).set_index("col_name")
+    assert out.loc["x", "min_v"] == "9"
+    assert out.loc["x", "max_v"] == "100"
+    assert out.loc["x", "n_null"] == 2
