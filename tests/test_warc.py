@@ -108,3 +108,49 @@ def test_read_jsonl_robust_quarantine(ray_session, tmp_path):
     assert q["line_no"].tolist() == [2, 5]
     assert all(q["error"].str.contains("JSONDecodeError"))
     assert q["raw"].iloc[0] == "garbage line"
+
+
+def test_read_jsonl_robust_single_pass(ray_session, tmp_path):
+    """r03 verdict weak item: the source must be read ONCE. Proof is
+    filesystem-enforced: after read_jsonl_robust returns, the input file
+    is DELETED — any consumption of either stream, in any order, any
+    number of times, would fail if it re-scanned the source."""
+    import os
+    from credit_ocr_backend_ray.sources.warc import read_jsonl_robust
+
+    p = str(tmp_path / "once.jsonl")
+    with open(p, "w") as f:
+        for i in range(50):
+            f.write('{"a": %d}\n' % i)
+            if i % 10 == 0:
+                f.write("<<garbage %d>>\n" % i)
+    data, quar = read_jsonl_robust([p], spill_dir=str(tmp_path / "spill"))
+    os.unlink(p)  # the one pass already happened
+    assert quar.count() == 5
+    assert data.count() == 50
+    assert quar.count() == 5          # second consumption, reversed order
+    assert sorted(data.to_pandas()["a"]) == list(range(50))
+
+
+def test_read_jsonl_robust_rerun_skips_and_crash_restarts(ray_session,
+                                                          tmp_path):
+    import os
+    from credit_ocr_backend_ray.sources.warc import read_jsonl_robust
+
+    p = str(tmp_path / "r.jsonl")
+    with open(p, "w") as f:
+        f.write('{"a": 1}\nnot json\n{"a": 2}\n')
+    spill = str(tmp_path / "spill2")
+    d1, q1 = read_jsonl_robust([p], spill_dir=spill)
+    assert d1.count() == 2 and q1.count() == 1
+    # rerun over the unchanged input reuses the spill (marker present):
+    # no new part files appear
+    parts_before = sorted(os.listdir(os.path.join(spill, "good")))
+    d2, q2 = read_jsonl_robust([p], spill_dir=spill)
+    assert sorted(os.listdir(os.path.join(spill, "good"))) == parts_before
+    assert d2.count() == 2 and q2.count() == 1
+    # simulate a crashed pass: marker missing, stale partial parts on
+    # disk -> the rerun resets the dirs, so no duplicate rows
+    os.unlink(os.path.join(spill, "_done"))
+    d3, q3 = read_jsonl_robust([p], spill_dir=spill)
+    assert d3.count() == 2 and q3.count() == 1
