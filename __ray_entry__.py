@@ -1038,6 +1038,59 @@ def _q_pdf_extract_pairs(sf_dir: str):
               .map_batches(extract, batch_format="pyarrow", batch_size=32))
 
 
+def _q_raster_extract_pairs(sf_dir: str):
+    """Raster-image payloads (the reference's .png/.jpg upload channel,
+    src/api/main.py:331-338) through the FULL extraction chain: plant
+    deterministic PNG page renders (sources/synth.py:raster_doc_bytes —
+    same form semantics as the JSON layout channel), decode them
+    distributed with the segmentation + glyph-template OCR
+    (functions/raster.py via extract_document's PNG sniff), return the
+    long-form field rows. Rows-only: parity with the layout channel is
+    pinned by tests/test_raster.py instead of SQL. Glyph templates build
+    once per worker process (module import), the stateless-task
+    equivalent of actor-__init__ state; batch_size is small because each
+    page decodes ~2.5 MB of pixels."""
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.config import default_config
+    from credit_ocr_backend_ray.functions.document import extract_document
+    from credit_ocr_backend_ray.sources.synth import raster_doc_bytes
+
+    ids = pq.read_table(_t(sf_dir, "documents"),
+                        columns=["doc_id"])["doc_id"].to_pylist()[:120]
+    cfg = default_config()["credit_request"]
+
+    def synth_pngs(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "payload": pa.array([raster_doc_bytes(int(d)) for d in dids],
+                                pa.binary()),
+        })
+
+    def extract(t: pa.Table) -> pa.Table:
+        dids, names, values, valids = [], [], [], []
+        for did, payload in zip(t["doc_id"].to_pylist(),
+                                t["payload"].to_pylist()):
+            out = extract_document(payload, cfg)
+            for f in out["fields"]:
+                dids.append(did)
+                names.append(f["name"])
+                values.append(f["value"])
+                valids.append(f["is_valid"])
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "field": pa.array(names, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "is_valid": pa.array(valids, pa.bool_()),
+        })
+
+    ds = rd.from_items([{"doc_id": i} for i in ids]).repartition(8)
+    return (ds.map_batches(synth_pngs, batch_format="pyarrow",
+                           batch_size=16)
+              .map_batches(extract, batch_format="pyarrow", batch_size=16))
+
+
 def _q_annotation_render(sf_dir: str):
     import hashlib
     import pyarrow as pa
@@ -3343,6 +3396,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "annotation_render": _q_annotation_render,
         "annotation_thumbnails": _q_annotation_thumbnails,
         "pdf_extract_pairs": _q_pdf_extract_pairs,
+        "raster_extract_pairs": _q_raster_extract_pairs,
         "video_frame_sample": _q_video_frame_sample,
         "audio_resample": _q_audio_resample,
         "extraction_prompts": _q_extraction_prompts,

@@ -5,6 +5,9 @@ extract -> persist, /root/reference/src/tasks/pipeline_tasks.py:147-166) as
 one pure function over one document, with the payload sniffed instead of
 extension-checked (/root/reference/src/api/main.py:331-338):
 
+- payload starting with the PNG signature -> raster page image:
+  segmentation + glyph-template OCR (functions/raster.py) into the
+  layout-document shape;
 - payload starting with ``%PDF-`` -> real PDF: stdlib text-layer
   extraction (functions/pdf.py) into the layout-document shape;
 - payload starting with ``{``  -> layout document (OCR-result stand-in):
@@ -37,6 +40,13 @@ STATUS_ERROR = "Fehlerhaft"
 
 def payload_to_lines(payload: bytes) -> list[dict[str, Any]]:
     stripped = payload.lstrip()
+    if stripped[:8] == b"\x89PNG\r\n\x1a\n":
+        # raster page image (the reference's .png/.jpg upload channel,
+        # src/api/main.py:331-338): segmentation + glyph-template OCR
+        # (functions/raster.py) into the same layout-document shape
+        from credit_ocr_backend_ray.functions.raster import (
+            extract_raster_layout)
+        return flatten_layout(extract_raster_layout(bytes(stripped)))
     if stripped[:5] == b"%PDF-":
         # real application/pdf bytes: stdlib text-layer extraction
         # (functions/pdf.py) into the same layout-document shape

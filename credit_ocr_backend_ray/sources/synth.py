@@ -267,6 +267,28 @@ def pdf_doc_bytes(i: int) -> bytes:
     return build_pdf([runs])
 
 
+def raster_doc_bytes(i: int, dpi: int = 100) -> bytes:
+    """REAL PNG page with the same form semantics as ``_layout_doc(i)``:
+    one label/value pair per row, value row at y+0.01. The raster channel
+    needs PHYSICAL horizontal separation (unlike PDF/JSON, overlapping
+    boxes would merge into one ink segment), so values sit at x=4.0 and
+    the font is h_in=0.12 (glyph advance 0.08 in — the layout channel's
+    own per-char metric): the longest label (35 chars from x=0.4) ends at
+    3.2 in, >= SEG_GAP before the value column. Decoding it
+    (functions/raster.py) must yield the same extracted text and pairs as
+    the JSON layout channel — pinned by tests/test_raster.py."""
+    from credit_ocr_backend_ray.functions.raster import render_page_png
+
+    runs = []
+    for r, (label, value) in enumerate(form_rows(i)):
+        y = float(r % 22) + 1.0
+        runs.append({"text": label, "x_in": 0.4, "y_top_in": y - 0.09,
+                     "h_in": 0.12})
+        runs.append({"text": value, "x_in": 4.0,
+                     "y_top_in": y + 0.01 - 0.09, "h_in": 0.12})
+    return render_page_png(runs, dpi=dpi)
+
+
 def rows_for_sf(sf: float) -> int:
     return max(int(round(sf * 1_000_000)), 100)
 
