@@ -37,9 +37,20 @@ _BROADCAST_INDEX_BYTES = 512 << 20
 
 
 def _bucket_of(hashes: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Bucket id from the hash hex prefix — stable across runs/engines."""
-    return np.array([int(h[:4], 16) % _N_BUCKETS
-                     for h in hashes.to_pylist()], dtype=np.int32)
+    """Bucket id from the hash hex prefix — stable across runs/engines.
+    Vectorized: slice the 4-char prefix and parse base-16 in Arrow/numpy
+    instead of a per-row int(h, 16) loop."""
+    import pyarrow.compute as pc
+
+    prefix = pc.utf8_slice_codeunits(hashes, 0, 4)
+    # hex prefixes of sha/md5 hex digests: lowercase [0-9a-f]{4}, so the
+    # joined ASCII bytes reshape cleanly to (n, 4)
+    b = np.frombuffer("".join(prefix.to_pylist()).encode("ascii"),
+                      dtype=np.uint8).reshape(-1, 4).astype(np.int32)
+    digits = np.where(b >= ord("a"), b - ord("a") + 10, b - ord("0"))
+    vals = ((digits[:, 0] << 12) | (digits[:, 1] << 8)
+            | (digits[:, 2] << 4) | digits[:, 3])
+    return (vals % _N_BUCKETS).astype(np.int32)
 
 
 def index_files(index_dir: str) -> list[str]:

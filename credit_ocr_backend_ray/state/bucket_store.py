@@ -47,6 +47,17 @@ def bucket_of_int(keys: np.ndarray, n_buckets: int) -> np.ndarray:
             % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _strip_meta(ds: "rd.Dataset") -> "rd.Dataset":
+    """Drop schema metadata before a parquet write: pandas-block stages
+    attach a b'pandas' metadata dict at Arrow conversion, and a schema
+    carrying it is unhashable — every later ReadParquet worker of the
+    written table then logs "Failed to hash the schemas" per task and
+    loses the schema-dedup fast path. One zero-copy pyarrow map strips
+    it at the source."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
 def write_bucketed(ds: "rd.Dataset", path: str, key: str,
                    n_buckets: int = 32) -> int:
     """Write ``ds`` as a bucketed parquet table at ``path`` (one
@@ -61,7 +72,7 @@ def write_bucketed(ds: "rd.Dataset", path: str, key: str,
         b["bucket"] = bucket_of_int(b[key].to_numpy(np.int64), n_buckets)
         return b
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = _strip_meta(ds.map_batches(tag, batch_format="pandas"))
     tagged.write_parquet(path, partition_cols=["bucket"])
     # row count from parquet FOOTERS only — no data I/O
     import pyarrow.parquet as pq
@@ -175,7 +186,7 @@ def write_range_partitioned(ds: "rd.Dataset", path: str, col: str,
                                     side="right").astype(np.int64)
         return b
 
-    ds.map_batches(tag, batch_format="pandas").write_parquet(
+    _strip_meta(ds.map_batches(tag, batch_format="pandas")).write_parquet(
         path, partition_cols=["part"])
     return bounds
 
@@ -222,7 +233,7 @@ def compact_dataset(path: str, out: str,
     n_out = max(1, -(-rows // target_rows_per_file))
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    ds.repartition(n_out).write_parquet(out)
+    _strip_meta(ds.repartition(n_out)).write_parquet(out)
     return {"files_in": len(files_in),
             "files_out": len(_glob.glob(os.path.join(out, "*.parquet"))),
             "rows": rows}
@@ -288,7 +299,7 @@ def write_zorder(ds: "rd.Dataset", path: str, col_x: str, col_y: str,
             np.int64)
         return b.drop(columns="__z")
 
-    zds.map_batches(tag, batch_format="pandas").write_parquet(
+    _strip_meta(zds.map_batches(tag, batch_format="pandas")).write_parquet(
         path, partition_cols=["part"])
 
     # per-partition raw-column extents from the PARQUET FOOTERS the

@@ -3,9 +3,9 @@ notebook flow (/root/reference/notebooks/credit_ocr_pipeline.ipynb, cells
 10-17: analyze -> flatten -> normalize -> extract -> visualize -> report):
 
     synthesize pages -> run the extraction pipeline -> explode the
-    per-field long table -> write the tabular report (CSV stands in for
-    the notebook's Excel sink; no openpyxl in this environment) -> render
-    one annotated page raster.
+    per-field long table -> write the tabular report (a REAL .xlsx via
+    the stdlib zip-of-XML sink, sinks/xlsx.py) -> render one annotated
+    page raster (PNG).
 
 Run:  python examples/quickstart.py [n_pages] [out_dir]
 """
