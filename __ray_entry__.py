@@ -1380,6 +1380,29 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, _knn_queries(sf_dir), k=10)
 
 
+def _q_knn_ivf_persisted(sf_dir: str):
+    """IVF over a PERSISTED inverted-list layout (the knn_ivf docstring's
+    promised scale path, now real): one index-build pass writes the
+    corpus partitioned by list_id with the centroids in a manifest; the
+    probe reads only the nprobe matching partition directories. Asserted
+    in-line to return the exact in-memory knn_ivf result (same centroids,
+    same candidates); rows-only, parity also pinned by
+    tests/test_relational_ops.py."""
+    from credit_ocr_backend_ray.stages.similarity import (
+        ivf_index_write, knn_ivf, knn_ivf_persisted)
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qs = _knn_queries(sf_dir)
+    base = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")), "ivf_index")
+    ivf_index_write(ds, base, nlist=16)
+    out = knn_ivf_persisted(base, qs, k=10, nprobe=4)
+    mem = knn_ivf(ds, qs, k=10, nlist=16, nprobe=4)
+    assert out[["query_id", "vec_id"]].values.tolist() == \
+        mem[["query_id", "vec_id"]].values.tolist()
+    return out
+
+
 def _q_dedup_minhash(sf_dir: str):
     from credit_ocr_backend_ray.stages.dedup import minhash_dedup_pairs
 
@@ -3418,6 +3441,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_persisted": _q_knn_ivf_persisted,
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_fit_history": _q_kmeans_fit_history,
         "embedding_near_dup": _q_embedding_near_dup,

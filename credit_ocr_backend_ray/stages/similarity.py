@@ -320,6 +320,119 @@ def knn_ivf(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
               .reset_index(drop=True))
 
 
+def ivf_index_write(ds: "rd.Dataset", index_dir: str, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    train_ids: int = 2048) -> dict:
+    """Persist the IVF layout that ``knn_ivf``'s docstring promises: train
+    centroids on the deterministic ``id < train_ids`` sample (same
+    ``_fit_centroids`` as the in-memory path, so assignments are
+    identical), assign every vector its nearest list, and write the corpus
+    as parquet PARTITIONED BY ``list_id`` — one directory per inverted
+    list. One pass, one write; the centroids (nlist x dim floats, tiny)
+    land in a JSON manifest beside the data. At 100 TB this is the build
+    step you amortize across every later query batch: probing reads only
+    ``nprobe`` of ``nlist`` directories (footer-level pruning, the
+    lineitem_box_scan pattern) instead of scanning the corpus."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    sample_t = (ds.filter(expr=f"{id_col} < {train_ids}")
+                  .select_columns([id_col, vec_col]).to_pandas()
+                  .sort_values(id_col))
+    sample = np.asarray(sample_t[vec_col].tolist(), dtype=np.float64)
+    cent = _fit_centroids(sample, min(nlist, len(sample)))
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        a = np.argmax(vecs @ cm.T, axis=1).astype(np.int32)
+        return batch.append_column(
+            "list_id", pa.array(a, pa.int32())).replace_schema_metadata(None)
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.select_columns([id_col, vec_col])
+       .map_batches(assign, batch_format="pyarrow")
+       .write_parquet(index_dir, partition_cols=["list_id"]))
+    manifest = {"nlist": int(cent.shape[0]), "dim": int(cent.shape[1]),
+                "id_col": id_col, "vec_col": vec_col,
+                "centroids": cent.tolist()}
+    with open(os.path.join(index_dir, "_ivf_manifest.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f)
+    manifest["n_files"] = len(_glob.glob(
+        os.path.join(index_dir, "list_id=*", "*.parquet")))
+    return manifest
+
+
+def knn_ivf_persisted(index_dir: str, queries: np.ndarray, k: int = 10,
+                      nprobe: int = 4) -> pd.DataFrame:
+    """Top-k over a persisted IVF layout (``ivf_index_write``): pick each
+    query's ``nprobe`` nearest centroids from the manifest, read ONLY the
+    matching ``list_id=<p>`` partition directories, brute-force cosine
+    inside them. Result is identical to in-memory ``knn_ivf`` with the
+    same (nlist, nprobe, train sample) — pinned by
+    tests/test_graph_index.py — but the scan touches ~nprobe/nlist of the
+    corpus bytes instead of reading everything and masking."""
+    import glob as _glob
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ivf_manifest.json"),
+              encoding="utf-8") as f:
+        m = json.load(f)
+    id_col = m["id_col"]
+    vec_col = m["vec_col"]
+    cent = np.asarray(m["centroids"], dtype=np.float64)
+
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    qsims = q @ cent.T
+    npb = min(nprobe, cent.shape[0])
+    probe: set[int] = set()
+    for qi in range(q.shape[0]):
+        probe.update(np.argsort(-qsims[qi])[:npb].tolist())
+    files: list[str] = []
+    for p in sorted(probe):
+        files.extend(sorted(_glob.glob(
+            os.path.join(index_dir, f"list_id={p}", "*.parquet"))))
+    if not files:
+        return pd.DataFrame(columns=["query_id", id_col, "cos"])
+    qref = ray.put(q)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        vecs = _norm_rows(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = vecs @ qm.T
+        out_q, out_id, out_cos = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            idx = (np.argpartition(-col, kk - 1)[:kk]
+                   if kk < len(col) else np.arange(len(col)))
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_cos.extend(col[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+    cand = (rd.read_parquet(files, columns=[id_col, vec_col])
+              .map_batches(topk, batch_format="pyarrow").to_pandas())
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        rows.extend(heapq.nsmallest(
+            k, grp.itertuples(index=False),
+            key=lambda r: (-r.cos, getattr(r, id_col))))
+    return (pd.DataFrame(rows, columns=["query_id", id_col, "cos"])
+              .sort_values(["query_id", "cos", id_col],
+                           ascending=[True, False, True])
+              .reset_index(drop=True))
+
+
 def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        bits: int | None = None, n_bands: int = 4,

