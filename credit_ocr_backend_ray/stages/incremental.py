@@ -176,88 +176,127 @@ def minhash_index_write(ds: "rd.Dataset", index_dir: str,
     return n
 
 
-@ray.remote
-def _probe_band_bucket(files: list[str], probe: pd.DataFrame,
-                       id_col: str) -> pa.Table:
-    import pyarrow.parquet as pq
-    if not files:
-        return pa.table({"new_id": pa.array([], pa.int64()),
-                         "idx_id": pa.array([], pa.int64())})
-    idx = pd.concat([pq.read_table(f).to_pandas() for f in files],
-                    ignore_index=True)
-    j = probe.merge(idx, on="band_key", how="inner")
-    out = (j[["new_id", id_col]].rename(columns={id_col: "idx_id"})
-           .drop_duplicates())
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
-@ray.remote
-def _fetch_texts_bucket(files: list[str], ids: np.ndarray,
-                        id_col: str) -> pa.Table:
-    import pyarrow.parquet as pq
-    frames = []
-    for f in files:
-        t = pq.read_table(f).to_pandas()
-        frames.append(t[t[id_col].isin(ids)])
-    if not frames:
-        return pa.table({})
-    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                preserve_index=False)
-
-
 def minhash_index_query(new_ds: "rd.Dataset", index_dir: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         bands: int = 16,
                         threshold: float = 0.8) -> pd.DataFrame:
-    """Near-dup check of a (small) NEW increment against the persisted
-    index: only the band buckets the increment's keys hash into are read
-    (<= 64 bounded task reads), then only the candidate ids' text
-    buckets — never the whole corpus. Returns verified pairs
-    (new_id, idx_id, jaccard >= threshold). Contract: the increment is
-    small relative to the index (its band keys and candidate texts fit
-    the driver); the index side stays on disk."""
+    """Near-dup check of a NEW increment against the persisted index —
+    fully DISTRIBUTED: the increment is a dataset end to end (the r03
+    shape materialized it on the driver, capping increments at driver
+    memory; a 100k-row increment now flows as blocks).
+
+    Plan (no step holds the increment in one place):
+    1. probe rows (map_batches): per doc, its ``bands`` (band_key,
+       new_id) rows, tagged with the index's bucket of the key;
+    2. candidate match (groupby bucket -> map_groups, <= 64 groups):
+       each group reads ITS band-bucket partition of the index once and
+       inner-merges — only buckets the increment hashes into are read,
+       never the whole index;
+    3. pair dedup + new-text attach: distinct (new_id, idx_id) via one
+       grouped count (a pair found by several bands must verify once),
+       then a hash join back to the increment's texts;
+    4. verify (groupby text-bucket -> map_groups): each group reads only
+       its candidates' text buckets and computes exact Jaccard.
+
+    Returns verified pairs (new_id, idx_id, jaccard >= threshold) as a
+    DataFrame — the verified-pair set is the one genuinely small output.
+    The index side stays on disk throughout."""
     from credit_ocr_backend_ray.functions.hashing import (
         jaccard, minhash_bands, minhash_signature)
     from credit_ocr_backend_ray.state.bucket_store import (
         bucket_files, bucket_of_int)
 
-    new_rows = new_ds.select_columns([id_col, text_col]).to_pandas()
-    probe_id, probe_key = [], []
-    for i, txt in zip(new_rows[id_col], new_rows[text_col]):
-        for k in minhash_bands(minhash_signature(txt or ""), bands):
-            probe_id.append(int(i))
-            probe_key.append(np.uint64(k).astype(np.int64).item())
-    probe = pd.DataFrame({"new_id": probe_id, "band_key": probe_key})
-    probe["bucket"] = bucket_of_int(probe["band_key"].to_numpy(np.int64),
-                                    _LSH_BUCKETS)
-
     bands_dir = os.path.join(index_dir, "bands")
-    refs = [_probe_band_bucket.remote(bucket_files(bands_dir, int(b)),
-                                      g.drop(columns="bucket"), id_col)
-            for b, g in probe.groupby("bucket")]
-    cands = pd.concat([r.to_pandas() for r in ray.get(refs)],
-                      ignore_index=True).drop_duplicates()
-    if cands.empty:
-        return pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
-                             "idx_id": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-
     texts_dir = os.path.join(index_dir, "texts")
-    idx_ids = cands["idx_id"].unique()
-    tb = pd.Series(bucket_of_int(idx_ids.astype(np.int64), _LSH_BUCKETS),
-                   index=idx_ids)
-    trefs = [_fetch_texts_bucket.remote(
-                bucket_files(texts_dir, int(b)),
-                np.asarray(ids.index, dtype=np.int64), id_col)
-             for b, ids in tb.groupby(tb)]
-    idx_texts = pd.concat([r.to_pandas() for r in ray.get(trefs)],
-                          ignore_index=True).set_index(id_col)[text_col]
-    new_texts = new_rows.set_index(id_col)[text_col]
+    empty = pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                          "idx_id": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
 
-    out = []
-    for nid, iid in zip(cands["new_id"], cands["idx_id"]):
-        j = jaccard(new_texts.get(nid) or "", idx_texts.get(iid) or "")
-        if j >= threshold:
-            out.append((int(nid), int(iid), float(j)))
-    return (pd.DataFrame(out, columns=["new_id", "idx_id", "jaccard"])
-            .sort_values(["new_id", "idx_id"]).reset_index(drop=True))
+    def probe_rows(t: pa.Table) -> pa.Table:
+        out_id, out_key = [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for k in minhash_bands(minhash_signature(txt or ""), bands):
+                out_id.append(int(i))
+                out_key.append(np.uint64(k).astype(np.int64).item())
+        keys = np.asarray(out_key, dtype=np.int64)
+        return pa.table({
+            "new_id": pa.array(out_id, pa.int64()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "bucket": pa.array(bucket_of_int(keys, _LSH_BUCKETS)),
+        })
+
+    probe = (new_ds.select_columns([id_col, text_col])
+                   .map_batches(probe_rows, batch_format="pyarrow"))
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        b = int(g["bucket"].iloc[0])
+        files = bucket_files(bands_dir, b)
+        if not files:
+            return pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                                 "idx_id": pd.Series([], dtype="int64")})
+        idx = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                        ignore_index=True)
+        j = g[["new_id", "band_key"]].merge(idx, on="band_key",
+                                            how="inner")
+        return (j[["new_id", id_col]].rename(columns={id_col: "idx_id"})
+                .drop_duplicates())
+
+    cands = (probe.groupby("bucket")
+                  .map_groups(match_bucket, batch_format="pandas")
+             # distinct (new_id, idx_id): a pair surfaced by several
+             # bands lands in several bucket groups — verify it once
+                  .groupby(["new_id", "idx_id"]).count()
+                  .drop_columns(["count()"])
+             # strip the pandas-block schema metadata before the join
+             # shuffle (unhashable metadata defeats Ray's schema dedup)
+                  .map_batches(lambda t: t.replace_schema_metadata(None),
+                               batch_format="pyarrow")
+                  .materialize())  # bounded: candidate PAIRS only
+    if cands.count() == 0:
+        return empty
+
+    # attach the increment's text per pair (hash join back to new_ds;
+    # the empty-block schema race is guarded by compat at import)
+    new_texts = (new_ds.select_columns([id_col, text_col])
+                 .map_batches(lambda t: t.rename_columns(
+                     ["new_id", "__new_text"]).replace_schema_metadata(
+                     None), batch_format="pyarrow"))
+    paired = cands.join(new_texts, join_type="inner", num_partitions=8,
+                        on=("new_id",))
+
+    def tag_tbucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["idx_id"].to_pylist(), dtype=np.int64)
+        return t.append_column(
+            "__tb", pa.array(bucket_of_int(ids, _LSH_BUCKETS)))
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        b = int(g["__tb"].iloc[0])
+        need = set(g["idx_id"].astype(np.int64).tolist())
+        texts: dict[int, str] = {}
+        for f in bucket_files(texts_dir, b):
+            t = pq.read_table(f, columns=[id_col, text_col]).to_pandas()
+            sel = t[t[id_col].isin(need)]
+            texts.update(zip(sel[id_col].astype(int), sel[text_col]))
+        out = []
+        for nid, iid, ntxt in zip(g["new_id"], g["idx_id"],
+                                  g["__new_text"]):
+            jv = jaccard(ntxt or "", texts.get(int(iid)) or "")
+            if jv >= threshold:
+                out.append((int(nid), int(iid), float(jv)))
+        if not out:
+            return pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                                 "idx_id": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([],
+                                                      dtype="float64")})
+        return pd.DataFrame(out, columns=["new_id", "idx_id", "jaccard"])
+
+    verified = (paired.map_batches(tag_tbucket, batch_format="pyarrow")
+                      .groupby("__tb")
+                      .map_groups(verify_bucket, batch_format="pandas")
+                      .to_pandas())
+    if verified.empty:
+        return empty
+    return (verified.sort_values(["new_id", "idx_id"])
+                    .reset_index(drop=True))
