@@ -92,3 +92,70 @@ def write_lineage(group_dir: str) -> tuple[str, int]:
     pq.write_table(pa.Table.from_pandas(final, preserve_index=False),
                    os.path.join(lineage_dir, "part-0.parquet"))
     return lineage_dir, int(final["rows"].sum())
+
+
+def cascade_delete(out_dir: str, urls: set[str] | list[str]) -> dict:
+    """Targeted document deletion across the persisted output store —
+    the Ray restatement of the reference's J6 cascade delete (Postgres
+    ``ON DELETE CASCADE`` across dokumente/ocr_ergebnisse/extrahierte
+    daten, /root/reference/schema.sql): here every derived row of a
+    document lives in the ONE flagship output row keyed by ``url``, plus
+    the group's lineage roll-up, so deleting a url = rewriting exactly
+    the parquet files that contain it and recomputing those groups'
+    lineage. The GDPR-delete shape for a 100 TB store:
+
+    - one Ray task per parquet file; each task reads ONLY the ``url``
+      column first (columnar prune — a file without hits is never read
+      in full, never rewritten, mtime untouched);
+    - hits rewrite the file without the victim rows via tmp + atomic
+      ``os.replace`` (readers never observe a partial file);
+    - the target url set is ``ray.put`` once, not shipped per task;
+    - affected groups re-derive ``_lineage`` and their manifest row
+      counts; untouched groups keep their manifest entries byte-for-byte
+      (so resume semantics are unchanged).
+
+    Returns ``{files_scanned, files_rewritten, rows_deleted}``."""
+    import glob as _glob
+
+    import ray
+
+    targets = set(urls)
+    man = RunManifest(out_dir)
+    uref = ray.put(targets)
+
+    @ray.remote
+    def _delete_in_file(path: str) -> int:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        victims = pa.array(sorted(ray.get(uref)), pa.string())
+        found = pq.read_table(path, columns=["url"])
+        mask = pc.is_in(found["url"], value_set=victims)
+        n_hit = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if not n_hit:
+            return 0
+        full = pq.read_table(path)
+        keep = full.filter(pc.invert(pc.is_in(full["url"],
+                                              value_set=victims)))
+        tmp = path + ".tmp"
+        pq.write_table(keep.replace_schema_metadata(None), tmp)
+        os.replace(tmp, path)
+        return int(n_hit)
+
+    stats = {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
+    for key in list(man.entries):
+        gdir = man.group_dir(key)
+        files = sorted(_glob.glob(os.path.join(gdir, "*.parquet")))
+        stats["files_scanned"] += len(files)
+        deleted = ray.get([_delete_in_file.remote(f) for f in files])
+        g_deleted = sum(deleted)
+        if not g_deleted:
+            continue
+        stats["files_rewritten"] += sum(1 for d in deleted if d)
+        stats["rows_deleted"] += g_deleted
+        _, rows = write_lineage(gdir)
+        man.mark_complete(key, {**{k: v for k, v in man.entries[key].items()
+                                   if k != "completed_at"},
+                                "rows": rows})
+    return stats

@@ -533,3 +533,46 @@ def test_near_dup_join_path_matches_broadcast_path(ray_session, monkeypatch):
     b = dedup.minhash_dedup_pairs(ds, threshold=0.8)
     pd.testing.assert_frame_equal(a, b)
     assert {(i, 200 + i) for i in range(4)} <= set(zip(b["id_a"], b["id_b"]))
+
+
+def test_cascade_delete(ray_session, pages_dir, tmp_path):
+    """J6 cascade delete restated for the parquet store: deleting urls
+    rewrites exactly the files containing them (atomic replace), updates
+    lineage + manifest row counts, leaves untouched files byte-identical,
+    and keeps resume semantics (groups stay complete)."""
+    import pyarrow.dataset as pads
+    from credit_ocr_backend_ray.pipelines.extraction import run_extraction
+    from credit_ocr_backend_ray.state.manifest import cascade_delete
+
+    out = str(tmp_path / "out")
+    s0 = run_extraction(pages_dir, out, n_groups=2)
+    n_groups = s0["groups_total"]  # capped at the input file count
+    files = sorted(glob.glob(os.path.join(out, "group-*", "*.parquet")))
+    all_rows = pads.dataset(files).to_table(columns=["url"]).to_pandas()
+    victims = set(all_rows["url"].iloc[:3]) | {all_rows["url"].iloc[-1]}
+    sig_before = {f: (os.path.getmtime(f), os.path.getsize(f))
+                  for f in files}
+
+    stats = cascade_delete(out, victims)
+    assert stats["rows_deleted"] == len(victims)
+    assert 1 <= stats["files_rewritten"] <= len(victims)
+
+    kept = pads.dataset(files).to_table(columns=["url"]).to_pandas()
+    assert len(kept) == N_PAGES - len(victims)
+    assert not (set(kept["url"]) & victims)
+    # files without victims are untouched, byte-for-byte
+    rewritten = {f for f in files
+                 if (os.path.getmtime(f), os.path.getsize(f))
+                 != sig_before[f]}
+    assert len(rewritten) == stats["files_rewritten"]
+    # lineage re-derived for affected groups
+    lineage = pads.dataset(
+        glob.glob(os.path.join(out, "group-*/_lineage/*.parquet"))
+    ).to_table().to_pandas()
+    assert lineage["rows"].sum() == N_PAGES - len(victims)
+    # resume still treats every group as complete
+    s = run_extraction(pages_dir, out, n_groups=2)
+    assert s["groups_skipped"] == n_groups and s["groups_run"] == 0
+    # idempotent: deleting the same urls again rewrites nothing
+    stats2 = cascade_delete(out, victims)
+    assert stats2["rows_deleted"] == 0 and stats2["files_rewritten"] == 0
