@@ -3072,6 +3072,45 @@ def _q_video_scene_cuts(sf_dir: str):
                           batch_size=16, concurrency=2)
 
 
+def _q_orders_merged(sf_dir: str):
+    """Lakehouse MERGE INTO (upsert) on the bucket store: orders bucketed
+    by o_orderkey, one update batch (price bump on keys % 97 == 0) plus
+    one insert batch (shifted new keys, % 89 == 0), merged copy-on-write
+    into a new snapshot — touched buckets rewritten, untouched buckets
+    hard-linked (zero bytes copied). The oracle is the relational
+    definition: updates UNION ALL inserts UNION ALL (target anti-join
+    update keys)."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import (
+        merge_into, write_bucketed)
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    od = _rp(_t(sf_dir, "orders"), columns=cols)
+    root = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")))
+    tdir = os.path.join(root, "orders_merge_base")
+    write_bucketed(od, tdir, "o_orderkey", 16)
+
+    def upd(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[b["o_orderkey"] % 97 == 0].copy()
+        u["o_totalprice"] = u["o_totalprice"] + 100000.0
+        return u[cols]
+
+    def ins(b: pd.DataFrame) -> pd.DataFrame:
+        i = b[b["o_orderkey"] % 89 == 0].copy()
+        i["o_orderkey"] = i["o_orderkey"] + 100_000_000
+        return i[cols]
+
+    updates = (od.map_batches(upd, batch_format="pandas")
+                 .union(od.map_batches(ins, batch_format="pandas")))
+    out = os.path.join(root, "orders_merge_snap")
+    merge_into(tdir, updates, "o_orderkey", out, n_buckets=16)
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "bucket=*", "*.parquet")))
+    ).select_columns(cols)
+
+
 def _q_customer_spend_bucketed(sf_dir: str):
     """Shuffle-free grouped aggregate over a bucketed table: every
     customer's orders are co-located on disk, so a per-bucket local
@@ -3373,6 +3412,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             _q_event_session_components_bucketed,
         "video_scene_cuts": _q_video_scene_cuts,
         "customer_spend_bucketed": _q_customer_spend_bucketed,
+        "orders_merged": _q_orders_merged,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3529,6 +3569,24 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "orders_merged": """
+            WITH upd AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 100000.0 AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 89 = 0
+            )
+            SELECT * FROM upd
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         """,
         "customer_spend_bucketed": """
             SELECT o_custkey,

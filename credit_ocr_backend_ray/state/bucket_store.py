@@ -363,3 +363,106 @@ def read_box(path: str, x_lo: float, x_hi: float, y_lo: float,
     flt = ((pc.field(col_x) >= x_lo) & (pc.field(col_x) <= x_hi)
            & (pc.field(col_y) >= y_lo) & (pc.field(col_y) <= y_hi))
     return rd.read_parquet(files, filter=flt), n_hit
+
+
+@ray.remote
+def _merge_bucket(target_files: list[str], update_files: list[str],
+                  key: str, out_file: str) -> tuple[int, int]:
+    """Merged content of one bucket: updates win on key collision, target
+    rows without an update survive. Returns (rows_updated,
+    rows_inserted)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    upd = pa.concat_tables([pq.read_table(f) for f in update_files],
+                           promote_options="default")
+    if "bucket" in upd.column_names:
+        upd = upd.drop_columns(["bucket"])
+    parts = [upd]
+    n_updated = 0
+    if target_files:
+        tgt = pa.concat_tables([pq.read_table(f) for f in target_files],
+                               promote_options="default")
+        keep = tgt.filter(pc.invert(pc.is_in(tgt[key],
+                                             value_set=upd[key])))
+        n_updated = tgt.num_rows - keep.num_rows
+        parts.append(keep.select(upd.column_names))
+    merged = pa.concat_tables(parts, promote_options="default")
+    pq.write_table(merged.replace_schema_metadata(None), out_file)
+    return n_updated, upd.num_rows - n_updated
+
+
+def merge_into(path: str, updates: "rd.Dataset", key: str, out_path: str,
+               n_buckets: int = 32) -> dict:
+    """Copy-on-write MERGE (upsert) into a bucketed table — the lakehouse
+    ``MERGE INTO`` restated for the bucket store: rows of ``updates``
+    replace target rows with the same ``key`` and insert otherwise. The
+    result is a NEW snapshot directory (``out_path``), never an in-place
+    mutation:
+
+    - the updates are staged ONCE as a bucket-partitioned write using the
+      target's bucket function, so each merge task reads exactly its
+      aligned pair — no shuffle joins anywhere;
+    - one Ray task per TOUCHED bucket rewrites that bucket (updates +
+      anti-joined survivors);
+    - untouched buckets HARD-LINK into the snapshot (zero bytes copied —
+      at 100 TB the merge cost is proportional to the touched buckets,
+      not the table);
+    - the snapshot directory only gains its ``_done`` marker after every
+      bucket landed, so a crashed merge is invisible to readers and a
+      re-run starts clean.
+
+    Contract: ``updates`` carries the target's full schema and at most
+    one row per key (pre-combine with ``dedup_latest`` otherwise).
+    Returns ``{buckets_touched, buckets_linked, rows_updated,
+    rows_inserted}``."""
+    import shutil
+    import uuid
+
+    marker = os.path.join(out_path, "_done")
+    staging = out_path + ".staging"
+    shutil.rmtree(out_path, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = bucket_of_int(b[key].to_numpy(np.int64), n_buckets)
+        return b
+
+    _strip_meta(updates.map_batches(tag, batch_format="pandas")
+                ).write_parquet(staging, partition_cols=["bucket"])
+
+    touched = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(staging)
+        if d.startswith("bucket="))
+    os.makedirs(out_path, exist_ok=True)
+    refs = []
+    for b in touched:
+        bdir = os.path.join(out_path, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        refs.append(_merge_bucket.remote(
+            bucket_files(path, b),
+            sorted(glob.glob(os.path.join(staging, f"bucket={b}",
+                                          "*.parquet"))),
+            key, os.path.join(bdir, f"merged-{uuid.uuid4().hex}.parquet")))
+
+    linked = 0
+    for d in os.listdir(path):
+        if not d.startswith("bucket="):
+            continue
+        b = int(d.split("=", 1)[1])
+        if b in set(touched):
+            continue
+        bdir = os.path.join(out_path, d)
+        os.makedirs(bdir, exist_ok=True)
+        for f in bucket_files(path, b):
+            os.link(f, os.path.join(bdir, os.path.basename(f)))
+        linked += 1
+
+    results = ray.get(refs)
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("ok")
+    return {"buckets_touched": len(touched), "buckets_linked": linked,
+            "rows_updated": int(sum(r[0] for r in results)),
+            "rows_inserted": int(sum(r[1] for r in results))}

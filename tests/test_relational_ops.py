@@ -1197,3 +1197,44 @@ def test_profile_columns_int_extrema_with_all_null_block(ray_session):
     assert out.loc["x", "min_v"] == "9"
     assert out.loc["x", "max_v"] == "100"
     assert out.loc["x", "n_null"] == 2
+
+
+def test_merge_into_copy_on_write(ray_session, tmp_path):
+    """Lakehouse MERGE INTO on the bucket store: updates win on key,
+    inserts land, untouched buckets HARD-LINK into the snapshot (zero
+    bytes copied), and the snapshot carries a completion marker."""
+    import os
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import (
+        bucket_files, bucket_of_int, merge_into, write_bucketed)
+
+    base = pd.DataFrame({"k": np.arange(1000, dtype="int64"),
+                         "v": np.arange(1000, dtype="float64"),
+                         "tag": ["base"] * 1000})
+    tdir = str(tmp_path / "target")
+    write_bucketed(rd.from_pandas(base), tdir, "k", n_buckets=8)
+
+    upd = pd.DataFrame({
+        "k": np.array([3, 11, 500, 2000, 2001], dtype="int64"),
+        "v": np.array([-3.0, -11.0, -500.0, -2000.0, -2001.0]),
+        "tag": ["upd"] * 5})
+    out = str(tmp_path / "snap")
+    stats = merge_into(tdir, rd.from_pandas(upd), "k", out, n_buckets=8)
+    assert stats["rows_updated"] == 3 and stats["rows_inserted"] == 2
+    assert stats["buckets_touched"] + stats["buckets_linked"] == 8
+    assert os.path.exists(os.path.join(out, "_done"))
+
+    got = (rd.read_parquet(out).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    expected = (pd.concat([upd, base[~base["k"].isin(upd["k"])]])
+                .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "tag"]], expected[["k", "v", "tag"]])
+
+    # untouched buckets are hard links of the target's files (same inode)
+    touched = set(bucket_of_int(upd["k"].to_numpy(np.int64), 8).tolist())
+    linked_b = next(b for b in range(8) if b not in touched)
+    src = bucket_files(tdir, linked_b)
+    dst = bucket_files(out, linked_b)
+    assert src and [os.stat(a).st_ino for a in src] == \
+        [os.stat(a).st_ino for a in dst]
