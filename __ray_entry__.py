@@ -1091,6 +1091,78 @@ def _q_raster_extract_pairs(sf_dir: str):
               .map_batches(extract, batch_format="pyarrow", batch_size=16))
 
 
+def _q_mixed_channel_extract(sf_dir: str):
+    """ALL FOUR payload channels through ONE pipeline — the complete
+    reference upload surface (api/main.py:331-338 accepts .pdf/.png/
+    .jpg + the OCR-JSON channel) driven purely by extract_document's
+    payload sniff: per doc_id the batch carries a layout-JSON, a real
+    PDF, a raster PNG, and an HTML page, interleaved in one dataset.
+    Asserts in-line that the three geometry-bearing channels (json/pdf/
+    png) produce byte-identical extracted text and equal pair counts
+    per document. Rows-only; returns (doc_id, channel, status, n_pairs,
+    text_sha256)."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.config import default_config
+    from credit_ocr_backend_ray.functions.document import extract_document
+    from credit_ocr_backend_ray.sources.synth import (
+        _form_html, _layout_doc, pdf_doc_bytes, raster_doc_bytes)
+
+    ids = pq.read_table(_t(sf_dir, "documents"),
+                        columns=["doc_id"])["doc_id"].to_pylist()[:40]
+    cfg = default_config()["credit_request"]
+    makers = {"json": lambda i: _layout_doc(i).encode("utf-8"),
+              "pdf": pdf_doc_bytes,
+              "png": raster_doc_bytes,
+              "html": lambda i: _form_html(i).encode("utf-8")}
+
+    def synth(t: pa.Table) -> pa.Table:
+        dids, chans, payloads = [], [], []
+        for d in t["doc_id"].to_pylist():
+            for ch, mk in makers.items():
+                dids.append(int(d))
+                chans.append(ch)
+                payloads.append(mk(int(d)))
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "channel": pa.array(chans, pa.string()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    def extract(t: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "channel": [], "status": [], "n_pairs": [],
+                "text_sha256": []}
+        for d, ch, payload in zip(t["doc_id"].to_pylist(),
+                                  t["channel"].to_pylist(),
+                                  t["payload"].to_pylist()):
+            out = extract_document(payload, cfg)
+            rows["doc_id"].append(d)
+            rows["channel"].append(ch)
+            rows["status"].append(out["status"])
+            rows["n_pairs"].append(out["n_pairs"])
+            rows["text_sha256"].append(hashlib.sha256(
+                out["extracted_text"].encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "channel": pa.array(rows["channel"], pa.string()),
+            "status": pa.array(rows["status"], pa.string()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "text_sha256": pa.array(rows["text_sha256"], pa.string()),
+        })
+
+    ds = rd.from_items([{"doc_id": i} for i in ids]).repartition(8)
+    out = (ds.map_batches(synth, batch_format="pyarrow", batch_size=8)
+             .map_batches(extract, batch_format="pyarrow", batch_size=8)
+             .to_pandas())
+    assert (out["status"] == "Fertig").all()
+    geo = out[out["channel"].isin(["json", "pdf", "png"])]
+    per_doc = geo.groupby("doc_id").agg(sha_n=("text_sha256", "nunique"),
+                                        pair_n=("n_pairs", "nunique"))
+    assert (per_doc["sha_n"] == 1).all(), "channel text divergence"
+    assert (per_doc["pair_n"] == 1).all(), "channel pair divergence"
+    return (out.sort_values(["doc_id", "channel"])
+               .reset_index(drop=True))
+
+
 def _q_annotation_render(sf_dir: str):
     import hashlib
     import pyarrow as pa
@@ -2456,6 +2528,51 @@ def _q_cube_flag_status(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_source_length_drift(sf_dir: str):
+    """Per-source distribution drift: exact binned-CDF Kolmogorov-
+    Smirnov distance of each source's n_chars distribution vs the whole
+    corpus (50 bins over [0, 5000)), integer-exact to micro-units
+    (stages/relational.py: cdf_drift) — the data-quality gate that
+    flags a source whose length profile shifted."""
+    from credit_ocr_backend_ray.stages.relational import cdf_drift
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    return cdf_drift(ds, "source", "n_chars", lo=0.0, hi=5000.0,
+                     n_bins=50)
+
+
+def _q_order_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS((status, priority), (status), (priority))
+    — the general grouped-level form (rollup/cube are special cases);
+    raw data shuffled once at the union level, each listed set
+    re-aggregates the tiny finest result (stages/relational.py:
+    grouping_sets_agg). Prices in exact int64 cents."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.relational import grouping_sets_agg
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5)
+        return t.drop_columns(["o_totalprice"]).append_column(
+            "price_c", pa.array(c.astype("int64")))
+
+    out = grouping_sets_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_orderstatus", "o_orderpriority"), ("o_orderstatus",),
+         ("o_orderpriority",)],
+        {"price_c": "sum_price_c"})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sum_price"] = (b["sum_price_c"] / 100.0).round(2) + 0.0
+        return b[["o_orderstatus", "o_orderpriority", "sum_price", "n"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_approx_source_overlap(sf_dir: str):
     """Cross-source contamination, sketched: KMV (k-minimum-values)
     per-source sketches -> pairwise Jaccard / shared-distinct estimates
@@ -3460,6 +3577,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_page2": _q_orders_page2,
         "qty_price_regression": _q_qty_price_regression,
         "cube_flag_status": _q_cube_flag_status,
+        "order_grouping_sets": _q_order_grouping_sets,
+        "source_length_drift": _q_source_length_drift,
         "approx_source_overlap": _q_approx_source_overlap,
         "extract_flagship": _q_extract_flagship,
         "document_status_listing": _q_document_status_listing,
@@ -3469,6 +3588,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "annotation_thumbnails": _q_annotation_thumbnails,
         "pdf_extract_pairs": _q_pdf_extract_pairs,
         "raster_extract_pairs": _q_raster_extract_pairs,
+        "mixed_channel_extract": _q_mixed_channel_extract,
         "video_frame_sample": _q_video_frame_sample,
         "audio_resample": _q_audio_resample,
         "extraction_prompts": _q_extraction_prompts,
@@ -4631,6 +4751,54 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "source_length_drift": """
+            WITH binned AS (
+                SELECT source AS src,
+                       CAST(LEAST(GREATEST(floor(n_chars / 100.0), 0), 49)
+                            AS BIGINT) AS bin
+                FROM documents
+            ), counts AS (
+                SELECT src, bin, count(*) AS c
+                FROM binned GROUP BY src, bin
+            ), grid AS (
+                SELECT s.src, r.bin
+                FROM (SELECT DISTINCT src FROM binned) s
+                CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin
+                            FROM range(0, 50)) r
+            ), filled AS (
+                SELECT grid.src, grid.bin, COALESCE(counts.c, 0) AS c
+                FROM grid LEFT JOIN counts
+                  ON grid.src = counts.src AND grid.bin = counts.bin
+            ), cums AS (
+                SELECT src, bin,
+                       sum(c) OVER (PARTITION BY src ORDER BY bin)
+                           AS cum_g,
+                       sum(c) OVER (PARTITION BY src) AS n_g
+                FROM filled
+            ), gl AS (
+                SELECT bin, sum(c) AS gc FROM filled GROUP BY bin
+            ), glc AS (
+                SELECT bin, sum(gc) OVER (ORDER BY bin) AS cum_all,
+                       sum(gc) OVER () AS big_n
+                FROM gl
+            )
+            SELECT src AS source, CAST(n_g AS BIGINT) AS n,
+                   CAST(max(abs(cum_g * big_n - cum_all * n_g))
+                        * 1000000 // (n_g * ANY_VALUE(big_n))
+                        AS BIGINT) AS ks_micro
+            FROM cums JOIN glc USING (bin)
+            GROUP BY src, n_g
+            ORDER BY source
+        """,
+        "order_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                  AS BIGINT)) / 100.0, 2) AS sum_price,
+                   count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), (o_orderpriority))
         """,
         "qty_price_regression": """
             SELECT l_returnflag, count(*) AS n,

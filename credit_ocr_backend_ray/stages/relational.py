@@ -1069,6 +1069,118 @@ def cube_agg(ds: "rd.Dataset", keys: Sequence[str],
     return out
 
 
+def grouping_sets_agg(ds: "rd.Dataset", keys: Sequence[str],
+                      sets: Sequence[Sequence[str]],
+                      sum_cols: dict[str, str], count_alias: str = "n",
+                      combine: str = "shuffle") -> "rd.Dataset":
+    """GROUP BY GROUPING SETS(...): one aggregate level per listed key
+    subset, NULL-filling the grouped-away columns — the general form of
+    which ``rollup_agg`` (prefixes) and ``cube_agg`` (all subsets) are
+    special cases. Same one-shuffle shape rule: the raw data is read and
+    shuffled exactly once, at the UNION of the requested sets; every
+    listed set then re-aggregates that (already tiny) result. Keys must
+    be string-typed for a type-stable NULL fill. Duplicate sets emit
+    duplicate levels, matching SQL semantics."""
+    keys = list(keys)
+    norm = [tuple(k for k in keys if k in set(s)) for s in sets]
+    for s, ns in zip(sets, norm):
+        if len(ns) != len(set(s)):
+            raise ValueError(f"grouping set {s} has keys outside {keys}")
+    union_cols = [k for k in keys if any(k in s for s in norm)]
+    finest = grouped_agg(ds, union_cols, sum_cols,
+                         count_alias=count_alias, combine=combine)
+    vals = [*sum_cols.values(), count_alias]
+
+    levels = []
+    for sub in norm:
+        if tuple(union_cols) == sub:
+            def fill_f(b: pd.DataFrame) -> pd.DataFrame:
+                for c in keys:
+                    if c not in union_cols:
+                        b[c] = None
+                return b[keys + vals]
+            levels.append(finest.map_batches(fill_f,
+                                             batch_format="pandas"))
+        elif not sub:
+            def total_partial(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({v: [b[v].sum()] for v in vals})
+
+            def total_final(b: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({v: [b[v].sum()] for v in vals})
+                for c in keys:
+                    out[c] = None
+                return out[keys + vals]
+
+            levels.append(
+                finest.map_batches(total_partial, batch_format="pandas")
+                      .repartition(1)
+                      .map_batches(total_final, batch_format="pandas"))
+        else:
+            lvl = grouped_agg(finest, list(sub), {v: v for v in vals},
+                              count_alias="__lvl", combine=combine)
+
+            def fill(b: pd.DataFrame, _sub=sub) -> pd.DataFrame:
+                b = b.drop(columns=["__lvl"])
+                for c in keys:
+                    if c not in _sub:
+                        b[c] = None
+                return b[keys + vals]
+
+            levels.append(lvl.map_batches(fill, batch_format="pandas"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cdf_drift(ds: "rd.Dataset", group_col: str, val_col: str,
+              lo: float, hi: float, n_bins: int = 50) -> pd.DataFrame:
+    """Per-group distribution drift vs the whole corpus: the
+    Kolmogorov-Smirnov distance between each group's CDF and the global
+    CDF, evaluated exactly on a fixed ``n_bins`` grid over ``[lo, hi)``
+    (values clamp into the edge bins) — the data-quality signal that
+    catches a source whose length/score distribution shifted, before it
+    poisons a training mix.
+
+    Shape: one combiner pass emits per-batch (group, bin) counts; a
+    grouped sum reduces them (output is groups x bins rows, bounded);
+    the KS fold is driver-side on that tiny frame. All arithmetic stays
+    INTEGER until the final scaled division — ``ks_micro =
+    floor(1e6 * max_bin |cum_g * N - cum_all * n_g| / (n_g * N))`` — so
+    the result is engine-exact (hash-comparable with the SQL oracle; no
+    float rounding hazard). int64 bound: needs ``n_g * N < 2^63`` —
+    at corpus sizes beyond ~3e9 rows switch the fold to Python ints
+    (arbitrary precision), the frame is tiny either way."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(np.float64)
+        width = (hi - lo) / n_bins
+        bins = np.clip(np.floor((v - lo) / width), 0,
+                       n_bins - 1).astype(np.int64)
+        out = pd.DataFrame({group_col: b[group_col], "__bin": bins})
+        return out.groupby([group_col, "__bin"], as_index=False,
+                           dropna=False).agg(__c=("__bin", "size"))
+
+    counts = (grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                          [group_col, "__bin"], {"__c": "c"},
+                          count_alias=None)
+              .to_pandas())
+
+    pv = (counts.pivot_table(index=group_col, columns="__bin",
+                             values="c", aggfunc="sum", fill_value=0)
+          .reindex(columns=range(n_bins), fill_value=0))
+    mat = pv.to_numpy(np.int64)
+    cum_g = mat.cumsum(axis=1)
+    n_g = mat.sum(axis=1)
+    cum_all = mat.sum(axis=0).cumsum()
+    big_n = int(n_g.sum())
+    ks_num = np.abs(cum_g * big_n - cum_all[None, :] * n_g[:, None]
+                    ).max(axis=1)
+    ks_micro = (ks_num * 1_000_000) // (n_g * big_n)
+    return (pd.DataFrame({group_col: pv.index, "n": n_g,
+                          "ks_micro": ks_micro})
+            .sort_values(group_col).reset_index(drop=True))
+
+
 def grouped_concat(ds: "rd.Dataset", key: str, order_cols: list[str],
                    val_col: str, sep: str = ",",
                    alias: str = "concat") -> "rd.Dataset":

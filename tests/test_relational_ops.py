@@ -1238,3 +1238,53 @@ def test_merge_into_copy_on_write(ray_session, tmp_path):
     dst = bucket_files(out, linked_b)
     assert src and [os.stat(a).st_ino for a in src] == \
         [os.stat(a).st_ino for a in dst]
+
+
+def test_grouping_sets_matches_manual(ray_session):
+    from credit_ocr_backend_ray.stages.relational import grouping_sets_agg
+
+    df = pd.DataFrame({"a": ["x", "x", "y", "y", "y"],
+                       "b": ["p", "q", "p", "p", "q"],
+                       "v": [1, 2, 3, 4, 5]})
+    out = (grouping_sets_agg(_ds(df), ["a", "b"],
+                             [("a", "b"), ("a",), ("b",), ()],
+                             {"v": "s"})
+           .to_pandas())
+    finest = out.dropna(subset=["a", "b"]).set_index(["a", "b"])
+    assert finest.loc[("y", "p"), "s"] == 7 and \
+        finest.loc[("y", "p"), "n"] == 2
+    by_a = out[out["a"].notna() & out["b"].isna()].set_index("a")
+    assert by_a.loc["x", "s"] == 3 and by_a.loc["y", "s"] == 12
+    by_b = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    assert by_b.loc["p", "s"] == 8 and by_b.loc["q", "s"] == 7
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert len(total) == 1 and total["s"].iloc[0] == 15
+    assert len(out) == 4 + 2 + 2 + 1
+
+
+def test_cdf_drift_integer_exact(ray_session):
+    from credit_ocr_backend_ray.stages.relational import cdf_drift
+
+    rng = np.random.default_rng(5)
+    # group "hi" shifted right by 2 bins vs the bulk
+    a = rng.uniform(0, 50, 4000)
+    b = rng.uniform(20, 70, 500)
+    df = pd.DataFrame({"g": ["bulk"] * 4000 + ["hi"] * 500,
+                       "v": np.concatenate([a, b])})
+    out = cdf_drift(_ds(df), "g", "v", lo=0.0, hi=100.0,
+                    n_bins=10).set_index("g")
+    # exact reference computation
+    bins_all = np.clip((df["v"] // 10).astype(int), 0, 9)
+    big_n = len(df)
+    for g in ["bulk", "hi"]:
+        sel = df["g"] == g
+        n_g = int(sel.sum())
+        cg = np.bincount(bins_all[sel], minlength=10).cumsum()
+        ca = np.bincount(bins_all, minlength=10).cumsum()
+        ks_num = np.abs(cg.astype(np.int64) * big_n
+                        - ca.astype(np.int64) * n_g).max()
+        assert out.loc[g, "ks_micro"] == (ks_num * 1_000_000) // (
+            n_g * big_n)
+        assert out.loc[g, "n"] == n_g
+    # the shifted group genuinely drifts, the bulk barely does
+    assert out.loc["hi", "ks_micro"] > out.loc["bulk", "ks_micro"]
