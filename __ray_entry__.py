@@ -4904,6 +4904,47 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM documents
         """,
+        "quality_scores": """
+            -- quality_score restated with INTEGER threshold compares
+            -- (nd/n > 0.3 <=> 10*nd > 3*n etc. — exact for rationals,
+            -- no float boundary hazard); penalties in tenths, final
+            -- score (10 - pen)/10 equals the kernel's sequential float
+            -- subtractions after its round(.., 3). Char classes are the
+            -- ASCII forms (this corpus is all-ASCII; the kernel's
+            -- unicode isdigit/isupper coincide there).
+            WITH c AS (
+                SELECT doc_id, COALESCE(text, '') AS tx FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       length(tx) AS n,
+                       length(regexp_replace(tx, '[^0-9]', '', 'g'))
+                           AS nd,
+                       length(regexp_replace(tx, '[^A-Z]', '', 'g'))
+                           AS nu,
+                       length(regexp_replace(tx, '[A-Za-z0-9]|\\s', '',
+                                             'g')) AS np,
+                       CASE WHEN len(trim(tx)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(tx),
+                                                           '\\s+'))
+                       END AS nt
+                FROM c
+            )
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                       round(GREATEST(
+                           10 - (CASE WHEN n < 50 THEN 3 ELSE 0 END
+                               + CASE WHEN nd * 10 > n * 3
+                                      THEN 3 ELSE 0 END
+                               + CASE WHEN nu * 10 > n * 3
+                                      THEN 2 ELSE 0 END
+                               + CASE WHEN np * 4 > n THEN 2 ELSE 0 END
+                               + CASE WHEN nt > 0 AND (n > 12 * nt
+                                          OR (n > 0 AND 2 * n < 5 * nt))
+                                      THEN 2 ELSE 0 END),
+                           0) / 10.0, 3)
+                   END AS quality
+            FROM m
+        """,
         "lang_counts": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    count(*) AS n_docs
