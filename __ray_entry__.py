@@ -4904,6 +4904,52 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM documents
         """,
+        "lang_id": """
+            -- the stopword-bank heuristic restated: earliest-max argmax
+            -- over the fixed (en, de, fr, es) order == chained >= cases;
+            -- 'und' when no bank scores or no tokens; zh short-circuits
+            -- on the CJK block
+            WITH c AS (
+                SELECT doc_id, COALESCE(text, '') AS tx FROM documents
+            ), t AS (
+                SELECT doc_id, tx,
+                       CASE WHEN len(trim(tx)) = 0 THEN []
+                            ELSE list_transform(
+                                regexp_split_to_array(trim(tx), '\\s+'),
+                                x -> lower(x))
+                       END AS toks
+                FROM c
+            ), h AS (
+                SELECT doc_id, tx, len(toks) AS nt,
+                       len(list_filter(toks, x -> x IN ('the','a','of',
+                           'and','to','in','is','it','that','for','on',
+                           'with','as','was','at','by','this','are','be',
+                           'or'))) AS e,
+                       len(list_filter(toks, x -> x IN ('der','die','das',
+                           'und','ist','nicht','mit','ein','eine','zu',
+                           'den','von','für','auf','im','des','sich',
+                           'dem'))) AS d,
+                       len(list_filter(toks, x -> x IN ('le','la','les',
+                           'de','des','et','est','un','une','du','en',
+                           'que','qui','dans','pour','sur','pas','au')))
+                           AS f,
+                       len(list_filter(toks, x -> x IN ('el','la','los',
+                           'las','de','y','es','un','una','del','en',
+                           'que','por','para','con','no','se','su')))
+                           AS s
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(tx, '[一-鿿]') THEN 'zh'
+                        WHEN nt = 0 THEN 'und'
+                        WHEN greatest(e, d, f, s) = 0 THEN 'und'
+                        WHEN e >= d AND e >= f AND e >= s THEN 'en'
+                        WHEN d >= f AND d >= s THEN 'de'
+                        WHEN f >= s THEN 'fr'
+                        ELSE 'es'
+                   END AS pred_lang
+            FROM h
+        """,
         "quality_scores": """
             -- quality_score restated with INTEGER threshold compares
             -- (nd/n > 0.3 <=> 10*nd > 3*n etc. — exact for rationals,
