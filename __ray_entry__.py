@@ -3228,6 +3228,24 @@ def _q_orders_merged(sf_dir: str):
     ).select_columns(cols)
 
 
+def _q_orders_snapshot_diff(sf_dir: str):
+    """CDC between the merge base and its merged snapshot
+    (state/bucket_store.py: snapshot_diff): per aligned bucket pair one
+    shuffle-free task emits (key, change); buckets merge_into
+    hard-linked are skipped on inode identity without reading a byte.
+    The oracle is the merge definition itself: updated keys are
+    'changed', inserted keys 'added', nothing 'removed'."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import snapshot_diff
+
+    _q_orders_merged(sf_dir)  # (re)builds base + snapshot, idempotent
+    root = os.path.join("/tmp/bucketed",
+                        os.path.basename(sf_dir.rstrip("/")))
+    return snapshot_diff(os.path.join(root, "orders_merge_base"),
+                         os.path.join(root, "orders_merge_snap"),
+                         "o_orderkey", n_buckets=16)
+
+
 def _q_customer_spend_bucketed(sf_dir: str):
     """Shuffle-free grouped aggregate over a bucketed table: every
     customer's orders are co-located on disk, so a per-bucket local
@@ -3530,6 +3548,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _q_video_scene_cuts,
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "orders_merged": _q_orders_merged,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3689,6 +3708,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "orders_snapshot_diff": """
+            SELECT o_orderkey, 'changed' AS change
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, 'added'
+            FROM orders WHERE o_orderkey % 89 = 0
         """,
         "orders_merged": """
             WITH upd AS (

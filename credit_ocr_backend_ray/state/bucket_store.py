@@ -466,3 +466,73 @@ def merge_into(path: str, updates: "rd.Dataset", key: str, out_path: str,
     return {"buckets_touched": len(touched), "buckets_linked": linked,
             "rows_updated": int(sum(r[0] for r in results)),
             "rows_inserted": int(sum(r[1] for r in results))}
+
+
+@ray.remote
+def _diff_bucket(files_a: list[str], files_b: list[str],
+                 key: str) -> pa.Table:
+    """(key, change) rows for one aligned bucket pair: 'added' (B only),
+    'removed' (A only), 'changed' (both, any non-key column differs)."""
+    import pyarrow.parquet as pq
+
+    def _read(files):
+        if not files:
+            return None
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default").to_pandas()
+
+    a, b = _read(files_a), _read(files_b)
+    out_k: list[int] = []
+    out_c: list[str] = []
+    if a is None and b is None:
+        pass
+    elif a is None:
+        out_k, out_c = b[key].tolist(), ["added"] * len(b)
+    elif b is None:
+        out_k, out_c = a[key].tolist(), ["removed"] * len(a)
+    else:
+        cols = [c for c in a.columns if c != key and c in b.columns]
+        m = a.merge(b, on=key, how="outer", suffixes=("__a", "__b"),
+                    indicator=True)
+        left = m["_merge"] == "left_only"
+        right = m["_merge"] == "right_only"
+        out_k += m.loc[left, key].tolist()
+        out_c += ["removed"] * int(left.sum())
+        out_k += m.loc[right, key].tolist()
+        out_c += ["added"] * int(right.sum())
+        both = m[m["_merge"] == "both"]
+        if len(both) and cols:
+            neq = np.zeros(len(both), dtype=bool)
+            for c in cols:
+                va, vb = both[f"{c}__a"], both[f"{c}__b"]
+                neq |= ~((va == vb) | (va.isna() & vb.isna())).to_numpy()
+            out_k += both.loc[neq, key].tolist()
+            out_c += ["changed"] * int(neq.sum())
+    return pa.table({key: pa.array([int(k) for k in out_k], pa.int64()),
+                     "change": pa.array(out_c, pa.string())})
+
+
+def snapshot_diff(path_a: str, path_b: str, key: str,
+                  n_buckets: int = 32) -> "rd.Dataset":
+    """Change-data-capture between two snapshots of a bucketed table
+    (same key and bucket count — e.g. a table and its ``merge_into``
+    result): one Ray task per aligned bucket pair emits (key, change)
+    rows with change in {added, removed, changed}. Shuffle-free (the
+    ``bucketed_join`` shape), and buckets whose file sets are the SAME
+    INODES — exactly what ``merge_into`` hard-links for untouched
+    buckets — are skipped without reading a byte, so diff cost is
+    proportional to the buckets that actually changed."""
+    refs = []
+    skipped = 0
+    for bkt in range(n_buckets):
+        fa, fb = bucket_files(path_a, bkt), bucket_files(path_b, bkt)
+        if [os.stat(f).st_ino for f in fa] == \
+                [os.stat(f).st_ino for f in fb]:
+            skipped += 1
+            continue
+        refs.append(_diff_bucket.remote(fa, fb, key))
+    if not refs:
+        return rd.from_arrow(pa.table({key: pa.array([], pa.int64()),
+                                       "change": pa.array([],
+                                                          pa.string())}))
+    return rd.from_arrow_refs(refs)

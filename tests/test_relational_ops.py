@@ -1288,3 +1288,34 @@ def test_cdf_drift_integer_exact(ray_session):
         assert out.loc[g, "n"] == n_g
     # the shifted group genuinely drifts, the bulk barely does
     assert out.loc["hi", "ks_micro"] > out.loc["bulk", "ks_micro"]
+
+
+def test_snapshot_diff_cdc(ray_session, tmp_path):
+    """CDC between two snapshots: added/removed/changed classification,
+    and hard-linked (untouched) buckets skipped on inode identity."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.state.bucket_store import (
+        merge_into, snapshot_diff, write_bucketed)
+
+    base = pd.DataFrame({"k": np.arange(600, dtype="int64"),
+                         "v": np.arange(600, dtype="float64")})
+    a = str(tmp_path / "a")
+    write_bucketed(rd.from_pandas(base), a, "k", n_buckets=8)
+    upd = pd.DataFrame({"k": np.array([5, 77, 900], dtype="int64"),
+                        "v": np.array([-5.0, -77.0, -900.0])})
+    b = str(tmp_path / "b")
+    merge_into(a, rd.from_pandas(upd), "k", b, n_buckets=8)
+
+    d = (snapshot_diff(a, b, "k", n_buckets=8).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    got = dict(zip(d["k"], d["change"]))
+    assert got == {5: "changed", 77: "changed", 900: "added"}
+
+    # removed: diff the snapshots the other way round
+    rev = snapshot_diff(b, a, "k", n_buckets=8).to_pandas()
+    assert dict(zip(rev["k"], rev["change"])) == {
+        5: "changed", 77: "changed", 900: "removed"}
+
+    # identical snapshots diff to empty without reading a byte
+    empty = snapshot_diff(a, a, "k", n_buckets=8).to_pandas()
+    assert len(empty) == 0
