@@ -3228,6 +3228,32 @@ def _q_orders_merged(sf_dir: str):
     ).select_columns(cols)
 
 
+def _q_order_interval_overlaps(sf_dir: str):
+    """Interval-OVERLAP self-join, both sides big (stages/relational.py:
+    interval_self_join): orders become [orderdate, orderdate + 1..5
+    days] intervals; all same-priority overlapping pairs. The
+    general-interval sibling of events_within_minute's point band join —
+    bucket replication spans each interval's buckets, pairs owned by the
+    later start's bucket."""
+    from credit_ocr_backend_ray.stages.relational import interval_self_join
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def mk_iv(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderkey"] % 3 == 0].copy()
+        s = b["o_orderdate"].astype("datetime64[us]")
+        days = (b["o_orderkey"] % 5 + 1).astype("int64")
+        b["s"] = s
+        b["e"] = s + pd.to_timedelta(days, unit="D")
+        return b[["o_orderkey", "o_orderpriority", "s", "e"]]
+
+    iv = ds.map_batches(mk_iv, batch_format="pandas")
+    return interval_self_join(iv, "o_orderpriority", "o_orderkey",
+                              "s", "e",
+                              bucket_us=8 * 86_400_000_000)
+
+
 def _q_orders_snapshot_diff(sf_dir: str):
     """CDC between the merge base and its merged snapshot
     (state/bucket_store.py: snapshot_diff): per aligned bucket pair one
@@ -3549,6 +3575,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "orders_merged": _q_orders_merged,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "order_interval_overlaps": _q_order_interval_overlaps,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3708,6 +3735,21 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "order_interval_overlaps": """
+            WITH iv AS (
+                SELECT o_orderkey AS id, o_orderpriority,
+                       CAST(o_orderdate AS TIMESTAMP) AS s,
+                       CAST(o_orderdate AS TIMESTAMP)
+                           + INTERVAL (o_orderkey % 5 + 1) DAY AS e
+                FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT a.o_orderpriority, a.id AS id_a, b.id AS id_b,
+                   epoch_us(least(a.e, b.e))
+                       - epoch_us(greatest(a.s, b.s)) AS overlap_us
+            FROM iv a JOIN iv b
+              ON a.o_orderpriority = b.o_orderpriority AND a.id < b.id
+             AND a.s <= b.e AND b.s <= a.e
         """,
         "orders_snapshot_diff": """
             SELECT o_orderkey, 'changed' AS change

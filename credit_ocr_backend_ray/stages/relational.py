@@ -1133,6 +1133,105 @@ def grouping_sets_agg(ds: "rd.Dataset", keys: Sequence[str],
     return out
 
 
+def interval_self_join(ds: "rd.Dataset", key_col: str, id_col: str,
+                       s_col: str, e_col: str, bucket_us: int,
+                       n_shards: int = 64,
+                       max_replication: int = 64) -> "rd.Dataset":
+    """Distributed interval-OVERLAP self-join, both sides big: all row
+    pairs sharing ``key_col`` whose ``[s, e]`` intervals intersect
+    (``s_a <= e_b AND s_b <= e_a``) — the general-interval sibling of
+    ``band_self_join`` (whose rows are points ± a constant band).
+
+    Technique: each interval replicates into every ``bucket_us``-wide
+    time bucket it touches (``floor(s/W) .. floor(e/W)``), buckets
+    coarse-shard by hash (never per-bucket groups), and within a shard
+    one vectorized pass sorts by (key, bucket, s) and emits
+    prefix-candidate pairs masked by the exact overlap test. Exactly-once
+    attribution: a pair is OWNED by the bucket containing the LATER
+    start ``max(s_a, s_b)`` — the later row is home there, and the
+    earlier row's replication reaches it precisely when the intervals
+    overlap, so no dedup shuffle. Intervals longer than
+    ``max_replication`` buckets raise (raise ``bucket_us``; an explicit
+    error, not a silent cap). Partitioning assumption: one shard's
+    replicated rows fit a worker (tune ``n_shards``); candidate volume
+    within a (key, bucket) segment is the segment's pair count — the
+    output's own magnitude for genuinely overlapping data.
+
+    Output: (key, id_a, id_b, overlap_us) with ``id_a < id_b`` and
+    ``overlap_us = min(e) - max(s) >= 0``."""
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[s_col].to_numpy("datetime64[us]").astype(np.int64)
+        e = b[e_col].to_numpy("datetime64[us]").astype(np.int64)
+        if (e < s).any():
+            raise ValueError("interval end precedes start")
+        b0 = s // bucket_us
+        b1 = e // bucket_us
+        span = b1 - b0 + 1
+        if (span > max_replication).any():
+            raise ValueError(
+                f"an interval spans {int(span.max())} buckets "
+                f"(> {max_replication}): raise bucket_us")
+        reps = span.astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        offs = (np.arange(int(reps.sum()))
+                - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]),
+                            reps))
+        out = b.iloc[idx].copy()
+        out["__bk"] = np.repeat(b0, reps) + offs
+        # shard on (key, bucket) so a segment never splits
+        kh = pd.util.hash_array(out[key_col].to_numpy()).astype(np.uint64)
+        bk = out["__bk"].to_numpy(np.int64).view(np.uint64)
+        out["__shard"] = (((kh ^ (bk * _MIX)) >> np.uint64(40))
+                          .astype(np.int64) % n_shards)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        base = {key_col: pd.Series([], dtype="object"),
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "overlap_us": pd.Series([], dtype="int64")}
+        if not len(g):
+            return pd.DataFrame(base)
+        # exact per-shard key codes (factorize — no hash-collision risk)
+        codes, _ = pd.factorize(g[key_col], sort=False)
+        g = g.assign(__kc=codes)
+        g = g.sort_values(["__kc", "__bk", s_col, id_col],
+                          kind="mergesort")
+        n = len(g)
+        s = g[s_col].to_numpy("datetime64[us]").astype(np.int64)
+        e = g[e_col].to_numpy("datetime64[us]").astype(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        kc = g["__kc"].to_numpy(np.int64)
+        bk = g["__bk"].to_numpy(np.int64)
+        seg_change = np.concatenate(
+            [[True], (np.diff(kc) != 0) | (np.diff(bk) != 0)])
+        seg_start = np.maximum.accumulate(
+            np.where(seg_change, np.arange(n), 0))
+        counts = np.arange(n) - seg_start  # preceding rows in segment
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(base)
+        ia = np.repeat(np.arange(n), counts)          # later-start row
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ib = (np.arange(total) - np.repeat(offs, counts)
+              + np.repeat(seg_start, counts))         # earlier-start row
+        keep = (e[ib] >= s[ia])                       # exact overlap
+        keep &= (s[ia] // bucket_us) == bk[ia]        # ownership bucket
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return pd.DataFrame(base)
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        ov = np.minimum(e[ia], e[ib]) - s[ia]
+        return pd.DataFrame({key_col: g[key_col].to_numpy()[ia],
+                             "id_a": lo, "id_b": hi, "overlap_us": ov})
+
+    rep = ds.map_batches(bucketize, batch_format="pandas")
+    return rep.groupby("__shard").map_groups(pairs, batch_format="pandas")
+
+
 def cdf_drift(ds: "rd.Dataset", group_col: str, val_col: str,
               lo: float, hi: float, n_bins: int = 50) -> pd.DataFrame:
     """Per-group distribution drift vs the whole corpus: the

@@ -1319,3 +1319,48 @@ def test_snapshot_diff_cdc(ray_session, tmp_path):
     # identical snapshots diff to empty without reading a byte
     empty = snapshot_diff(a, a, "k", n_buckets=8).to_pandas()
     assert len(empty) == 0
+
+
+def test_interval_self_join_exact(ray_session):
+    """Hand-computable overlaps incl. an interval spanning many buckets,
+    bucket-boundary pairs, touching endpoints (inclusive), and key
+    separation; brute-force cross-check."""
+    from credit_ocr_backend_ray.stages.relational import interval_self_join
+
+    rows = [
+        # key, id, start_s, end_s
+        ("k1", 1, 0, 10),
+        ("k1", 2, 5, 15),       # overlaps 1
+        ("k1", 3, 15, 20),      # touches 2 at 15 (inclusive)
+        ("k1", 4, 100, 400),    # long: spans several 60s buckets
+        ("k1", 5, 350, 360),    # inside 4's tail
+        ("k1", 6, 401, 410),    # NOT overlapping 4
+        ("k2", 7, 0, 10),       # other key: no cross pairs
+    ]
+    df = pd.DataFrame({
+        "k": [r[0] for r in rows],
+        "id": [r[1] for r in rows],
+        "s": pd.to_datetime([r[2] for r in rows], unit="s"),
+        "e": pd.to_datetime([r[3] for r in rows], unit="s"),
+    })
+    out = (interval_self_join(_ds(df), "k", "id", "s", "e",
+                              bucket_us=60_000_000, n_shards=4)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    got = set(zip(out["id_a"], out["id_b"]))
+    # brute force
+    expect = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3]:
+                expect.add((min(a[1], b[1]), max(a[1], b[1])))
+    assert got == expect == {(1, 2), (2, 3), (4, 5)}
+    ov = dict(zip(zip(out["id_a"], out["id_b"]), out["overlap_us"]))
+    assert ov[(1, 2)] == 5_000_000 and ov[(2, 3)] == 0
+    assert ov[(4, 5)] == 10_000_000
+
+    with pytest.raises(Exception, match="raise bucket_us"):
+        long_df = df.assign(e=df["s"] + pd.Timedelta(days=300))
+        (interval_self_join(_ds(long_df), "k", "id", "s", "e",
+                            bucket_us=60_000_000).to_pandas())
