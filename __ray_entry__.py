@@ -842,6 +842,30 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_price_quantiles_kll(sf_dir: str):
+    """Range-FREE approximate quantiles via a deterministic KLL sketch
+    (stages/sketch.py: KLLSketch) — the 100 TB path when value ranges
+    are unknown before the scan (approx_quantile's fixed grid needs a
+    [lo, hi] prior). One ~4 KB sketch per batch crosses the shuffle;
+    rank error ~1/256, pinned vs exact quantiles in tests. Rows-only
+    (approximate by design); asserted in-line within 2% rank of the
+    exact values."""
+    from credit_ocr_backend_ray.stages.sketch import kll_quantiles
+
+    ds = _rp(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    out = kll_quantiles(ds, "o_totalprice",
+                        {"p25": 0.25, "p50": 0.5, "p75": 0.75,
+                         "p99": 0.99})
+    exact = np.sort(pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_totalprice"]
+    )["o_totalprice"].to_numpy())
+    for alias, q in (("p25", .25), ("p50", .5), ("p75", .75),
+                     ("p99", .99)):
+        rank = np.searchsorted(exact, out[alias].iloc[0]) / len(exact)
+        assert abs(rank - q) < 0.02, (alias, rank)
+    return out.round(2)
+
+
 def _events_alt_format(sf_dir: str, fmt: str) -> str:
     """Cache events(event_type, value) as JSONL / CSV under /tmp — the
     alternate-source ingestion path (reference S-family covers only blob
@@ -3576,6 +3600,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_merged": _q_orders_merged,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "order_interval_overlaps": _q_order_interval_overlaps,
+        "price_quantiles_kll": _q_price_quantiles_kll,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,

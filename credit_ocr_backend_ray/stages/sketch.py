@@ -441,3 +441,125 @@ def bloom_semi_join(ds: "rd.Dataset", keys_ds: "rd.Dataset", on: str,
     from credit_ocr_backend_ray.stages.relational import semi_join_cogroup
     survivors = ds.map_batches(prefilter, batch_format="pyarrow")
     return semi_join_cogroup(survivors, keys_ds, on, right_on)
+
+
+# ------------------------------------------------------------- KLL sketch
+
+_KLL_K = 256  # base level capacity; rank error ~1/K in practice
+
+
+class KLLSketch:
+    """Range-free mergeable quantile sketch (Karnin-Lang-Liberty shape,
+    deterministic variant): level h holds items of weight 2^h; a full
+    level sorts and promotes alternating items to h+1, with the kept
+    parity alternating per compaction (the reproducible stand-in for
+    KLL's random coin — rank error stays ~1/k on real data, pinned by
+    tests, while runs stay bit-identical, which the oracle/rerun
+    contract here requires). Unlike ``approx_quantile``'s fixed-grid
+    histogram, NO [lo, hi] range is needed up front — the 100 TB case
+    where value ranges are unknown before the scan.
+
+    Capacity schedule: a fixed per-level cap of k (the simple KLL
+    variant); memory is O(k log(n/k)) float64s, a few KB at any corpus
+    size."""
+
+    def __init__(self, k: int = _KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._flips = 0
+
+    def _compact_level(self, h: int) -> None:
+        buf = np.sort(self.levels[h])
+        keep_from = self._flips & 1
+        self._flips += 1
+        promoted = buf[keep_from::2]
+        left = buf[1 - keep_from::2][: (len(buf) % 2)]
+        # odd leftover item stays at level h (weight must not change)
+        self.levels[h] = left
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, np.float64))
+        self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+
+    def _cascade(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self.k:
+                self._compact_level(h)
+            h += 1
+
+    def update(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._cascade()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for h, buf in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.n += other.n
+        self._flips += other._flips  # keep parity state deterministic
+        self._cascade()
+        return self
+
+    def quantile(self, q: float) -> float:
+        items = np.concatenate(self.levels)
+        weights = np.concatenate([
+            np.full(len(buf), 1 << h, np.float64)
+            for h, buf in enumerate(self.levels)])
+        if not len(items):
+            return float("nan")
+        order = np.argsort(items, kind="mergesort")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        return float(items[np.searchsorted(cum, target, side="left")])
+
+    def to_bytes(self) -> bytes:
+        import struct as _struct
+        head = _struct.pack("<qqq", self.n, self._flips, len(self.levels))
+        sizes = np.array([len(b) for b in self.levels], np.int64)
+        return (head + sizes.tobytes()
+                + np.concatenate(self.levels).tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int = _KLL_K) -> "KLLSketch":
+        import struct as _struct
+        n, flips, nlev = _struct.unpack_from("<qqq", data, 0)
+        sizes = np.frombuffer(data, np.int64, nlev, 24)
+        flat = np.frombuffer(data, np.float64, int(sizes.sum()),
+                             24 + 8 * nlev)
+        s = cls(k)
+        s.n, s._flips = int(n), int(flips)
+        s.levels = []
+        off = 0
+        for sz in sizes:
+            s.levels.append(flat[off:off + int(sz)].copy())
+            off += int(sz)
+        return s
+
+
+def kll_quantiles(ds: "rd.Dataset", col: str,
+                  qs: dict[str, float]) -> pd.DataFrame:
+    """Range-free approximate quantiles: one KLL sketch per batch (a few
+    KB each) crosses the shuffle, merged on the driver — same mergeable
+    shape as ``approx_quantile`` but with NO [lo, hi] prior. Rank error
+    ~1/256, pinned by tests against exact quantiles."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        return pa.table({"sk": pa.array([KLLSketch().update(v).to_bytes()],
+                                        pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc: KLLSketch | None = None
+    for b in parts["sk"]:
+        s = KLLSketch.from_bytes(b)
+        acc = s if acc is None else acc.merge(s)
+    if acc is None:
+        acc = KLLSketch()
+    return pd.DataFrame({alias: [acc.quantile(q)]
+                         for alias, q in qs.items()})

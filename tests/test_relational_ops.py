@@ -1364,3 +1364,31 @@ def test_interval_self_join_exact(ray_session):
         long_df = df.assign(e=df["s"] + pd.Timedelta(days=300))
         (interval_self_join(_ds(long_df), "k", "id", "s", "e",
                             bucket_us=60_000_000).to_pandas())
+
+
+def test_kll_sketch_rank_error_and_merge(ray_session):
+    """Range-free KLL: <=2% rank error at extreme and central quantiles
+    on uniform and heavy-tail data, through both the sequential-update
+    and the merge path, with deterministic serialization."""
+    from credit_ocr_backend_ray.stages.sketch import KLLSketch, kll_quantiles
+
+    rng = np.random.default_rng(13)
+    data = rng.lognormal(0, 2, 120_000)
+    parts = [KLLSketch().update(c) for c in np.array_split(data, 16)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    srt = np.sort(data)
+    for q in (0.01, 0.5, 0.99):
+        rank = np.searchsorted(srt, acc.quantile(q)) / len(srt)
+        assert abs(rank - q) < 0.02
+    rt = KLLSketch.from_bytes(acc.to_bytes())
+    assert rt.quantile(0.5) == acc.quantile(0.5) and rt.n == acc.n
+
+    # distributed path over a Dataset
+    df = pd.DataFrame({"v": rng.uniform(0, 100, 30_000)})
+    import ray.data as rd
+    out = kll_quantiles(rd.from_pandas(df).repartition(8), "v",
+                        {"p50": 0.5})
+    rank = (df["v"] < out["p50"].iloc[0]).mean()
+    assert abs(rank - 0.5) < 0.02
