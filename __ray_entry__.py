@@ -842,6 +842,31 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_doc_ticket_sample(sf_dir: str):
+    """Exact-size-k weighted sample without replacement via integer
+    ticket hashing (stages/relational.py: weighted_ticket_sample) —
+    length-weighted like weighted_doc_sample but with an EXACT sample
+    size; every value integer, so the oracle hash-matches with no float
+    drift."""
+    from credit_ocr_backend_ray.stages.relational import (
+        weighted_ticket_sample)
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return weighted_ticket_sample(ds, "doc_id", "n_chars", k=50)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (stages/similarity.py:
+    label_centroids): the vector-column aggregate — one (label,
+    sum-vector, count) partial per batch, vectors never shuffled row-
+    wise. Long form (label, dim_idx, centroid) pinned against DuckDB's
+    parallel-unnest mean."""
+    from credit_ocr_backend_ray.stages.similarity import label_centroids
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
 def _q_price_quantiles_kll(sf_dir: str):
     """Range-FREE approximate quantiles via a deterministic KLL sketch
     (stages/sketch.py: KLLSketch) — the 100 TB path when value ranges
@@ -3601,6 +3626,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "order_interval_overlaps": _q_order_interval_overlaps,
         "price_quantiles_kll": _q_price_quantiles_kll,
+        "label_centroids": _q_label_centroids,
+        "doc_ticket_sample": _q_doc_ticket_sample,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3760,6 +3787,38 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "doc_ticket_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       GREATEST(LEAST((n_chars + 499) // 500, 12), 1)
+                           AS wt
+                FROM documents
+            ), t AS (
+                SELECT w.doc_id,
+                       min(CAST(('0x' || substr(md5(
+                           CAST(w.doc_id AS VARCHAR) || '-' ||
+                           CAST(g.j AS VARCHAR) || '-wts1'), 1, 8))
+                           AS UBIGINT)) AS pri
+                FROM w CROSS JOIN (SELECT CAST(range AS BIGINT) AS j
+                                   FROM range(0, 12)) g
+                WHERE g.j < w.wt
+                GROUP BY w.doc_id
+            )
+            SELECT doc_id, CAST(pri AS BIGINT) AS pri
+            FROM t ORDER BY pri, doc_id LIMIT 50
+        """,
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       unnest(range(len(embedding))) AS dim_idx,
+                       unnest(embedding) AS e
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim_idx AS BIGINT) AS dim_idx,
+                   round(avg(CAST(e AS DOUBLE)), 6) + 0.0 AS centroid
+            FROM u GROUP BY label, dim_idx
         """,
         "order_interval_overlaps": """
             WITH iv AS (

@@ -1133,6 +1133,44 @@ def grouping_sets_agg(ds: "rd.Dataset", keys: Sequence[str],
     return out
 
 
+def weighted_ticket_sample(ds: "rd.Dataset", id_col: str,
+                           weight_col: str, k: int,
+                           max_tickets: int = 12,
+                           ticket_unit: int = 500,
+                           salt: str = "wts1") -> pd.DataFrame:
+    """EXACT-size-k weighted sample without replacement, deterministic
+    and engine-independent: each row holds ``w = clip(ceil(weight /
+    ticket_unit), 1, max_tickets)`` integer TICKETS, each an independent
+    md5 of (id, ticket#, salt); the row's priority is its minimum ticket
+    and the sample is the k globally smallest priorities (tie-break id).
+    More tickets -> stochastically smaller minimum -> inclusion
+    probability rises with weight, with NO floats anywhere (the
+    ``weighted_bernoulli_sample`` sibling trades exact size for exact
+    inclusion probability; this trades the reverse). Distributed shape:
+    per-batch local top-k prune (a global winner is a local winner in
+    its batch), tiny candidate pool sorts driver-side — shuffle volume
+    k x batches. Returns (id, pri) sorted by (pri, id)."""
+    import hashlib
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        wts = np.clip(-(-b[weight_col].to_numpy(np.int64) // ticket_unit),
+                      1, max_tickets)
+        pri = np.empty(len(ids), dtype=np.int64)
+        for i, (d, w) in enumerate(zip(ids, wts)):
+            pri[i] = min(
+                int(hashlib.md5(f"{d}-{j}-{salt}".encode())
+                    .hexdigest()[:8], 16)
+                for j in range(int(w)))
+        out = pd.DataFrame({id_col: ids, "pri": pri})
+        return out.nsmallest(k, ["pri", id_col])
+
+    pool = (ds.map_batches(local_topk, batch_format="pandas")
+              .to_pandas())
+    return (pool.sort_values(["pri", id_col]).head(k)
+                .reset_index(drop=True))
+
+
 def interval_self_join(ds: "rd.Dataset", key_col: str, id_col: str,
                        s_col: str, e_col: str, bucket_us: int,
                        n_shards: int = 64,

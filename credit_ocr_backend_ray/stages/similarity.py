@@ -433,6 +433,43 @@ def knn_ivf_persisted(index_dir: str, queries: np.ndarray, k: int = 10,
               .reset_index(drop=True))
 
 
+def label_centroids(ds: "rd.Dataset", key_col: str = "label",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """Per-label mean embedding (class centroids — the prototype vectors
+    of retrieval/cluster-quality checks), combiner-shaped for a vector
+    column: each batch emits ONE (label, sum-vector, count) partial row
+    (the sum rides as raw float64 bytes, so shuffle volume is
+    labels x batches x dim — never the vectors), folded on the driver
+    (labels are an enum, the frame is tiny). Output long form
+    (label, dim_idx, centroid) rounded to 6 decimals (+0.0 normalizes
+    IEEE -0.0), matching the SQL unnest oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        vecs = _as_matrix(t[vec_col])
+        labels = np.asarray(t[key_col].to_pylist(), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, vecs)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(uniq, pa.int64()),
+            "__sum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            "__n": pa.array(counts, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lbl, g in parts.groupby(key_col):
+        acc = None
+        for b in g["__sum"]:
+            v = np.frombuffer(b, dtype=np.float64)
+            acc = v.copy() if acc is None else acc + v
+        cent = acc / g["__n"].sum()
+        for i, c in enumerate(cent):
+            rows.append((int(lbl), i, round(float(c), 6) + 0.0))
+    return (pd.DataFrame(rows, columns=[key_col, "dim_idx", "centroid"])
+            .sort_values([key_col, "dim_idx"]).reset_index(drop=True))
+
+
 def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        bits: int | None = None, n_bands: int = 4,

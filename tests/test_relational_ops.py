@@ -1392,3 +1392,20 @@ def test_kll_sketch_rank_error_and_merge(ray_session):
                         {"p50": 0.5})
     rank = (df["v"] < out["p50"].iloc[0]).mean()
     assert abs(rank - 0.5) < 0.02
+
+
+def test_weighted_ticket_sample_properties(ray_session):
+    """Exact size k; higher weight raises inclusion; deterministic
+    across block layouts (the engine-independence contract)."""
+    from credit_ocr_backend_ray.stages.relational import (
+        weighted_ticket_sample)
+
+    df = pd.DataFrame({"id": np.arange(2000, dtype="int64"),
+                       "w": np.where(np.arange(2000) < 200, 6000, 500)})
+    out1 = weighted_ticket_sample(_ds(df), "id", "w", k=100)
+    out2 = weighted_ticket_sample(_ds(df).repartition(7), "id", "w",
+                                  k=100)
+    pd.testing.assert_frame_equal(out1, out2)  # layout-independent
+    assert len(out1) == 100 and out1["pri"].is_monotonic_increasing
+    heavy_rate = (out1["id"] < 200).mean() / (200 / 2000)
+    assert heavy_rate > 3  # 12x tickets -> strongly over-represented
