@@ -842,6 +842,29 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_priority_quantiles_kll(sf_dir: str):
+    """Per-priority range-free approximate quantiles (grouped KLL —
+    grouped_approx_quantile without its [lo, hi] prior). Rows-only
+    (approximate); asserted in-line within 2% rank of each group's
+    exact distribution."""
+    from credit_ocr_backend_ray.stages.sketch import grouped_kll_quantiles
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_kll_quantiles(ds, ["o_orderpriority"], "o_totalprice",
+                                {"p25": 0.25, "p50": 0.5, "p75": 0.75})
+    t = pq.read_table(_t(sf_dir, "orders"),
+                      columns=["o_orderpriority", "o_totalprice"]
+                      ).to_pandas()
+    for _, r in out.iterrows():
+        sub = np.sort(t.loc[t["o_orderpriority"] == r["o_orderpriority"],
+                            "o_totalprice"].to_numpy())
+        for alias, q in (("p25", .25), ("p50", .5), ("p75", .75)):
+            rank = np.searchsorted(sub, r[alias]) / len(sub)
+            assert abs(rank - q) < 0.02, (r["o_orderpriority"], alias)
+    return out.round(2)
+
+
 def _q_doc_ticket_sample(sf_dir: str):
     """Exact-size-k weighted sample without replacement via integer
     ticket hashing (stages/relational.py: weighted_ticket_sample) —
@@ -3628,6 +3651,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_kll": _q_price_quantiles_kll,
         "label_centroids": _q_label_centroids,
         "doc_ticket_sample": _q_doc_ticket_sample,
+        "priority_quantiles_kll": _q_priority_quantiles_kll,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,

@@ -563,3 +563,33 @@ def kll_quantiles(ds: "rd.Dataset", col: str,
         acc = KLLSketch()
     return pd.DataFrame({alias: [acc.quantile(q)]
                          for alias, q in qs.items()})
+
+
+def grouped_kll_quantiles(ds: "rd.Dataset", keys: Sequence[str], col: str,
+                          qs: dict[str, float]) -> pd.DataFrame:
+    """Per-key range-free approximate quantiles: one KLL sketch per
+    (key, batch) crosses the shuffle (~4 KB each, independent of row
+    count), merged per key on the driver (bounded-cardinality keys —
+    the same contract as ``grouped_approx_quantile``, minus its [lo, hi]
+    prior)."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in b.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            sk = KLLSketch().update(g[col].to_numpy(np.float64))
+            rows.append((*kv, sk.to_bytes()))
+        return pd.DataFrame(rows, columns=[*keys, "__sk"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for kv, g in parts.groupby(keys, sort=True, dropna=False):
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        acc: KLLSketch | None = None
+        for b in g["__sk"]:
+            s = KLLSketch.from_bytes(b)
+            acc = s if acc is None else acc.merge(s)
+        out.append((*kv, *[acc.quantile(q) for q in qs.values()]))
+    return (pd.DataFrame(out, columns=[*keys, *qs.keys()])
+            .reset_index(drop=True))
