@@ -842,6 +842,18 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Covariance matrix of the embedding dimensions (stages/
+    similarity.py: embedding_covariance): one X^T X partial per batch,
+    rows never shuffled — the PCA/whitening precursor, pinned against
+    DuckDB covar_pop over the self-joined unnest."""
+    from credit_ocr_backend_ray.stages.similarity import (
+        embedding_covariance)
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["embedding"])
+    return embedding_covariance(ds)
+
+
 def _q_priority_quantiles_kll(sf_dir: str):
     """Per-priority range-free approximate quantiles (grouped KLL —
     grouped_approx_quantile without its [lo, hi] prior). Rows-only
@@ -3652,6 +3664,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "doc_ticket_sample": _q_doc_ticket_sample,
         "priority_quantiles_kll": _q_priority_quantiles_kll,
+        "embedding_covariance": _q_embedding_covariance,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3811,6 +3824,20 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "embedding_covariance": """
+            WITH u AS (
+                SELECT vec_id,
+                       CAST(unnest(range(len(embedding))) AS BIGINT)
+                           AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS e
+                FROM embeddings
+            )
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   round(covar_pop(a.e, b.e), 6) + 0.0 AS cov
+            FROM u a JOIN u b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
         """,
         "doc_ticket_sample": """
             WITH w AS (

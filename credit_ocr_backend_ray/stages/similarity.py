@@ -470,6 +470,44 @@ def label_centroids(ds: "rd.Dataset", key_col: str = "label",
             .sort_values([key_col, "dim_idx"]).reset_index(drop=True))
 
 
+def embedding_covariance(ds: "rd.Dataset",
+                         vec_col: str = "embedding") -> pd.DataFrame:
+    """Population covariance matrix of the embedding dimensions — the
+    distributed linear-algebra partial every PCA/whitening/feature-drift
+    check starts from: each batch emits ONE (X^T X, column-sum, n)
+    partial (a dim x dim float64 block as raw bytes), the driver folds
+    the tiny partial set, and ``cov = XtX/n - mu mu^T``. Shuffle volume
+    is batches x dim^2 bytes, independent of row count; rows are never
+    shuffled. Output long form (dim_i, dim_j, cov) for i <= j, rounded
+    to 6 decimals (+0.0 normalizes IEEE -0.0) to match the SQL
+    covar_pop oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t[vec_col])
+        return pa.table({
+            "__xtx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+            "__s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+            "__n": pa.array([x.shape[0]], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    dim = len(np.frombuffer(parts["__s"].iloc[0], np.float64))
+    xtx = np.zeros((dim, dim), np.float64)
+    s = np.zeros(dim, np.float64)
+    n = 0
+    for bx, bs, bn in zip(parts["__xtx"], parts["__s"], parts["__n"]):
+        xtx += np.frombuffer(bx, np.float64).reshape(dim, dim)
+        s += np.frombuffer(bs, np.float64)
+        n += int(bn)
+    mu = s / n
+    cov = xtx / n - np.outer(mu, mu)
+    iu = np.triu_indices(dim)
+    return pd.DataFrame({
+        "dim_i": iu[0].astype(np.int64),
+        "dim_j": iu[1].astype(np.int64),
+        "cov": np.round(cov[iu], 6) + 0.0,
+    })
+
+
 def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        bits: int | None = None, n_bands: int = 4,
