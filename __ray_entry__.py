@@ -842,6 +842,38 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_doc_pii_redaction(sf_dir: str):
+    """PII scrubbing (stages/text.py: redact_pii): emails / IBANs /
+    international phone numbers replaced with typed tokens + removal
+    counts — the pre-training privacy gate. The synth corpus carries no
+    natural PII, so both sides PLANT it with identical expressions
+    (email on doc_id%3, IBAN on %4, phone on %5); what the oracle then
+    pins is the redaction itself — byte-identical regex replacement
+    (sha256 of the redacted text) and the per-type counts, python re vs
+    DuckDB RE2 on the shared patterns."""
+    from credit_ocr_backend_ray.stages.text import redact_pii
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        tx = b["text"].fillna("")
+        email = np.where(d % 3 == 0,
+                         " kontakt-" + d.astype(str) + "@firma-"
+                         + (d % 100).astype(str) + ".de", "")
+        iban = np.where(d % 4 == 0,
+                        " Konto DE" + (10 + d % 90).astype(str) + "0044"
+                        + (d % 1_000_000_000).astype(str).str.zfill(9)
+                        + "21", "")
+        phone = np.where(d % 5 == 0,
+                         " Tel +49 30 "
+                         + (1_000_000 + d % 9_000_000).astype(str), "")
+        return pd.DataFrame({"doc_id": d, "text": tx + email + iban
+                             + phone})
+
+    return redact_pii(ds.map_batches(plant, batch_format="pandas"))
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Covariance matrix of the embedding dimensions (stages/
     similarity.py: embedding_covariance): one X^T X partial per batch,
@@ -3665,6 +3697,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_ticket_sample": _q_doc_ticket_sample,
         "priority_quantiles_kll": _q_priority_quantiles_kll,
         "embedding_covariance": _q_embedding_covariance,
+        "doc_pii_redaction": _q_doc_pii_redaction,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3824,6 +3857,56 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "doc_pii_redaction": """
+            WITH p AS (
+                SELECT doc_id,
+                       COALESCE(text, '')
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                              ' kontakt-' || CAST(doc_id AS VARCHAR)
+                              || '@firma-'
+                              || CAST(doc_id % 100 AS VARCHAR) || '.de'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN
+                              ' Konto DE'
+                              || CAST(10 + doc_id % 90 AS VARCHAR)
+                              || '0044'
+                              || lpad(CAST(doc_id % 1000000000
+                                           AS VARCHAR), 9, '0') || '21'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                              ' Tel +49 30 '
+                              || CAST(1000000 + doc_id % 9000000
+                                      AS VARCHAR)
+                          ELSE '' END AS tx
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(tx,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS n_emails,
+                       regexp_replace(tx,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM p
+            ), s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1,
+                           '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b'))
+                           AS n_ibans,
+                       regexp_replace(t1,
+                           '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b',
+                           '<IBAN>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   sha256(regexp_replace(t2,
+                       '\\+[0-9]{2}[0-9 ]{7,14}[0-9]', '<PHONE>', 'g'))
+                       AS redacted_sha,
+                   n_emails, n_ibans,
+                   len(regexp_extract_all(t2,
+                       '\\+[0-9]{2}[0-9 ]{7,14}[0-9]')) AS n_phones
+            FROM s2
         """,
         "embedding_covariance": """
             WITH u AS (

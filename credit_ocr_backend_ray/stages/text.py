@@ -500,3 +500,50 @@ def normalize_text(ds: "rd.Dataset", col: str = "text",
         return t.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# PII patterns shared verbatim with the SQL oracle: RE2-compatible
+# syntax (no lookahead/backreference), leftmost-first alternation-free
+# shapes so python re and DuckDB RE2 produce identical replacements.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IBAN = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+PII_PHONE = r"\+[0-9]{2}[0-9 ]{7,14}[0-9]"
+
+
+def redact_pii(ds: "rd.Dataset", text_col: str = "text",
+               id_col: str = "doc_id") -> "rd.Dataset":
+    """PII scrubbing for training corpora: replace emails, IBANs, and
+    international phone numbers with typed placeholder tokens and count
+    what was removed — the pre-training privacy gate. Stateless
+    map_batches; patterns compile once per worker process (module
+    constants). Replacement ORDER is part of the contract (email ->
+    IBAN -> phone: an email's host must not be re-matched, placeholders
+    contain no digits so later passes can't touch earlier redactions).
+    Output: (id, redacted, n_emails, n_ibans, n_phones)."""
+    import hashlib
+    import re as _re
+
+    pats = [(_re.compile(PII_EMAIL), "<EMAIL>"),
+            (_re.compile(PII_IBAN), "<IBAN>"),
+            (_re.compile(PII_PHONE), "<PHONE>")]
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        out_txt, counts = [], [[], [], []]
+        for s in t[text_col].to_pylist():
+            s = s or ""
+            for k, (pat, tok) in enumerate(pats):
+                s, n = pat.subn(tok, s)
+                counts[k].append(n)
+            out_txt.append(s)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "redacted_sha": pa.array(
+                [hashlib.sha256(s.encode("utf-8")).hexdigest()
+                 for s in out_txt], pa.string()),
+            "n_emails": pa.array(counts[0], pa.int64()),
+            "n_ibans": pa.array(counts[1], pa.int64()),
+            "n_phones": pa.array(counts[2], pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

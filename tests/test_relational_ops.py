@@ -1409,3 +1409,25 @@ def test_weighted_ticket_sample_properties(ray_session):
     assert len(out1) == 100 and out1["pri"].is_monotonic_increasing
     heavy_rate = (out1["id"] < 200).mean() / (200 / 2000)
     assert heavy_rate > 3  # 12x tickets -> strongly over-represented
+
+
+def test_redact_pii_exact(ray_session):
+    from credit_ocr_backend_ray.stages.text import redact_pii
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "write to max.muster+x@bank-intern.de or call +49 30 1234567",
+            "IBAN DE44500105175407324931 pays, DE12 not (too short)",
+            "no pii here",
+        ]})
+    out = (redact_pii(_ds(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 1
+    assert out.loc[1, "n_ibans"] == 1 and out.loc[1, "n_emails"] == 0
+    assert out.loc[2, ["n_emails", "n_ibans", "n_phones"]].sum() == 0
+    # the redacted text is what got hashed — recompute one
+    import hashlib
+    red = ("write to <EMAIL> or call <PHONE>")
+    assert out.loc[0, "redacted_sha"] == hashlib.sha256(
+        red.encode()).hexdigest()
