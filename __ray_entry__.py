@@ -1304,6 +1304,38 @@ def _q_annotation_render(sf_dir: str):
     return imgs.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_annotation_augmented(sf_dir: str):
+    """Deterministic training-time image augmentation over the rendered
+    annotation pages (stages/multimodal.py: ImageAugmenter): md5-driven
+    flip / corner-crop / integer brightness per row, byte-identical
+    across reruns (per-epoch salt). Rows-only; pixel semantics pinned in
+    tests."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.multimodal import (
+        ImageAugmenter, PageRenderer)
+
+    ds = (_rp(_flagship_output(sf_dir), columns=["url", "fields"])
+          .sort("url").limit(24))
+    imgs = ds.map_batches(PageRenderer, batch_format="pyarrow",
+                          batch_size=8, concurrency=2)
+    aug = imgs.map_batches(ImageAugmenter, batch_format="pyarrow",
+                           batch_size=8, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["augmented"].to_pylist()
+        return pa.table({
+            "url": t["url"],
+            "aug_ops": t["aug_ops"],
+            "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "sha256": pa.array([hashlib.sha256(b).hexdigest()
+                                for b in blobs], pa.string()),
+        })
+
+    return aug.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_annotation_thumbnails(sf_dir: str):
     import hashlib
     import pyarrow as pa
@@ -3754,6 +3786,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "annotation_plans": _q_annotation_plans,
         "annotation_render": _q_annotation_render,
         "annotation_thumbnails": _q_annotation_thumbnails,
+        "annotation_augmented": _q_annotation_augmented,
         "pdf_extract_pairs": _q_pdf_extract_pairs,
         "raster_extract_pairs": _q_raster_extract_pairs,
         "mixed_channel_extract": _q_mixed_channel_extract,

@@ -250,6 +250,92 @@ class ThumbnailMaker:
         return out.append_column("error", pa.array(errs, pa.string()))
 
 
+def _image_to_array(data: bytes):
+    """Sniffing decode to (h, w, 3) uint8 + a format tag ('png'|'ppm')."""
+    import numpy as np
+
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        from credit_ocr_backend_ray.functions.png import decode_png
+        return decode_png(data), "png"
+    w, h, px = parse_ppm(data)
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3), "ppm"
+
+
+def _array_to_image(arr, fmt: str) -> bytes:
+    if fmt == "png":
+        from credit_ocr_backend_ray.functions.png import encode_png
+        return encode_png(arr)
+    header = f"P6\n{arr.shape[1]} {arr.shape[0]}\n255\n".encode("ascii")
+    return header + arr.tobytes()
+
+
+class ImageAugmenter:
+    """Actor-pool stage: DETERMINISTIC training-time image augmentation —
+    per row the md5 of its id column draws (a) horizontal flip, (b) one
+    of 4 corner/center crops to ``crop_frac`` of each side, (c) a
+    brightness scale from {-20%, -10%, 0, +10%, +20%} applied in integer
+    math — so reruns and resumes produce byte-identical augmented
+    tensors (the reproducibility requirement of a training data loader;
+    vary the salt per epoch for fresh draws). Real pixel compute over
+    PNG/PPM; unknown formats raise per row into ``error`` (poison-pill
+    isolation, the ThumbnailMaker policy)."""
+
+    def __init__(self, id_col: str = "url", col: str = "annotation",
+                 crop_frac: float = 0.875, salt: str = "aug-e0"):
+        self.id_col = id_col
+        self.col = col
+        self.crop_frac = crop_frac
+        self.salt = salt
+
+    def _augment(self, data: bytes, key: str) -> tuple[bytes, str]:
+        import hashlib
+
+        import numpy as np
+
+        h64 = int.from_bytes(
+            hashlib.md5(f"{key}-{self.salt}".encode()).digest()[:8],
+            "big")
+        arr, fmt = _image_to_array(data)
+        ops = []
+        if h64 & 1:
+            arr = arr[:, ::-1]
+            ops.append("hflip")
+        hh, ww = arr.shape[:2]
+        ch, cw = int(hh * self.crop_frac), int(ww * self.crop_frac)
+        corner = (h64 >> 1) % 4
+        oy = 0 if corner < 2 else hh - ch
+        ox = 0 if corner % 2 == 0 else ww - cw
+        arr = arr[oy:oy + ch, ox:ox + cw]
+        ops.append(f"crop{corner}")
+        bright = ((h64 >> 3) % 5) - 2  # -2..2 -> +-20%
+        if bright:
+            arr = np.clip(arr.astype(np.int32) * (10 + bright) // 10,
+                          0, 255).astype(np.uint8)
+            ops.append(f"bright{bright}")  # no '+' sign: '+' is the op joiner
+        return _array_to_image(np.ascontiguousarray(arr), fmt), \
+            "+".join(ops)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_img: list[bytes | None] = []
+        out_ops: list[str | None] = []
+        errs: list[str | None] = []
+        for key, b in zip(batch[self.id_col].to_pylist(),
+                          batch[self.col].to_pylist()):
+            try:
+                img, ops = self._augment(b, str(key))
+                out_img.append(img)
+                out_ops.append(ops)
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — per-row capture
+                out_img.append(None)
+                out_ops.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        out = batch.drop_columns([self.col])
+        out = out.append_column("augmented", pa.array(out_img, pa.binary()))
+        out = out.append_column("aug_ops", pa.array(out_ops, pa.string()))
+        return out.append_column("error", pa.array(errs, pa.string()))
+
+
 def split_ppm_stream(data: bytes) -> list[bytes]:
     """Split a concatenated-P6 stream (our codec-free stand-in for a video
     container) into frames using header-declared lengths — O(frames)."""

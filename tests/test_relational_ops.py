@@ -1431,3 +1431,42 @@ def test_redact_pii_exact(ray_session):
     red = ("write to <EMAIL> or call <PHONE>")
     assert out.loc[0, "redacted_sha"] == hashlib.sha256(
         red.encode()).hexdigest()
+
+
+def test_image_augmenter_deterministic_pixels(ray_session):
+    import numpy as np
+    from credit_ocr_backend_ray.functions.png import decode_png, encode_png
+    from credit_ocr_backend_ray.stages.multimodal import ImageAugmenter
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    png = encode_png(arr)
+    aug = ImageAugmenter(id_col="url", col="img", crop_frac=0.875)
+    import pyarrow as pa
+    batch = pa.table({"url": ["u1", "u1", "poison"],
+                      "img": [png, png, b"JFIF-garbage"]})
+    out = aug(batch)
+    # deterministic: same id -> same bytes; poison row captured per-row
+    assert out["augmented"][0].as_py() == out["augmented"][1].as_py()
+    assert out["error"][2].as_py() is not None
+    # reproduce the declared ops by hand and compare pixels
+    ops = out["aug_ops"][0].as_py().split("+")
+    got = decode_png(out["augmented"][0].as_py())
+    ref = arr
+    if "hflip" in ops:
+        ref = ref[:, ::-1]
+    ch, cw = int(64 * 0.875), int(80 * 0.875)
+    corner = int(next(o for o in ops if o.startswith("crop"))[4:])
+    oy = 0 if corner < 2 else 64 - ch
+    ox = 0 if corner % 2 == 0 else 80 - cw
+    ref = ref[oy:oy + ch, ox:ox + cw]
+    b = next((o for o in ops if o.startswith("bright")), None)
+    if b:
+        ref = np.clip(ref.astype(np.int32) * (10 + int(b[6:])) // 10,
+                      0, 255).astype(np.uint8)
+    assert (got == ref).all()
+    # a different salt (epoch) draws a different augmentation for >=1 id
+    aug2 = ImageAugmenter(id_col="url", col="img", salt="aug-e1")
+    out2 = aug2(batch)
+    assert (out2["aug_ops"][0].as_py() != out["aug_ops"][0].as_py()
+            or out2["augmented"][0].as_py() != out["augmented"][0].as_py())
