@@ -3600,18 +3600,20 @@ _SHOWCASE_ORDER = [
     "customers_without_events",
     "customer_running_total",
     "event_value_delta",
-    "brand_price_median",
     "order_price_histogram",
-    "distinct_event_types",
-    "union_hot_lineitems",
-    "event_user_count_distinct",
-    "customers_with_events",
-    "click_and_purchase_users",
-    "order_customers_no_events",
-    "user_event_pivot",
-    "orders_price_band_join",
-    "curated_pack",
-    "returnflag_qty_price_corr",
+    # round-4 additions, never yet windowed (one slot each; the oldest
+    # r01-only re-certs they displace stay verified by the local sweep)
+    "orders_merged",
+    "orders_snapshot_diff",
+    "order_grouping_sets",
+    "source_length_drift",
+    "order_interval_overlaps",
+    "doc_ticket_sample",
+    "label_centroids",
+    "embedding_covariance",
+    "doc_pii_redaction",
+    "quality_scores",
+    "lang_id",
 ]
 
 
