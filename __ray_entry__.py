@@ -842,6 +842,53 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_epoch_packed_sequences(sf_dir: str):
+    """EPOCH-SHUFFLED sequence packing — the per-epoch training-loader
+    order: every document gets a deterministic 60-bit md5 epoch key and
+    pack_sequences runs with that key as the id, so the documents
+    concatenate in reshuffled-but-reproducible order (change the epoch
+    salt for the next epoch; no random state, resumes bit-identical).
+    The distributed prefix sum shards by ekey ranges (hash keys are
+    uniform, so shards are balanced by construction). Output joins
+    doc_id back on via one hash join."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.chunking import pack_sequences
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        ek = [int(hashlib.md5(f"{d}-ep1".encode()).hexdigest()[:15], 16)
+              for d in ids]
+        return pa.table({
+            "ekey": pa.array(ek, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": t["text"],
+        }).replace_schema_metadata(None)
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    packed = pack_sequences(keyed_ds, budget=512,
+                            shard_width=(1 << 60) // 1024,
+                            id_col="ekey")
+    ids_map = keyed_ds.select_columns(["ekey", "doc_id"])
+    out = packed.join(ids_map, join_type="inner", num_partitions=8,
+                      on=("ekey",))
+    return out.select_columns(["doc_id", "ekey", "n_tokens", "pack_id",
+                               "pack_offset"])
+
+
+def _q_bigram_lift(sf_dir: str):
+    """Top collocations by LIFT (stages/text.py: bigram_lift) — the
+    association-strength ranking (positional marginals), integer-exact
+    micro-units. Contrast with top_bigrams' raw counts."""
+    from credit_ocr_backend_ray.stages.text import bigram_lift
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
+    return bigram_lift(ds, k=30, min_count=5)
+
+
 def _q_doc_pii_redaction(sf_dir: str):
     """PII scrubbing (stages/text.py: redact_pii): emails / IBANs /
     international phone numbers replaced with typed tokens + removal
@@ -3732,6 +3779,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "priority_quantiles_kll": _q_priority_quantiles_kll,
         "embedding_covariance": _q_embedding_covariance,
         "doc_pii_redaction": _q_doc_pii_redaction,
+        "bigram_lift": _q_bigram_lift,
+        "epoch_packed_sequences": _q_epoch_packed_sequences,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3892,6 +3941,48 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "epoch_packed_sequences": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || '-ep1'), 1, 15)) AS BIGINT) AS ekey,
+                       len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS nt
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, ekey, nt,
+                       COALESCE(sum(nt) OVER (
+                           ORDER BY ekey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM toks)
+            SELECT doc_id, ekey, nt AS n_tokens,
+                   CAST(cb // 512 AS BIGINT) AS pack_id,
+                   CAST(cb % 512 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        "bigram_lift": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            bg AS (
+                SELECT t[i] AS w1, t[i+1] AS w2
+                FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+                WHERE len(t) >= 2),
+            c AS (
+                SELECT w1, w2, count(*) AS n FROM bg
+                WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+            tot AS (SELECT sum(n) AS bign FROM c),
+            mx AS (SELECT w1, sum(n) AS nx FROM c GROUP BY w1),
+            my AS (SELECT w2, sum(n) AS ny FROM c GROUP BY w2)
+            SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+                   CAST(c.n * 1000000 * (SELECT bign FROM tot)
+                        // (mx.nx * my.ny) AS BIGINT) AS lift_micro
+            FROM c JOIN mx USING (w1) JOIN my USING (w2)
+            WHERE c.n >= 5
+            ORDER BY lift_micro DESC, w1 ASC, w2 ASC LIMIT 30
         """,
         "doc_pii_redaction": """
             WITH p AS (

@@ -547,3 +547,67 @@ def redact_pii(ds: "rd.Dataset", text_col: str = "text",
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def bigram_lift(ds, k: int = 30, min_count: int = 5,
+                text_col: str = "text"):
+    """Top-k collocations by LIFT — ``N * n(w1,w2) / (n(w1,*) * n(*,w2))``
+    with positional marginals — the association measure that surfaces
+    genuinely bound pairs instead of pairs of frequent words (raw-count
+    top_bigrams' failure mode). Integer-exact: lift is reported in
+    floor-divided micro-units computed with arbitrary-precision Python
+    ints (n * 1e6 * N overflows int64 at web scale; the frame it runs
+    on is the min_count-filtered bigram table, already reduced).
+
+    Shape: the distributed bigram count materializes ONCE (it feeds
+    three consumers: both marginals and the main stream — without the
+    materialize each would re-run the corpus scan), marginals are
+    grouped sums of that table, two hash joins attach them, and the
+    driver folds only the bounded filtered frame for the final exact
+    arithmetic + top-k."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if not txt:
+                continue
+            toks = [tok for tok in ws.split(txt.strip()) if tok]
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([p[0] for p in c], pa.string()),
+            "w2": pa.array([p[1] for p in c], pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"__pn": "n"}, count_alias="__nb"
+    ).drop_columns(["__nb"]).map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow").materialize()
+
+    big_n = int(counts.sum("n"))
+    m1 = grouped_agg(counts, ["w1"], {"n": "nx"}, count_alias=None)
+    m2 = grouped_agg(counts, ["w2"], {"n": "ny"}, count_alias=None)
+    filtered = counts.filter(expr=f"n >= {min_count}")
+    joined = (filtered.join(m1, join_type="inner", num_partitions=8,
+                            on=("w1",))
+                      .join(m2, join_type="inner", num_partitions=8,
+                            on=("w2",))
+                      .to_pandas())
+    lifts = [
+        (int(r.n) * 1_000_000 * big_n) // (int(r.nx) * int(r.ny))
+        for r in joined.itertuples(index=False)]
+    joined["lift_micro"] = pd.array(lifts, dtype="int64")
+    return (joined.sort_values(["lift_micro", "w1", "w2"],
+                               ascending=[False, True, True])
+            .head(k)[["w1", "w2", "n", "lift_micro"]]
+            .reset_index(drop=True))
