@@ -856,23 +856,34 @@ def _q_epoch_packed_sequences(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.chunking import pack_sequences
 
-    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    def _ekeys(ids: list) -> list[int]:
+        return [int(hashlib.md5(f"{d}-ep1".encode()).hexdigest()[:15], 16)
+                for d in ids]
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        ek = [int(hashlib.md5(f"{d}-ep1".encode()).hexdigest()[:15], 16)
-              for d in ids]
         return pa.table({
-            "ekey": pa.array(ek, pa.int64()),
-            "doc_id": pa.array(ids, pa.int64()),
+            "ekey": pa.array(_ekeys(ids), pa.int64()),
             "text": t["text"],
         }).replace_schema_metadata(None)
 
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    def key_map(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "ekey": pa.array(_ekeys(ids), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }).replace_schema_metadata(None)
+
+    # two independent column-pruned streams: the packing consumes texts
+    # ONCE (pack_sequences bounds its own counts pass); the id map
+    # re-reads only the doc_id column — never a materialize of the texts
+    keyed_ds = (_rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+                .map_batches(keyed, batch_format="pyarrow"))
     packed = pack_sequences(keyed_ds, budget=512,
                             shard_width=(1 << 60) // 1024,
                             id_col="ekey")
-    ids_map = keyed_ds.select_columns(["ekey", "doc_id"])
+    ids_map = (_rp(_t(sf_dir, "documents"), columns=["doc_id"])
+               .map_batches(key_map, batch_format="pyarrow"))
     out = packed.join(ids_map, join_type="inner", num_partitions=8,
                       on=("ekey",))
     return out.select_columns(["doc_id", "ekey", "n_tokens", "pack_id",
