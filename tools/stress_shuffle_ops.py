@@ -161,6 +161,38 @@ def stress_triangles(n_nodes: int = 200_000, m_attach: int = 5) -> dict:
             "clique_floor": 34220, "ok": n_tri >= 34220}
 
 
+def stress_interval(n_rows: int = 1_000_000, hot: int = 5_000) -> dict:
+    """~sf1 intervals (1M rows over 7 days, lengths 0-60 s, 20 keys) +
+    a hot burst of 5k same-key intervals starting at one instant (the
+    quadratic cell: ~12.5M pairs from the burst alone). Exercises
+    interval_self_join's replication + later-start-bucket ownership
+    under skew."""
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import interval_self_join
+
+    rng = np.random.default_rng(23)
+    t0 = pd.Timestamp("2025-01-01").value // 1000
+    span_us = 7 * 24 * 3600 * 1_000_000
+    s_off = rng.integers(0, span_us, n_rows - hot)
+    s_off = np.concatenate([s_off, np.full(hot, span_us // 3)])
+    length = rng.integers(0, 60_000_000, n_rows)
+    keys = rng.integers(0, 20, n_rows)
+    keys[-hot:] = 7  # the burst shares one key
+    df = pd.DataFrame({
+        "k": [f"k{v}" for v in keys],
+        "iid": np.arange(n_rows, dtype=np.int64),
+        "s": pd.to_datetime((t0 + s_off) * 1000),
+        "e": pd.to_datetime((t0 + s_off + length) * 1000),
+    })
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t1 = time.perf_counter()
+    n_pairs = interval_self_join(ds, "k", "iid", "s", "e",
+                                 bucket_us=120_000_000).count()
+    wall = round(time.perf_counter() - t1, 2)
+    assert n_pairs >= hot * (hot - 1) // 2
+    return {"wall_s_inner": wall, "pairs": n_pairs}
+
+
 def main() -> int:
     import logging
 
@@ -176,7 +208,8 @@ def main() -> int:
             timed("triangle_count_1M_edges", stress_triangles),
             timed("time_band_join_1M_hotkey", stress_time_band),
             timed("edit1_join_100k_const_prefix", stress_edit1),
-            timed("zorder_box_scan_2M", stress_zorder)]
+            timed("zorder_box_scan_2M", stress_zorder),
+            timed("interval_join_1M_hotburst5k", stress_interval)]
     ray.shutdown()
 
     if "--append-baseline" in sys.argv:
