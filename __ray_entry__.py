@@ -842,6 +842,28 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_orders_quality_rules(sf_dir: str):
+    """Deequ/dbt-style data-quality gate over orders (stages/
+    relational.py: validate_rules): not-null, inclusive range,
+    full-match regex, and uniqueness checks — row-local rules share ONE
+    combiner pass, uniqueness is the one grouped pass. The range rule
+    is deliberately tight so violations are non-zero."""
+    from credit_ocr_backend_ray.stages.relational import validate_rules
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderpriority"])
+    return validate_rules(ds, [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "in_range", "col": "o_totalprice",
+         "lo": 1000.0, "hi": 300000.0},
+        {"rule": "regex", "col": "o_orderpriority",
+         "pattern": r"[1-5]-[A-Z]+"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "unique", "col": "o_custkey"},
+    ])
+
+
 def _q_epoch_packed_sequences(sf_dir: str):
     """EPOCH-SHUFFLED sequence packing — the per-epoch training-loader
     order: every document gets a deterministic 60-bit md5 epoch key and
@@ -3792,6 +3814,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redaction": _q_doc_pii_redaction,
         "bigram_lift": _q_bigram_lift,
         "epoch_packed_sequences": _q_epoch_packed_sequences,
+        "orders_quality_rules": _q_orders_quality_rules,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,
@@ -3952,6 +3975,35 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_range_scan": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice BETWEEN 100000 AND 300000
+        """,
+        "orders_quality_rules": """
+            SELECT 0 AS rule_id, 'not_null' AS rule,
+                   'o_custkey' AS col,
+                   count(*) FILTER (WHERE o_custkey IS NULL)
+                       AS n_violations,
+                   count(*) AS n_rows
+            FROM orders
+            UNION ALL
+            SELECT 1, 'in_range', 'o_totalprice',
+                   count(*) FILTER (WHERE o_totalprice IS NULL
+                       OR o_totalprice < 1000.0
+                       OR o_totalprice > 300000.0),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 2, 'regex', 'o_orderpriority',
+                   count(*) FILTER (WHERE NOT regexp_full_match(
+                       COALESCE(o_orderpriority, ''), '[1-5]-[A-Z]+')),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 3, 'unique', 'o_orderkey',
+                   count(*) - count(DISTINCT o_orderkey), count(*)
+            FROM orders
+            UNION ALL
+            SELECT 4, 'unique', 'o_custkey',
+                   count(*) - count(DISTINCT o_custkey), count(*)
+            FROM orders
         """,
         "epoch_packed_sequences": """
             WITH toks AS (

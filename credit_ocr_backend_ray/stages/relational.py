@@ -1133,6 +1133,72 @@ def grouping_sets_agg(ds: "rd.Dataset", keys: Sequence[str],
     return out
 
 
+def validate_rules(ds: "rd.Dataset",
+                   rules: Sequence[dict]) -> pd.DataFrame:
+    """Deequ/dbt-test-style distributed data-quality validation: each
+    rule counts its violating rows; the report is one row per rule —
+    the contract gate a pipeline runs before publishing a table.
+
+    Rule forms: ``{"rule": "not_null", "col": c}``,
+    ``{"rule": "in_range", "col": c, "lo": x, "hi": y}`` (inclusive),
+    ``{"rule": "regex", "col": c, "pattern": p}`` (full-match required),
+    ``{"rule": "unique", "col": c}``.
+
+    Shape: every ROW-LOCAL rule evaluates in ONE shared combiner pass
+    (one partial row of per-rule violation counts per batch, summed on
+    the driver — O(rules x batches) rows move, never values);
+    ``unique`` is the one genuinely distributed rule: a grouped count
+    on the column, then the extra-copy total ``sum(n - 1)`` folds from
+    bounded per-batch partials. Violations = n_rows - n_distinct,
+    matching ``count(*) - count(DISTINCT col)``."""
+    import re as _re
+
+    local = [(i, r) for i, r in enumerate(rules)
+             if r["rule"] != "unique"]
+    uniq = [(i, r) for i, r in enumerate(rules) if r["rule"] == "unique"]
+
+    def count_local(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"__rows": [len(b)]}
+        for i, r in local:
+            col = b[r["col"]]
+            if r["rule"] == "not_null":
+                bad = col.isna()
+            elif r["rule"] == "in_range":
+                bad = ~(col.ge(r["lo"]) & col.le(r["hi"])) | col.isna()
+            elif r["rule"] == "regex":
+                pat = _re.compile(r["pattern"])
+                bad = ~col.astype("string").fillna("").map(
+                    lambda s: bool(pat.fullmatch(s)))
+            else:
+                raise ValueError(f"unknown rule {r['rule']!r}")
+            out[f"__v{i}"] = [int(bad.sum())]
+        return pd.DataFrame(out)
+
+    partials = (ds.map_batches(count_local, batch_format="pandas")
+                  .to_pandas())
+    n_rows = int(partials["__rows"].sum())
+
+    results: dict[int, int] = {
+        i: int(partials[f"__v{i}"].sum()) for i, _ in local}
+
+    for i, r in uniq:
+        counts = ds.groupby(r["col"]).count()
+
+        def extra(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"__e": [int((b["count()"] - 1).sum())]})
+
+        results[i] = int(counts.map_batches(
+            extra, batch_format="pandas").to_pandas()["__e"].sum())
+
+    return pd.DataFrame({
+        "rule_id": list(range(len(rules))),
+        "rule": [r["rule"] for r in rules],
+        "col": [r["col"] for r in rules],
+        "n_violations": [results[i] for i in range(len(rules))],
+        "n_rows": n_rows,
+    })
+
+
 def weighted_ticket_sample(ds: "rd.Dataset", id_col: str,
                            weight_col: str, k: int,
                            max_tickets: int = 12,

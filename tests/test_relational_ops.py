@@ -1470,3 +1470,24 @@ def test_image_augmenter_deterministic_pixels(ray_session):
     out2 = aug2(batch)
     assert (out2["aug_ops"][0].as_py() != out["aug_ops"][0].as_py()
             or out2["augmented"][0].as_py() != out["augmented"][0].as_py())
+
+
+def test_validate_rules_exact(ray_session):
+    from credit_ocr_backend_ray.stages.relational import validate_rules
+
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, 3, 3],
+        "v": [5.0, None, 50.0, 500.0, -1.0, 10.0],
+        "s": ["1-HIGH", "9-BAD", "2-LOW", None, "3-MED", "x"],
+    })
+    out = validate_rules(_ds(df), [
+        {"rule": "not_null", "col": "v"},
+        {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 100.0},
+        {"rule": "regex", "col": "s", "pattern": r"[1-5]-[A-Z]+"},
+        {"rule": "unique", "col": "k"},
+    ]).set_index("rule_id")
+    assert out.loc[0, "n_violations"] == 1          # one null v
+    assert out.loc[1, "n_violations"] == 3          # null, 500, -1
+    assert out.loc[2, "n_violations"] == 3          # 9-BAD, None, x
+    assert out.loc[3, "n_violations"] == 3          # extra copies of 2,3
+    assert (out["n_rows"] == 6).all()
