@@ -842,6 +842,22 @@ def _q_approx_price_quantiles(sf_dir: str):
                            lo=0.0, hi=600_000.0)
 
 
+def _q_bpe_vocab_stats(sf_dir: str):
+    """Distributed BPE vocabulary learning + corpus apply (stages/
+    text.py: learn_bpe / apply_bpe): the corpus-scale work is the one
+    combiner word count; the Sennrich merge loop runs on the bounded
+    word-frequency table; the learned merge table broadcasts once and
+    every document reports its subword compression. Rows-only
+    (iterative trainer); merge-loop semantics pinned on the classic
+    low/lower/newest/widest fixture in tests."""
+    from credit_ocr_backend_ray.stages.text import apply_bpe, learn_bpe
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = learn_bpe(ds, n_merges=50)
+    assert len(merges) >= 10  # the corpus genuinely supports merges
+    return apply_bpe(ds, merges)
+
+
 def _q_orders_quality_rules(sf_dir: str):
     """Deequ/dbt-style data-quality gate over orders (stages/
     relational.py: validate_rules): not-null, inclusive range,
@@ -3815,6 +3831,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lift": _q_bigram_lift,
         "epoch_packed_sequences": _q_epoch_packed_sequences,
         "orders_quality_rules": _q_orders_quality_rules,
+        "bpe_vocab_stats": _q_bpe_vocab_stats,
         "orders_price_range_scan": _q_orders_price_range_scan,
         "qty_discount_hist2d": _q_qty_discount_hist2d,
         "events_within_minute": _q_events_within_minute,

@@ -611,3 +611,124 @@ def bigram_lift(ds, k: int = 30, min_count: int = 5,
                                ascending=[False, True, True])
             .head(k)[["w1", "w2", "n", "lift_micro"]]
             .reset_index(drop=True))
+
+
+def learn_bpe(ds, n_merges: int = 50, text_col: str = "text",
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Distributed BPE vocabulary learning (Sennrich et al.'s byte-pair
+    encoding, the standard subword-tokenizer trainer): the corpus-scale
+    work is ONE distributed word count (combiner partials, exactly
+    ``top_terms``' shape); the merge loop then runs driver-side over the
+    bounded distinct-word frequency table — each round counts adjacent
+    symbol pairs weighted by word frequency, merges the most frequent
+    pair (count desc, pair asc tie-break: deterministic), and rewrites
+    the word segmentations. Returns the ordered merge list. At 100 TB
+    the word table is the vocabulary (~10^7 rows), which is exactly
+    what single-node BPE trainers operate on after their own word-count
+    pass."""
+    import re
+    from collections import Counter
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    freqs = (grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["word"], {"__pn": "n"}, count_alias="__nb")
+             .to_pandas())
+
+    # driver loop over the bounded word table
+    segs: dict[tuple[str, ...], int] = {
+        tuple(w) + ("</w>",): int(n)
+        for w, n in zip(freqs["word"], freqs["n"])}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        out: dict[tuple[str, ...], int] = {}
+        for sym, n in segs.items():
+            new: list[str] = []
+            i = 0
+            while i < len(sym):
+                if (i + 1 < len(sym)
+                        and (sym[i], sym[i + 1]) == best):
+                    new.append(joined)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            key = tuple(new)
+            out[key] = out.get(key, 0) + n
+        segs = out
+    return merges
+
+
+def apply_bpe(ds, merges: list[tuple[str, str]], text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Tokenize a corpus with a learned BPE merge list — the stateful
+    broadcast-apply stage: the merge-rank dict ships once via
+    ``ray.put`` and each batch segments its words greedily by merge
+    rank (the standard BPE encoder). Emits (id, n_tokens, n_subwords):
+    the compression diagnostic (subwords per whitespace token) every
+    tokenizer change is judged by."""
+    import re
+
+    import ray
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    rref = ray.put(ranks)
+    ws = re.compile(r"\s+")
+
+    def encode_word(word: str, rk: dict) -> int:
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            best_i, best_r = -1, len(rk)
+            for i in range(len(sym) - 1):
+                r = rk.get((sym[i], sym[i + 1]), len(rk))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rk):
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return len(sym)
+
+    def apply(t: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        cache: dict[str, int] = {}
+        ids, nt, nsw = [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = [w for w in ws.split((txt or "").strip()) if w]
+            total = 0
+            for w in toks:
+                if w not in cache:
+                    cache[w] = encode_word(w, rk)
+                total += cache[w]
+            ids.append(i)
+            nt.append(len(toks))
+            nsw.append(total)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_subwords": pa.array(nsw, pa.int64()),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -1491,3 +1491,24 @@ def test_validate_rules_exact(ray_session):
     assert out.loc[2, "n_violations"] == 3          # 9-BAD, None, x
     assert out.loc[3, "n_violations"] == 3          # extra copies of 2,3
     assert (out["n_rows"] == 6).all()
+
+
+def test_bpe_learn_and_apply(ray_session):
+    """The classic Sennrich fixture: merges must come out (e,s), (es,t),
+    (est,</w>), (l,o) in order; applying them compresses the corpus."""
+    from credit_ocr_backend_ray.stages.text import apply_bpe, learn_bpe
+
+    rows = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    merges = learn_bpe(_ds(df), n_merges=4)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                      ("l", "o")]
+    out = (apply_bpe(_ds(df), merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # 'newest': n-e-w-est</w> = 4 subwords; 'low': lo-w-</w> = 3
+    assert out.loc[7, "n_subwords"] == 4   # a 'newest' row
+    assert out.loc[0, "n_subwords"] == 3   # a 'low' row
+    assert (out["n_tokens"] == 1).all()
+    # determinism across block layouts
+    m2 = learn_bpe(_ds(df).repartition(5), n_merges=4)
+    assert m2 == merges
