@@ -1151,8 +1151,6 @@ def validate_rules(ds: "rd.Dataset",
     on the column, then the extra-copy total ``sum(n - 1)`` folds from
     bounded per-batch partials. Violations = n_rows - n_distinct,
     matching ``count(*) - count(DISTINCT col)``."""
-    import re as _re
-
     local = [(i, r) for i, r in enumerate(rules)
              if r["rule"] != "unique"]
     uniq = [(i, r) for i, r in enumerate(rules) if r["rule"] == "unique"]
@@ -1166,9 +1164,9 @@ def validate_rules(ds: "rd.Dataset",
             elif r["rule"] == "in_range":
                 bad = ~(col.ge(r["lo"]) & col.le(r["hi"])) | col.isna()
             elif r["rule"] == "regex":
-                pat = _re.compile(r["pattern"])
-                bad = ~col.astype("string").fillna("").map(
-                    lambda s: bool(pat.fullmatch(s)))
+                bad = ~(col.astype("string").fillna("")
+                        .str.fullmatch(r["pattern"]).fillna(False)
+                        .astype(bool))
             else:
                 raise ValueError(f"unknown rule {r['rule']!r}")
             out[f"__v{i}"] = [int(bad.sum())]
