@@ -1512,3 +1512,63 @@ def test_bpe_learn_and_apply(ray_session):
     # determinism across block layouts
     m2 = learn_bpe(_ds(df).repartition(5), n_merges=4)
     assert m2 == merges
+
+
+def test_interval_join_random_brute_force(ray_session):
+    """Property-style: 60 random fixtures x exhaustive brute force —
+    the interval join must emit exactly the overlapping same-key pairs,
+    regardless of lengths, boundaries, and bucket alignment."""
+    from credit_ocr_backend_ray.stages.relational import interval_self_join
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        n = 400
+        s = rng.integers(0, 3600, n)
+        ln = rng.integers(0, 180, n)
+        k = rng.integers(0, 4, n)
+        df = pd.DataFrame({
+            "k": [f"g{v}" for v in k],
+            "id": np.arange(n, dtype="int64"),
+            "s": pd.to_datetime(s, unit="s"),
+            "e": pd.to_datetime(s + ln, unit="s"),
+        })
+        out = interval_self_join(_ds(df), "k", "id", "s", "e",
+                                 bucket_us=200_000_000, n_shards=8
+                                 ).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        expect = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (k[i] == k[j] and s[i] <= s[j] + ln[j]
+                        and s[j] <= s[i] + ln[i]):
+                    expect.add((i, j))
+        assert got == expect, f"trial {trial}: {len(got)} vs {len(expect)}"
+
+
+def test_grouping_sets_matches_duckdb_random(ray_session):
+    """Random frame vs DuckDB GROUPING SETS — the same comparison the
+    driver's oracle makes, on adversarial (null-key-free) data."""
+    import duckdb
+    from credit_ocr_backend_ray.stages.relational import grouping_sets_agg
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "v": rng.integers(0, 100, 500).astype("int64"),
+    })
+    out = (grouping_sets_agg(_ds(df), ["a", "b"],
+                             [("a", "b"), ("b",), ()], {"v": "s"})
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "SELECT a, b, sum(v) AS s, count(*) AS n FROM t "
+        "GROUP BY GROUPING SETS ((a, b), (b), ())").df()
+    key = ["a", "b"]
+    o = (out.fillna("∅").sort_values(key + ["s"]).reset_index(drop=True))
+    r = (ref.fillna("∅").sort_values(key + ["s"]).reset_index(drop=True))
+    assert len(o) == len(r)
+    assert (o["s"].to_numpy() == r["s"].to_numpy()).all()
+    assert (o["n"].to_numpy().astype("int64")
+            == r["n"].to_numpy().astype("int64")).all()
