@@ -3691,12 +3691,12 @@ _SHOWCASE_ORDER = [
     "asof_next_event",
     "asof_latest_order_broadcast",
     "sessionize_events",
-    "supplier_acctbal_stats",
-    "top_orders_per_priority",
     "customers_without_events",
     "customer_running_total",
-    "event_value_delta",
     "order_price_histogram",
+    "bigram_lift",
+    "epoch_packed_sequences",
+    "orders_quality_rules",
     # round-4 additions, never yet windowed (one slot each; the oldest
     # r01-only re-certs they displace stay verified by the local sweep)
     "orders_merged",
