@@ -23,6 +23,27 @@ import sys
 import time
 
 
+def _host_probe() -> dict:
+    """Fixed-work host-speed fingerprint, recorded in every artifact so
+    a slow-host run self-labels (the r4-vs-r3 driver drift turned out
+    to be environment, not code — this settles it per artifact):
+    a threaded BLAS matmul (tracks contention/steal on the shared bus)
+    and a single-thread Python loop (tracks per-core speed)."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ a
+    gflops = 3 * 2 * 1024 ** 3 / 1e9 / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    py_mops = 2.0 / max(time.perf_counter() - t0, 1e-9)
+    return {"numpy_gflops": round(gflops, 1),
+            "py_loop_mops": round(py_mops, 2)}
+
+
 def _sf_of(sf_dir: str) -> float:
     try:
         return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -49,14 +70,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # warm the OS page cache with REAL byte reads so we measure
     # compute+shuffle, not first disk read (count_rows only touches
-    # footers; a cold 32-cpu run was measured 100s slower than warm)
+    # footers; a cold 32-cpu run was measured 100s slower than warm).
+    # BOTH the flagship input AND the query tables are warmed (the r04
+    # driver artifact drifted 8.5% because the tables were cold after a
+    # 16 GB synth — VERDICT r04 item 2), and the read-through is TIMED
+    # twice so every artifact carries a cache-state fingerprint: a cold
+    # first pass shows first_read_mb_s << reread_mb_s, self-labeling
+    # the run instead of silently polluting the numbers.
+    def _read_through(paths: list[str]) -> float:
+        nbytes = 0
+        for f in paths:
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+            nbytes += os.path.getsize(f)
+        return nbytes
+
     files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
-    in_bytes = 0
-    for f in files:
-        with open(f, "rb") as fh:
-            while fh.read(1 << 22):
-                pass
-        in_bytes += os.path.getsize(f)
+    tables = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    t_c = time.perf_counter()
+    in_bytes = _read_through(files)
+    tbl_bytes = _read_through(tables)
+    cold_s = time.perf_counter() - t_c
+    t_w = time.perf_counter()
+    _read_through(files)
+    _read_through(tables)
+    warm_s = time.perf_counter() - t_w
+    tot_mb = (in_bytes + tbl_bytes) / 1e6
+    cache_fingerprint = {
+        "first_read_mb_s": round(tot_mb / max(cold_s, 1e-9), 1),
+        "reread_mb_s": round(tot_mb / max(warm_s, 1e-9), 1),
+        "was_cold": cold_s > 2.0 * warm_s,
+    }
 
     out_dir = f"/tmp/bench_out_c{num_cpus}"
     import shutil
@@ -77,12 +122,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # gets an extra repetition.
     n_runs = 3 if num_cpus >= 16 else 2
     runs = []
-    for _ in range(n_runs):
+    while len(runs) < n_runs:
         shutil.rmtree(out_dir, ignore_errors=True)
         os.sync()
         t0 = time.perf_counter()
         summary = run_extraction(inp, out_dir, ExtractionConfig(), n_groups=1)
         runs.append(round(time.perf_counter() - t0, 3))
+        # adaptive: if the best run isn't corroborated within 15% by a
+        # second run, the session is still settling (writeback/contention)
+        # — take up to 2 extra samples rather than report a noisy min
+        if (len(runs) == n_runs and n_runs < 5
+                and sorted(runs)[1] > 1.15 * min(runs)):
+            n_runs += 1
     headline = min(runs)
 
     # best-of-2 per query: the first run pays worker-process UDF
@@ -101,7 +152,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_minhash", "asof_latest_order",
                  "events_hopping_window"):
         walls = []
-        for _ in range(2):
+        reps = 2
+        while len(walls) < reps:
             try:
                 t = time.perf_counter()
                 res = q[name](sf_dir)
@@ -111,6 +163,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             except Exception as exc:  # keep the bench alive
                 walls = [f"error: {type(exc).__name__}"]
                 break
+            # a >50% swing between the two runs means one was polluted
+            # (GC, writeback, another query's spill) — corroborate with
+            # a third before reporting the min as steady state
+            if len(walls) == reps and reps == 2 \
+                    and max(walls) > 1.5 * min(walls):
+                reps = 3
         queries_cold[name] = walls[0]
         queries[name] = (min(w for w in walls if isinstance(w, float))
                          if isinstance(walls[0], float) else walls[0])
@@ -123,6 +181,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "unit": "sec",
         "queries": queries,
         "queries_cold_first_run": queries_cold,
+        "cache_fingerprint": cache_fingerprint,
+        "host_fingerprint": _host_probe(),
         "sf": sf,
         "num_cpus": num_cpus,
         "docs": summary["rows"],

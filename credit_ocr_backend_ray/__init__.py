@@ -51,9 +51,13 @@ def _install_compat_patches() -> None:
     doc_mean_token_freq — is protected from the ray 2.49.2 broadcast race
     without each call site having to opt in. Idempotent; a Ray version
     whose internals moved just logs and skips."""
-    from credit_ocr_backend_ray.compat import install_hash_shuffle_schema_patch
+    from credit_ocr_backend_ray.compat import (
+        install_hash_shuffle_schema_patch, install_pandas_size_bytes_patch)
 
     install_hash_shuffle_schema_patch()
+    # empty pandas blocks with string columns otherwise log a bogus
+    # "Error calculating size for column ..." per block (see compat.py)
+    install_pandas_size_bytes_patch()
 
 
 _install_log_filters()

@@ -47,6 +47,42 @@ import logging
 logger = logging.getLogger(__name__)
 
 _PATCH_FLAG = "_cob_ray_empty_block_schema_patch"
+_SIZE_PATCH_FLAG = "_cob_ray_empty_block_size_patch"
+
+
+def install_pandas_size_bytes_patch() -> bool:
+    """Fix ``PandasBlockAccessor.size_bytes`` on EMPTY blocks (ray
+    2.49.2): the object-column sampler calls ``np.vectorize`` over a
+    size-0 sample, which raises ("cannot call vectorize on size 0
+    inputs") and logs ``Error calculating size for column '<name>'``
+    once per empty pandas block per string column — every filter that
+    empties a block of a pandas stage sprays it (the r04 sweep's
+    ``n_name`` noise from ``local_supplier_revenue``). An empty frame
+    has no object payload at all, so the true answer is the shallow
+    scaffolding size; short-circuit to it instead of sampling. Fixes
+    the origin (the wrong code path) rather than filtering the log
+    line. Idempotent; worker processes get it because installing at
+    package import time runs wherever a closure from this package is
+    deserialized."""
+    try:
+        from ray.data._internal.pandas_block import PandasBlockAccessor
+    except ImportError:
+        logger.warning("pandas_block internals not found; empty-block "
+                       "size patch skipped")
+        return False
+    if getattr(PandasBlockAccessor, _SIZE_PATCH_FLAG, False):
+        return True
+    orig = PandasBlockAccessor.size_bytes
+
+    def size_bytes(self) -> int:
+        if self._table is not None and len(self._table) == 0:
+            return int(self._table.memory_usage(
+                index=True, deep=False).sum())
+        return orig(self)
+
+    PandasBlockAccessor.size_bytes = size_bytes
+    setattr(PandasBlockAccessor, _SIZE_PATCH_FLAG, True)
+    return True
 
 
 def install_hash_shuffle_schema_patch() -> bool:

@@ -614,20 +614,36 @@ def bigram_lift(ds, k: int = 30, min_count: int = 5,
 
 
 def learn_bpe(ds, n_merges: int = 50, text_col: str = "text",
-              min_pair_count: int = 2) -> list[tuple[str, str]]:
+              min_pair_count: int = 2, min_word_count: int = 2,
+              max_vocab_rows: int = 2_000_000) -> list[tuple[str, str]]:
     """Distributed BPE vocabulary learning (Sennrich et al.'s byte-pair
     encoding, the standard subword-tokenizer trainer): the corpus-scale
     work is ONE distributed word count (combiner partials, exactly
     ``top_terms``' shape); the merge loop then runs driver-side over the
-    bounded distinct-word frequency table — each round counts adjacent
-    symbol pairs weighted by word frequency, merges the most frequent
-    pair (count desc, pair asc tie-break: deterministic), and rewrites
-    the word segmentations. Returns the ordered merge list. At 100 TB
-    the word table is the vocabulary (~10^7 rows), which is exactly
-    what single-node BPE trainers operate on after their own word-count
-    pass."""
+    bounded distinct-word frequency table — each round picks the most
+    frequent adjacent symbol pair (count desc, pair asc tie-break:
+    deterministic) and rewrites ONLY the words containing it, keeping
+    pair counts incrementally via a pair->words index (never a full
+    O(vocab) rescan per merge).
+
+    The bounded-vocab contract is ENFORCED, not assumed: words rarer
+    than ``min_word_count`` are pruned DISTRIBUTED (Dataset.filter on
+    the combiner output) before anything reaches the driver — a real
+    web corpus has 10^8-10^9+ distinct whitespace tokens (typos, URLs,
+    hex ids), almost all singletons that cannot influence any merge
+    that also clears ``min_pair_count``; the surviving table is then
+    counted and, if it still exceeds ``max_vocab_rows``, raises with
+    the knob to turn (raise ``min_word_count``) instead of OOMing the
+    driver fold.
+
+    NOTE pruning IS a semantic knob: a pair occurring once in each of
+    10^6 distinct singleton words has corpus count 10^6, which exact
+    BPE would see. ``min_word_count=1`` restores exact Sennrich
+    behavior (the cap still protects the driver); the default of 2
+    matches production trainers (subword-nmt/SentencePiece vocab
+    thresholds) where sub-``min_pair_count`` tails are noise."""
     import re
-    from collections import Counter
+    from collections import Counter, defaultdict
 
     from credit_ocr_backend_ray.stages.relational import grouped_agg
 
@@ -643,29 +659,52 @@ def learn_bpe(ds, n_merges: int = 50, text_col: str = "text",
             "__pn": pa.array(list(c.values()), pa.int64()),
         })
 
-    freqs = (grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
-                         ["word"], {"__pn": "n"}, count_alias="__nb")
-             .to_pandas())
+    freqs_ds = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], {"__pn": "n"}, count_alias="__nb")
+    if min_word_count > 1:
+        freqs_ds = freqs_ds.filter(expr=f"n >= {min_word_count}")
+    freqs_ds = freqs_ds.materialize()     # blocks spill; driver heap safe
+    n_rows = freqs_ds.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"learn_bpe: {n_rows} distinct words survive "
+            f"min_word_count={min_word_count} (> max_vocab_rows="
+            f"{max_vocab_rows}); the driver merge fold would not be "
+            "bounded — raise min_word_count (or max_vocab_rows if you "
+            "have the driver memory)")
+    freqs = freqs_ds.to_pandas()
 
-    # driver loop over the bounded word table
-    segs: dict[tuple[str, ...], int] = {
-        tuple(w) + ("</w>",): int(n)
-        for w, n in zip(freqs["word"], freqs["n"])}
+    # driver loop over the bounded word table: incremental pair counts
+    # + a pair->word-ids index so each merge touches only affected words
+    words: list[list] = [
+        [tuple(w) + ("</w>",), int(n)]
+        for w, n in zip(freqs["word"], freqs["n"])]
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for wi, (sym, n) in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] += n
+            pair_words[p].add(wi)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for sym, n in segs.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] += n
-        if not pairs:
+        if not pair_counts:
             break
-        best, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        best, cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
         if cnt < min_pair_count:
             break
         merges.append(best)
         joined = best[0] + best[1]
-        out: dict[tuple[str, ...], int] = {}
-        for sym, n in segs.items():
+        # pair_words is maintained lazily (stale ids are skipped here),
+        # so pop — a later merge re-adding this pair re-indexes cleanly
+        for wi in sorted(pair_words.pop(best, ())):
+            sym, n = words[wi]
+            if best not in zip(sym, sym[1:]):
+                continue                         # stale index entry
+            for p in zip(sym, sym[1:]):          # retire old pairs
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
             new: list[str] = []
             i = 0
             while i < len(sym):
@@ -676,9 +715,11 @@ def learn_bpe(ds, n_merges: int = 50, text_col: str = "text",
                 else:
                     new.append(sym[i])
                     i += 1
-            key = tuple(new)
-            out[key] = out.get(key, 0) + n
-        segs = out
+            sym = tuple(new)
+            words[wi][0] = sym
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] += n
+                pair_words[p].add(wi)
     return merges
 
 

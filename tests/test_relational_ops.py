@@ -1158,6 +1158,45 @@ def test_shuffle_join_empty_leading_blocks(ray_session):
         assert set(df["token"]) == {f"t{i}" for i in range(40, 50)}
 
 
+def test_empty_pandas_block_size_bytes(ray_session):
+    """Regression for the r04 sweep's worker-log spam ("Error
+    calculating size for column 'n_name': cannot call vectorize on size
+    0 inputs"): ray 2.49.2's PandasBlockAccessor.size_bytes samples
+    object columns with np.vectorize, which raises on a 0-row block.
+    compat.install_pandas_size_bytes_patch (installed at package import)
+    short-circuits empty frames to their shallow scaffolding size."""
+    import logging
+
+    from ray.data._internal.pandas_block import PandasBlockAccessor
+
+    from credit_ocr_backend_ray.compat import install_pandas_size_bytes_patch
+
+    assert install_pandas_size_bytes_patch()  # idempotent: already on
+
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                          "v": pd.Series([], dtype="int64")})
+    records: list[logging.LogRecord] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    lg = logging.getLogger("ray.data._internal.pandas_block")
+    h = _Capture()
+    lg.addHandler(h)
+    try:
+        size = PandasBlockAccessor(empty).size_bytes()
+    finally:
+        lg.removeHandler(h)
+    assert size >= 0
+    assert not [r for r in records
+                if "Error calculating size" in r.getMessage()]
+    # non-empty blocks keep the stock deep-sampled path
+    full = pd.DataFrame({"n_name": ["GERMANY", "FRANCE"], "v": [1, 2]})
+    assert PandasBlockAccessor(full).size_bytes() > \
+        PandasBlockAccessor(empty).size_bytes()
+
+
 def test_hopping_window_null_key_and_count_only(ray_session):
     """ADVICE r3: (a) the pandas partial groupby must pass dropna=False
     or rows with a null key silently vanish from every window; (b) the
@@ -1572,3 +1611,82 @@ def test_grouping_sets_matches_duckdb_random(ray_session):
     assert (o["s"].to_numpy() == r["s"].to_numpy()).all()
     assert (o["n"].to_numpy().astype("int64")
             == r["n"].to_numpy().astype("int64")).all()
+
+
+def test_bpe_prune_and_cap(ray_session):
+    """The bounded-vocab contract (r5): min_word_count prunes singleton
+    words DISTRIBUTED before the driver fold and is a no-op on the
+    classic fixture (all word counts >= 2); max_vocab_rows raises the
+    documented error instead of OOMing the fold; and the incremental
+    pair-index merge loop matches a brute-force full-rescan reference
+    on randomized corpora."""
+    from credit_ocr_backend_ray.stages.text import learn_bpe
+
+    rows = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    base = learn_bpe(_ds(df), n_merges=4)
+    assert learn_bpe(_ds(df), n_merges=4, min_word_count=1) == base
+    assert learn_bpe(_ds(df), n_merges=4, min_word_count=2) == base
+
+    # singleton flood: 500 distinct one-off words + the repeated core;
+    # the prune keeps only the 4 core words -> same merges, and the cap
+    # is measured against the PRUNED table (4 rows clears cap=10)
+    flood = df.copy()
+    noise = pd.DataFrame({
+        "doc_id": range(1000, 1500),
+        "text": [f"zq{i}x" for i in range(500)]})
+    flood = pd.concat([flood, noise], ignore_index=True)
+    assert learn_bpe(_ds(flood), n_merges=4, max_vocab_rows=10) == base
+
+    # cap error: min_word_count=1 keeps all 504 words > cap
+    with pytest.raises(ValueError, match="min_word_count"):
+        learn_bpe(_ds(flood), n_merges=4, min_word_count=1,
+                  max_vocab_rows=100)
+
+    # incremental == full rescan (the pre-r5 algorithm) on random data
+    def brute(word_freqs, n_merges, min_pair_count=2):
+        segs = {tuple(w) + ("</w>",): int(n) for w, n in word_freqs}
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for sym, n in segs.items():
+                for p in zip(sym, sym[1:]):
+                    pairs[p] = pairs.get(p, 0) + n
+            if not pairs:
+                break
+            best, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < min_pair_count:
+                break
+            merges.append(best)
+            out = {}
+            for sym, n in segs.items():
+                new, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                        new.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        new.append(sym[i])
+                        i += 1
+                out[tuple(new)] = out.get(tuple(new), 0) + n
+            segs = out
+        return merges
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        vocab = ["".join(rng.choice(list("abcd"),
+                                    rng.integers(1, 7)))
+                 for _ in range(40)]
+        counts = rng.integers(2, 9, len(vocab))
+        corpus = []
+        for w, c in zip(vocab, counts):
+            corpus.extend([w] * int(c))
+        cdf = pd.DataFrame({"doc_id": range(len(corpus)),
+                            "text": corpus})
+        got = learn_bpe(_ds(cdf).repartition(3), n_merges=12,
+                        min_word_count=1)
+        # brute reference dedups identical words itself
+        want = brute(
+            [(w, c) for w, c in
+             pd.Series(corpus).value_counts().items()], 12)
+        assert got == want, f"trial {trial}: {got} != {want}"
