@@ -2505,7 +2505,12 @@ def _q_event_type_pagerank(sf_dir: str):
     negative node ids via a driver-built (bounded: it's an enum) label
     map. Returns the event-type nodes' ranks — the 'which content hubs
     matter' question of host-level link analysis, runnable on the oracle
-    tables. Rows-only (iterative algorithm, no SQL form)."""
+    tables. FULL SQL oracle (r5): tol=0.0 pins exactly 4 power
+    iterations, which the oracle restates as 4 unrolled weighted-edge
+    CTE steps (r_{t+1} = 0.15 + 0.85 * sum_in w*r_t/outdeg, rank-mass-N
+    convention, no dangling nodes in a bipartite both-direction graph);
+    round(6) agreed bit-for-bit with DuckDB at all three SFs (maxdelta
+    0.0)."""
     import pyarrow as pa
     from credit_ocr_backend_ray.stages.graph import pagerank
     from credit_ocr_backend_ray.stages.relational import grouped_agg
@@ -2525,7 +2530,7 @@ def _q_event_type_pagerank(sf_dir: str):
         })
 
     e = ev.map_batches(edges, batch_format="pyarrow")
-    ranks, _iters = pagerank(e, max_iter=4, tol=1e-3, n_shards=16)
+    ranks, _iters = pagerank(e, max_iter=4, tol=0.0, n_shards=16)
     r = ranks.filter(expr="node < 0").to_pandas()
     inv = {v: k for k, v in tmap.items()}
     r["event_type"] = r["node"].map(inv)
@@ -3338,11 +3343,15 @@ def _q_session_event_pairs(sf_dir: str):
 
 def _q_part_kcore(sf_dir: str):
     """8-core of the part co-purchase graph (iterative distributed
-    peeling; rows-only — k-core needs aggregate recursion no SQL oracle
-    can express; the planted-clique unit test pins semantics). k=8 sits
-    well under the graph's mean degree so the peel converges in 1-2
-    rounds at every SF; each extra peeling round costs a fixed number
-    of co-group shuffles."""
+    peeling). k=8 sits well under the graph's mean degree so the peel
+    converges in 1-2 rounds at every SF; each extra peeling round costs
+    a fixed number of co-group shuffles. FULL SQL oracle (r5): the peel
+    is all-integer, so 6 unrolled MATERIALIZED degree+filter CTE levels
+    (safely past the observed 1-2-round fixpoint; extra levels are
+    no-ops) restate it exactly, with ``rounds`` = first level whose edge
+    count equals the previous level's — the loop's own fixpoint rule,
+    including the empty-graph and no-change-first-peel cases. The
+    planted-clique unit test still pins the operator's semantics."""
     import pyarrow.compute as pc
 
     from credit_ocr_backend_ray.stages.graph import (
@@ -3912,6 +3921,56 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diversify": _q_mmr_diversify,
         "knn_pq": _q_knn_pq,
     }
+
+
+def _kcore_oracle_sql(k: int = 8, levels: int = 6) -> str:
+    """Unrolled-peel SQL restatement of ``part_kcore`` (see that query's
+    docstring): e0 = the distinct co-purchase edge set, e_{i+1} = e_i
+    filtered to edges whose BOTH endpoint degrees (within e_i) are >= k;
+    output = degrees over the last level + the fixpoint round index."""
+    peel = """
+            , d{i} AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT u AS node FROM e{i}
+                    UNION ALL SELECT v FROM e{i})
+                GROUP BY node
+            ), e{j} AS MATERIALIZED (
+                SELECT e.u, e.v FROM e{i} e
+                JOIN d{i} du ON du.node = e.u
+                JOIN d{i} dv ON dv.node = e.v
+                WHERE du.deg >= {k} AND dv.deg >= {k}
+            )"""
+    return ("""
+            WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem WHERE l_quantity >= 25.0
+            ), e0 AS MATERIALIZED (
+                SELECT DISTINCT a.i AS u, b.i AS v
+                FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+            )"""
+            + "".join(peel.format(i=i, j=i + 1, k=k)
+                      for i in range(levels))
+            + """
+            , cnts AS (
+                SELECT """
+            + ", ".join(f"(SELECT COUNT(*) FROM e{i}) AS c{i}"
+                        for i in range(levels + 1))
+            + """
+            ), rnds AS (
+                SELECT CASE """
+            + " ".join(f"WHEN c{i + 1} = c{i} THEN {i + 1}"
+                       for i in range(levels))
+            + f"""
+                       ELSE 99 END AS rounds FROM cnts
+            )
+            SELECT node, deg, CAST(rounds AS BIGINT) AS rounds FROM (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT u AS node FROM e{levels}
+                    UNION ALL SELECT v FROM e{levels})
+                GROUP BY node
+            ) CROSS JOIN rnds
+            ORDER BY node
+        """)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5514,4 +5573,72 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes
             FROM documents
         """,
+        # 4 power iterations of damped (0.85) PageRank, unrolled — the
+        # Ray query pins tol=0.0 so the iteration count is exact; edges
+        # are weighted by multiplicity (each event row emits u->t, t->u).
+        # round(6) agreed bit-for-bit with the distributed result at all
+        # three SFs (maxdelta 0.0 — the float sums are short enough).
+        "event_type_pagerank": """
+            WITH tm AS (
+                SELECT event_type,
+                       -CAST(ROW_NUMBER() OVER (ORDER BY event_type)
+                             AS BIGINT) AS tid
+                FROM (SELECT DISTINCT event_type FROM events)
+            ), enc AS (
+                SELECT e.user_id AS uid, t.tid
+                FROM events e JOIN tm t USING (event_type)
+            ), edges AS MATERIALIZED (
+                SELECT uid AS src, tid AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM enc GROUP BY 1, 2
+                UNION ALL
+                SELECT tid, uid, CAST(COUNT(*) AS DOUBLE)
+                FROM enc GROUP BY 1, 2
+            ), deg AS MATERIALIZED (
+                SELECT src AS node, SUM(w) AS outdeg FROM edges GROUP BY 1
+            ), r0 AS (
+                SELECT node, CAST(1.0 AS DOUBLE) AS val FROM deg
+            ), r1 AS MATERIALIZED (
+                SELECT d.node, 0.15 + 0.85 * COALESCE(
+                           SUM(r.val * e.w / sd.outdeg), 0.0) AS val
+                FROM deg d
+                LEFT JOIN edges e ON e.dst = d.node
+                LEFT JOIN r0 r ON r.node = e.src
+                LEFT JOIN deg sd ON sd.node = e.src
+                GROUP BY d.node
+            ), r2 AS MATERIALIZED (
+                SELECT d.node, 0.15 + 0.85 * COALESCE(
+                           SUM(r.val * e.w / sd.outdeg), 0.0) AS val
+                FROM deg d
+                LEFT JOIN edges e ON e.dst = d.node
+                LEFT JOIN r1 r ON r.node = e.src
+                LEFT JOIN deg sd ON sd.node = e.src
+                GROUP BY d.node
+            ), r3 AS MATERIALIZED (
+                SELECT d.node, 0.15 + 0.85 * COALESCE(
+                           SUM(r.val * e.w / sd.outdeg), 0.0) AS val
+                FROM deg d
+                LEFT JOIN edges e ON e.dst = d.node
+                LEFT JOIN r2 r ON r.node = e.src
+                LEFT JOIN deg sd ON sd.node = e.src
+                GROUP BY d.node
+            ), r4 AS MATERIALIZED (
+                SELECT d.node, 0.15 + 0.85 * COALESCE(
+                           SUM(r.val * e.w / sd.outdeg), 0.0) AS val
+                FROM deg d
+                LEFT JOIN edges e ON e.dst = d.node
+                LEFT JOIN r3 r ON r.node = e.src
+                LEFT JOIN deg sd ON sd.node = e.src
+                GROUP BY d.node
+            )
+            SELECT t.event_type AS event_type, ROUND(r4.val, 6) AS rank
+            FROM r4 JOIN tm t ON t.tid = r4.node
+            ORDER BY event_type
+        """,
+        # all-integer k=8 peel unrolled 6 levels (observed fixpoint depth
+        # is 1-2 at every SF; extra levels are no-ops), MATERIALIZED so
+        # the multiply-referenced CTEs evaluate once; rounds = first
+        # level whose edge count equals the previous level's (the Ray
+        # loop's fixpoint rule, incl. empty-graph / no-change cases).
+        "part_kcore": _kcore_oracle_sql(),
     }
