@@ -1166,6 +1166,55 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "sha256", "n_bytes"])
 
 
+def _q_media_image_dims(sf_dir: str):
+    """REAL image decode through the actor-pool feature extractor (r5):
+    per doc a PNG page and its baseline-JPEG sibling (functions/jpeg.py)
+    flow through ``MediaFeatureExtractor`` and must report identical
+    true pixel dimensions for both codecs. Rows-only; the in-line assert
+    is the check (the codecs' round-trips are pinned in tests/test_jpeg
+    .py / test_raster.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from credit_ocr_backend_ray.sources.synth import (
+        raster_doc_bytes, raster_jpeg_doc_bytes)
+    from credit_ocr_backend_ray.stages.multimodal import MediaFeatureExtractor
+
+    ids = pq.read_table(_t(sf_dir, "documents"),
+                        columns=["doc_id"])["doc_id"].to_pylist()[:30]
+
+    def synth(t: pa.Table) -> pa.Table:
+        mids, fmts, payloads = [], [], []
+        for d in t["doc_id"].to_pylist():
+            for fmt, mk in (("png", raster_doc_bytes),
+                            ("jpg", raster_jpeg_doc_bytes)):
+                mids.append(f"{d}/{fmt}")
+                fmts.append(fmt)
+                payloads.append(mk(int(d)))
+        return pa.table({
+            "media_id": pa.array(mids, pa.string()),
+            "media_type": pa.array(["image"] * len(mids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(["{}"] * len(mids), pa.string()),
+        })
+
+    ds = rd.from_items([{"doc_id": int(i)} for i in ids]).repartition(4)
+    out = (ds.map_batches(synth, batch_format="pyarrow", batch_size=8)
+             .map_batches(MediaFeatureExtractor,
+                          fn_constructor_kwargs={"strict": True},
+                          batch_format="pyarrow", batch_size=8,
+                          concurrency=2)
+             .select_columns(["media_id", "width", "height", "decode_ok"])
+             .to_pandas())
+    assert out["decode_ok"].all()
+    key = out["media_id"].str.split("/", expand=True)
+    out["doc_id"] = key[0].astype("int64")
+    out["fmt"] = key[1]
+    per_doc = out.groupby("doc_id")[["width", "height"]].nunique()
+    assert (per_doc == 1).all().all(), "PNG/JPEG dimension divergence"
+    return (out[["doc_id", "fmt", "width", "height"]]
+            .sort_values(["doc_id", "fmt"]).reset_index(drop=True))
+
+
 # --------- non-SQL (rows-only) queries
 
 def _q_extract_flagship(sf_dir: str):
@@ -1304,22 +1353,23 @@ def _q_raster_extract_pairs(sf_dir: str):
 
 
 def _q_mixed_channel_extract(sf_dir: str):
-    """ALL FOUR payload channels through ONE pipeline — the complete
+    """ALL FIVE payload channels through ONE pipeline — the complete
     reference upload surface (api/main.py:331-338 accepts .pdf/.png/
     .jpg + the OCR-JSON channel) driven purely by extract_document's
     payload sniff: per doc_id the batch carries a layout-JSON, a real
-    PDF, a raster PNG, and an HTML page, interleaved in one dataset.
-    Asserts in-line that the three geometry-bearing channels (json/pdf/
-    png) produce byte-identical extracted text and equal pair counts
-    per document. Rows-only; returns (doc_id, channel, status, n_pairs,
-    text_sha256)."""
+    PDF, a raster PNG, a baseline JPEG (r5), and an HTML page,
+    interleaved in one dataset. Asserts in-line that the four
+    geometry-bearing channels (json/pdf/png/jpg) produce byte-identical
+    extracted text and equal pair counts per document. Rows-only;
+    returns (doc_id, channel, status, n_pairs, text_sha256)."""
     import hashlib
     import pyarrow as pa
     import ray.data as rd
     from credit_ocr_backend_ray.config import default_config
     from credit_ocr_backend_ray.functions.document import extract_document
     from credit_ocr_backend_ray.sources.synth import (
-        _form_html, _layout_doc, pdf_doc_bytes, raster_doc_bytes)
+        _form_html, _layout_doc, pdf_doc_bytes, raster_doc_bytes,
+        raster_jpeg_doc_bytes)
 
     ids = pq.read_table(_t(sf_dir, "documents"),
                         columns=["doc_id"])["doc_id"].to_pylist()[:40]
@@ -1327,6 +1377,7 @@ def _q_mixed_channel_extract(sf_dir: str):
     makers = {"json": lambda i: _layout_doc(i).encode("utf-8"),
               "pdf": pdf_doc_bytes,
               "png": raster_doc_bytes,
+              "jpg": raster_jpeg_doc_bytes,
               "html": lambda i: _form_html(i).encode("utf-8")}
 
     def synth(t: pa.Table) -> pa.Table:
@@ -1366,7 +1417,7 @@ def _q_mixed_channel_extract(sf_dir: str):
              .map_batches(extract, batch_format="pyarrow", batch_size=8)
              .to_pandas())
     assert (out["status"] == "Fertig").all()
-    geo = out[out["channel"].isin(["json", "pdf", "png"])]
+    geo = out[out["channel"].isin(["json", "pdf", "png", "jpg"])]
     per_doc = geo.groupby("doc_id").agg(sha_n=("text_sha256", "nunique"),
                                         pair_n=("n_pairs", "nunique"))
     assert (per_doc["sha_n"] == 1).all(), "channel text divergence"
@@ -3875,6 +3926,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_window": _q_events_daily_window,
         "knn_cosine": _q_knn_cosine,
         "media_features": _q_media_features,
+        "media_image_dims": _q_media_image_dims,
         "web_corpus": _q_web_corpus,
         "page_link_stats": _q_page_link_stats,
         "event_type_pagerank": _q_event_type_pagerank,

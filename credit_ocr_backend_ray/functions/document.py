@@ -40,10 +40,12 @@ STATUS_ERROR = "Fehlerhaft"
 
 def payload_to_lines(payload: bytes) -> list[dict[str, Any]]:
     stripped = payload.lstrip()
-    if stripped[:8] == b"\x89PNG\r\n\x1a\n":
+    if stripped[:8] == b"\x89PNG\r\n\x1a\n" or stripped[:3] == b"\xff\xd8\xff":
         # raster page image (the reference's .png/.jpg upload channel,
-        # src/api/main.py:331-338): segmentation + glyph-template OCR
-        # (functions/raster.py) into the same layout-document shape
+        # src/api/main.py:331-338): PNG via functions/png.py, JPEG via
+        # the baseline JFIF decoder (functions/jpeg.py, r5), then
+        # segmentation + glyph-template OCR (functions/raster.py) into
+        # the same layout-document shape
         from credit_ocr_backend_ray.functions.raster import (
             extract_raster_layout)
         return flatten_layout(extract_raster_layout(bytes(stripped)))

@@ -67,27 +67,113 @@ def hash_strings_u64(strings: list[str]) -> np.ndarray:
                               categorize=False)
 
 
+# order-sensitive polynomial shingle/band combine over uint64 with
+# wraparound (golden-ratio odd multiplier) + splitmix64-style finalizer
+# for the band keys (their LOW bits feed `% shards` bucketing)
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+_MIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_2 = np.uint64(0x94D049BB133111EB)
+_BK_SALT = np.random.default_rng(_RNG_SEED ^ 0xB4D5).integers(
+    0, np.iinfo(np.uint64).max, size=64, dtype=np.uint64)
+
+
 def shingle_hashes_batch(texts: list[str], n: int = 3) -> list[np.ndarray]:
-    """Per-text arrays of UNIQUE shingle hashes, one vectorized hash call
-    for the whole batch."""
-    all_sh: list[str] = []
-    offsets = [0]
-    for t in texts:
-        sh = set(word_shingles(t or "", n))
-        all_sh.extend(sh)
-        offsets.append(len(all_sh))
-    h = hash_strings_u64(all_sh)
-    return [h[offsets[i]:offsets[i + 1]] for i in range(len(texts))]
+    """Per-text arrays of UNIQUE shingle hashes: ONE vectorized string-hash
+    call for the whole batch's TOKENS, then a numpy rolling polynomial
+    combine per n-window — no shingle strings are ever constructed (the
+    r4 shape built ``" ".join(...)`` per position, which dominated the
+    minhash stage's profile; same semantics, ~3x less hashed bytes and
+    zero per-shingle Python allocations)."""
+    tok_lists = [(t or "").split() for t in texts]
+    th = hash_strings_u64([tok for toks in tok_lists for tok in toks])
+    out: list[np.ndarray] = []
+    pos = 0
+    for toks in tok_lists:
+        m = len(toks)
+        h = th[pos:pos + m]
+        pos += m
+        if m == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        w = min(m, n)  # parity with word_shingles: short text = 1 shingle
+        acc = h[0:m - w + 1].copy()
+        for j in range(1, w):
+            acc = acc * _POLY_B + h[j:m - w + 1 + j]
+        out.append(np.unique(acc))
+    return out
+
+
+def minhash_signatures_batch(hash_arrays: list[np.ndarray],
+                             chunk_hashes: int = 1 << 17) -> np.ndarray:
+    """(T, _NUM_PERM) uint64 MinHash signatures for a batch of
+    precomputed shingle-hash arrays: texts are concatenated and the
+    whole (perm x hash) affine bank + per-text min runs as two numpy
+    kernels (``np.minimum.reduceat`` over text offsets), chunked to
+    ~``chunk_hashes`` shingles so the (128 x K) product stays ~128 MB
+    regardless of batch size. Empty texts get the all-max signature."""
+    T = len(hash_arrays)
+    sigs = np.full((T, _NUM_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    pend: list[int] = []
+    tot = 0
+
+    def flush() -> None:
+        nonlocal pend, tot
+        if not pend:
+            return
+        cat = np.concatenate([hash_arrays[t] for t in pend])
+        prod = cat[None, :] * _MH_A[:, None] + _MH_B[:, None]
+        sz = np.array([hash_arrays[t].size for t in pend], dtype=np.int64)
+        offs = np.zeros(len(sz), dtype=np.int64)
+        np.cumsum(sz[:-1], out=offs[1:])
+        sigs[np.asarray(pend)] = np.minimum.reduceat(prod, offs, axis=1).T
+        pend, tot = [], 0
+
+    for t in range(T):
+        s = hash_arrays[t].size
+        if not s:
+            continue
+        pend.append(t)
+        tot += s
+        if tot >= chunk_hashes:
+            flush()
+    flush()
+    return sigs
+
+
+def minhash_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(T, bands) uint64 LSH band keys — a salted polynomial combine of
+    each contiguous r-perm slice plus a splitmix64-style finalizer, all
+    vectorized (the r4 shape ran 16 blake2b calls PER DOC). Docs sharing
+    any band key are near-dup candidates; any uniform 64-bit mix serves
+    (the verify step is exact), so banding only needs determinism."""
+    t, p = sigs.shape
+    r = p // bands
+    v = sigs[:, :bands * r].reshape(t, bands, r)
+    acc = np.broadcast_to(_BK_SALT[:bands], (t, bands)).copy()
+    for k in range(r):
+        acc = acc * _POLY_B + v[:, :, k]
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX_1
+    acc ^= acc >> np.uint64(29)
+    acc *= _MIX_2
+    acc ^= acc >> np.uint64(32)
+    return acc
+
+
+def minhash_band_keys_for_texts(texts: list[str], n: int = 3,
+                                bands: int = 16) -> np.ndarray:
+    """(T, bands) uint64 band keys straight from texts — the whole
+    shingle -> minhash -> band pipeline in four vectorized kernels; the
+    one per-batch entry point the LSH stages share."""
+    return minhash_band_keys_batch(
+        minhash_signatures_batch(shingle_hashes_batch(texts, n)), bands)
 
 
 def minhash_signature_from_hashes(base: np.ndarray) -> np.ndarray:
-    """uint64[_NUM_PERM] MinHash signature from precomputed shingle hashes.
-    (a*h + b) computed in python-int free numpy with u64 wraparound
-    (wraparound keeps determinism; uniformity is ample for banding)."""
-    if base.size == 0:
-        return np.full(_NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    prod = base[None, :] * _MH_A[:, None] + _MH_B[:, None]
-    return prod.min(axis=1)
+    """uint64[_NUM_PERM] MinHash signature from precomputed shingle
+    hashes (single-text wrapper over the batch kernel, so both paths
+    produce identical values by construction)."""
+    return minhash_signatures_batch([base])[0]
 
 
 def minhash_signature(text: str, n: int = 3) -> np.ndarray:
@@ -96,15 +182,8 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 
 def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
-    """LSH band keys: hash of each contiguous r-row slice (r = perms/bands).
-    Docs sharing any band key are near-dup candidates."""
-    r = sig.shape[0] // bands
-    keys = []
-    for b in range(bands):
-        chunk = sig[b * r:(b + 1) * r].tobytes()
-        h = hashlib.blake2b(chunk, digest_size=8, salt=b.to_bytes(8, "big")).digest()
-        keys.append(int.from_bytes(h, "big"))
-    return keys
+    """LSH band keys of one signature (wrapper over the batch kernel)."""
+    return [int(x) for x in minhash_band_keys_batch(sig[None, :], bands)[0]]
 
 
 def simhash64(text: str) -> int:

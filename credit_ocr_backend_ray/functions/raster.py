@@ -1,5 +1,5 @@
-"""Raster-image (PNG) text channel: deterministic glyph rasterizer + a
-real segmentation/template-matching decoder.
+"""Raster-image (PNG + baseline-JPEG) text channel: deterministic glyph
+rasterizer + a real segmentation/template-matching decoder.
 
 Closes the reference's last input type: ``.png/.jpg/.jpeg`` uploads are
 accepted at /root/reference/src/api/main.py:331-338 and OCR'd by Azure at
@@ -108,11 +108,9 @@ def _phys_chunk(dpi: int) -> bytes:
             + struct.pack(">I", zlib.crc32(b"pHYs" + body) & 0xFFFFFFFF))
 
 
-def render_page_png(runs: list[dict[str, Any]], dpi: int = 200) -> bytes:
-    """Render text runs (same shape as ``pdf.build_pdf``'s:
-    ``{"text", "x_in", "y_top_in", "h_in"}``) onto a white page; returns
-    PNG bytes carrying the DPI in a ``pHYs`` chunk. All geometry must be
-    integral in pixels at this DPI and ``h_in*dpi`` divisible by 12."""
+def _render_ink(runs: list[dict[str, Any]], dpi: int) -> np.ndarray:
+    """Shared rasterizer: text runs -> boolean ink array (see
+    ``render_page_png`` for the geometry contract)."""
     placed = []
     max_x = max_y = 0
     for r in runs:
@@ -144,12 +142,35 @@ def render_page_png(runs: list[dict[str, Any]], dpi: int = 200) -> bytes:
                 base[:, k * GLYPH_W:(k + 1) * GLYPH_W] = _GLYPHS[ch]
         big = np.kron(base, np.ones((s, s), dtype=bool))
         ink[t:t + GLYPH_H * s, x0:x0 + GLYPH_W * s * len(text)] |= big
+    return ink
 
+
+def render_page_png(runs: list[dict[str, Any]], dpi: int = 200) -> bytes:
+    """Render text runs (same shape as ``pdf.build_pdf``'s:
+    ``{"text", "x_in", "y_top_in", "h_in"}``) onto a white page; returns
+    PNG bytes carrying the DPI in a ``pHYs`` chunk. All geometry must be
+    integral in pixels at this DPI and ``h_in*dpi`` divisible by 12."""
+    ink = _render_ink(runs, dpi)
     page = np.full((*ink.shape, 3), 255, dtype=np.uint8)
     page[ink] = 0
     png = encode_png(page)
     # splice pHYs right after IHDR (8-byte sig + 25-byte IHDR chunk)
     return png[:33] + _phys_chunk(dpi) + png[33:]
+
+
+def render_page_jpeg(runs: list[dict[str, Any]], dpi: int = 200) -> bytes:
+    """The same page render as JPEG (r5: the reference's ``.jpg/.jpeg``
+    upload channel, api/main.py:331-338): grayscale baseline JFIF at
+    quality=100 — all-ones quant tables, so the round-trip error is the
+    DCT rounding (±1-2 gray levels), which binarization at 128 absorbs
+    exactly; the DPI rides in the JFIF APP0 density fields. Extraction
+    through this channel is byte-identical to the PNG channel (pinned by
+    tests/test_jpeg.py)."""
+    from credit_ocr_backend_ray.functions.jpeg import encode_baseline_jpeg
+    ink = _render_ink(runs, dpi)
+    page = np.full(ink.shape, 255, dtype=np.uint8)
+    page[ink] = 0
+    return encode_baseline_jpeg(page, quality=100, dpi=dpi)
 
 
 # ------------------------------------------------------------------ reader
@@ -194,16 +215,25 @@ def _split_segments(colmask: np.ndarray, gap: int) -> list[tuple[int, int]]:
 
 
 def extract_raster_layout(data: bytes) -> dict[str, Any]:
-    """PNG page bytes -> the shared layout-document shape
+    """PNG or JPEG page bytes -> the shared layout-document shape
     (``{"pages": [{"page_number", "lines", "words"}]}``, the same schema
     the JSON/PDF channels feed into ``flatten_layout``). Decoding is
     exact: any unregistered geometry or unknown glyph raises, and
     ``extract_document`` maps that to the per-document "Fehlerhaft"
     poison state. Word/line confidence is 1.0 — template matching on a
     noise-free render is lossless, like the PDF text layer."""
-    dpi = _read_dpi(data)
-    rgb = decode_png(data)
-    ink = rgb[:, :, 0] < 128
+    if data[:3] == b"\xff\xd8\xff":  # JPEG page (r5)
+        from credit_ocr_backend_ray.functions.jpeg import (
+            decode_baseline_jpeg, jpeg_dpi)
+        dpi = jpeg_dpi(data)
+        if not dpi:
+            raise ValueError("JPEG carries no JFIF DPI; not a page render")
+        arr = decode_baseline_jpeg(data)
+        ink = (arr if arr.ndim == 2 else arr[:, :, 0]) < 128
+    else:
+        dpi = _read_dpi(data)
+        rgb = decode_png(data)
+        ink = rgb[:, :, 0] < 128
 
     lines: list[dict[str, Any]] = []
     words: list[dict[str, Any]] = []

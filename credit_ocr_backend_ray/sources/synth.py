@@ -279,6 +279,22 @@ def raster_doc_bytes(i: int, dpi: int = 100) -> bytes:
     the JSON layout channel — pinned by tests/test_raster.py."""
     from credit_ocr_backend_ray.functions.raster import render_page_png
 
+    return render_page_png(_raster_runs(i), dpi=dpi)
+
+
+def raster_jpeg_doc_bytes(i: int, dpi: int = 100) -> bytes:
+    """``raster_doc_bytes``'s page as baseline JPEG (r5 — the reference's
+    ``.jpg/.jpeg`` upload channel, api/main.py:331-338): quality=100
+    (all-ones quant tables) keeps the round-trip inside the binarization
+    margin, so extraction is byte-identical to the PNG channel — pinned
+    by tests/test_jpeg.py and the ``mixed_channel_extract`` in-line
+    parity asserts."""
+    from credit_ocr_backend_ray.functions.raster import render_page_jpeg
+
+    return render_page_jpeg(_raster_runs(i), dpi=dpi)
+
+
+def _raster_runs(i: int) -> list[dict]:
     runs = []
     for r, (label, value) in enumerate(form_rows(i)):
         y = float(r % 22) + 1.0
@@ -286,7 +302,7 @@ def raster_doc_bytes(i: int, dpi: int = 100) -> bytes:
                      "h_in": 0.12})
         runs.append({"text": value, "x_in": 4.0,
                      "y_top_in": y + 0.01 - 0.09, "h_in": 0.12})
-    return render_page_png(runs, dpi=dpi)
+    return runs
 
 
 def rows_for_sf(sf: float) -> int:

@@ -40,8 +40,7 @@ import ray.data as rd
 from ray.data.aggregate import Max
 
 from credit_ocr_backend_ray.functions.hashing import (
-    jaccard, minhash_bands, minhash_signature_from_hashes,
-    shingle_hashes_batch, simhash64,
+    jaccard, minhash_band_keys_for_texts, shingle_hashes_batch, simhash64,
 )
 
 logger = logging.getLogger(__name__)
@@ -195,20 +194,16 @@ def add_minhash(batch: pa.Table, text_col: str = "text",
                 id_col: str = "doc_id", bands: int = 16) -> pa.Table:
     """(id, band_id, band_key, shard) exploded rows — bands*n output rows of
     small columns; the LSH shuffle moves only these, never text."""
-    ids = batch[id_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch[text_col].to_pylist()
-    hashes = shingle_hashes_batch(texts)  # ONE vectorized hash call/batch
-    out_id, out_band, out_key = [], [], []
-    for i, h in zip(ids, hashes):
-        keys = minhash_bands(minhash_signature_from_hashes(h), bands=bands)
-        for b, bk in enumerate(keys):
-            out_id.append(i)
-            out_band.append(b)
-            out_key.append(bk)
-    key_arr = np.array(out_key, dtype=np.uint64)
+    # whole shingle->minhash->band pipeline in four vectorized kernels
+    # (r5: the r4 shape looped docs for the signature + 16 blake2b/doc)
+    keys = minhash_band_keys_for_texts(texts, bands=bands)  # (T, bands)
+    key_arr = keys.reshape(-1)
     return pa.table({
-        id_col: pa.array(out_id, pa.int64()),
-        "band_id": pa.array(out_band, pa.int32()),
+        id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                    len(texts)), pa.int32()),
         "band_key": pa.array(key_arr, pa.uint64()),
         "shard": pa.array((key_arr % _BAND_SHARDS).astype(np.int32), pa.int32()),
     })

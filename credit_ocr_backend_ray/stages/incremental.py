@@ -151,21 +151,19 @@ def minhash_index_write(ds: "rd.Dataset", index_dir: str,
 
     Returns the indexed document count."""
     from credit_ocr_backend_ray.functions.hashing import (
-        minhash_bands, minhash_signature)
+        minhash_band_keys_for_texts)
     from credit_ocr_backend_ray.state.bucket_store import write_bucketed
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = t[text_col].to_pylist()
-        out_id, out_key = [], []
-        for i, txt in zip(ids, texts):
-            for k in minhash_bands(minhash_signature(txt or ""), bands):
-                out_id.append(i)
-                # store as int64 (two's-complement view) — the bucketed
-                # store keys on int64
-                out_key.append(np.uint64(k).astype(np.int64).item())
-        return pa.table({"band_key": pa.array(out_key, pa.int64()),
-                         id_col: pa.array(out_id, pa.int64())})
+        # vectorized batch kernel (r5); stored as int64 two's-complement
+        # VIEW — the bucketed store keys on int64
+        keys = minhash_band_keys_for_texts(texts, bands=bands)
+        return pa.table({
+            "band_key": pa.array(np.ascontiguousarray(keys.reshape(-1))
+                                 .view(np.int64), pa.int64()),
+            id_col: pa.array(np.repeat(ids, bands), pa.int64())})
 
     write_bucketed(ds.map_batches(band_rows, batch_format="pyarrow"),
                    os.path.join(index_dir, "bands"), "band_key",
@@ -202,7 +200,7 @@ def minhash_index_query(new_ds: "rd.Dataset", index_dir: str,
     DataFrame — the verified-pair set is the one genuinely small output.
     The index side stays on disk throughout."""
     from credit_ocr_backend_ray.functions.hashing import (
-        jaccard, minhash_bands, minhash_signature)
+        jaccard, minhash_band_keys_for_texts)
     from credit_ocr_backend_ray.state.bucket_store import (
         bucket_files, bucket_of_int)
 
@@ -213,15 +211,16 @@ def minhash_index_query(new_ds: "rd.Dataset", index_dir: str,
                           "jaccard": pd.Series([], dtype="float64")})
 
     def probe_rows(t: pa.Table) -> pa.Table:
-        out_id, out_key = [], []
-        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for k in minhash_bands(minhash_signature(txt or ""), bands):
-                out_id.append(int(i))
-                out_key.append(np.uint64(k).astype(np.int64).item())
-        keys = np.asarray(out_key, dtype=np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        # vectorized batch kernel (r5) — MUST match minhash_index_write's
+        # band keys exactly, so both sides share the one entry point
+        keys = np.ascontiguousarray(
+            minhash_band_keys_for_texts(texts, bands=bands)
+            .reshape(-1)).view(np.int64)
         return pa.table({
-            "new_id": pa.array(out_id, pa.int64()),
-            "band_key": pa.array(out_key, pa.int64()),
+            "new_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band_key": pa.array(keys, pa.int64()),
             "bucket": pa.array(bucket_of_int(keys, _LSH_BUCKETS)),
         })
 

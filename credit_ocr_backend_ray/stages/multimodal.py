@@ -40,11 +40,13 @@ def confidence_color(conf: float) -> str:
 
 def _decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
     """Decode + feature-extract one media payload. REAL decode for the
-    formats the stdlib can parse — PNG (functions/png.py) and PPM —
-    yielding true width/height from the pixel data; formats that require
-    external codecs (JPEG, MP4, ...) fall back to the sha+size record
-    with ``width/height = None`` (documented: no such codec ships here;
-    swap in PIL/ffmpeg branches in a full environment)."""
+    formats parsed in-repo — PNG (functions/png.py), PPM, and baseline
+    JPEG (functions/jpeg.py, r5) — yielding true width/height from the
+    pixel data; a non-baseline JPEG (e.g. progressive) still gets real
+    dimensions from its SOF header. Formats that require external codecs
+    (MP4, ...) fall back to the sha+size record with
+    ``width/height = None`` (documented: no such codec ships here; swap
+    in PIL/ffmpeg branches in a full environment)."""
     rec: dict[str, Any] = {
         "ok": True,
         "sha256": hashlib.sha256(payload).hexdigest(),
@@ -64,6 +66,19 @@ def _decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
             w, h, _ = parse_ppm(frames[0])
             rec["width"], rec["height"] = w, h
             rec["frames"] = len(frames)
+        elif payload.startswith(b"\xff\xd8\xff"):
+            from credit_ocr_backend_ray.functions.jpeg import (
+                decode_baseline_jpeg, jpeg_dimensions)
+            try:
+                arr = decode_baseline_jpeg(payload)
+                rec["height"], rec["width"] = arr.shape[:2]
+            except ValueError:
+                # non-baseline process: real dims from the SOF header
+                dims = jpeg_dimensions(payload)
+                if dims is None:
+                    raise
+                rec["width"], rec["height"] = dims
+            rec["frames"] = 1
     except Exception:  # noqa: BLE001 — poison payload: keep sha record
         rec["ok"] = False
     return rec
@@ -89,7 +104,8 @@ class MediaFeatureExtractor:
         if self.strict and any(f["width"] is None for f in feats):
             raise NotImplementedError(
                 "payload format needs image/audio libraries not present "
-                "in this environment (only PNG/PPM decode in-sandbox)")
+                "in this environment (PNG/PPM/baseline-JPEG decode "
+                "in-sandbox)")
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
