@@ -3708,68 +3708,69 @@ def _q_temperature_mix(sf_dir: str):
 # rewrite, dedup_latest vectorization, _with_shard hash mixing, bench
 # regression watchlist). Everything stays verified by
 # tools/check_correctness.py at sf0.001/0.01/0.1 either way.
-# Round-4 showcase window (the driver's CORRECTNESS cap records the
-# first 50 entries): the 15 oracled queries never yet certified by any
-# driver window, the r03 red item's re-certification, then re-certs
-# weighted toward this round's changed code paths (joins/windows/
-# profiler/band joins) and the queries whose only certification is r01.
+# Round-5 showcase window (the driver's CORRECTNESS cap records the
+# first 50 entries). After the fully-green r04 window, EVERY oracled
+# query has at least one driver certification, so r5 leads with the two
+# queries oracle-UPGRADED this round (their first possible cert), then
+# this round's changed code paths, then a maximal rotation: 45 oracled
+# queries whose last driver cert predates r04 (none of them were in the
+# r04 window). The r04-window queries stay verified by the local sweep.
 _SHOWCASE_ORDER = [
-    # never driver-certified (landed after the r03 snapshot)
-    "canonical_urls",
-    "click_purchase_band",
-    "doc_kfold_counts",
-    "doc_text_normalized",
-    "documents_from_warc",
-    "events_compacted",
-    "events_from_jsonl_robust",
-    "lineitem_box_scan",
-    "orders_from_orc",
-    "orders_profile",
-    "priority_price_outliers",
-    "priority_price_winsorized",
-    "returned_item_customers",
-    "shipping_priority",
-    "supplier_edit1_pairs",
-    # the r03 window's one ERR — re-certify with the shuffle-join guard
-    "doc_mean_token_freq",
-    # changed-code re-certs this round
-    "events_hopping_window",
-    "events_daily_window",
-    "events_within_minute",
-    "orders_lineitem_join",
-    "orders_lineitem_join_salted",
-    "customer_order_counts",
+    # first-ever certification opportunity (rows-only -> SQL in r5)
+    "event_type_pagerank",
+    "part_kcore",
+    # changed-code re-certs this round (JPEG branch in the media
+    # extractor; empty-block size_bytes patch on the Q5 path; the
+    # packing composite downstream of the curation edits)
+    "media_features",
     "local_supplier_revenue",
-    # flagship-family + oldest (r01-only) re-certs
-    "agg_pricing",
-    "dedup_exact_documents",
-    "dedup_latest_events",
-    "latest_event_per_user",
-    "knn_cosine",
-    "doc_text_stats",
-    "asof_latest_order",
-    "asof_next_event",
-    "asof_latest_order_broadcast",
-    "sessionize_events",
-    "customers_without_events",
-    "customer_running_total",
-    "order_price_histogram",
-    "bigram_lift",
-    "epoch_packed_sequences",
-    "orders_quality_rules",
-    # round-4 additions, never yet windowed (one slot each; the oldest
-    # r01-only re-certs they displace stay verified by the local sweep)
-    "orders_merged",
-    "orders_snapshot_diff",
-    "order_grouping_sets",
-    "source_length_drift",
-    "order_interval_overlaps",
-    "doc_ticket_sample",
-    "label_centroids",
-    "embedding_covariance",
-    "doc_pii_redaction",
-    "quality_scores",
-    "lang_id",
+    "curated_pack",
+    # maximal rotation: last certified r01-r03
+    "filter_revenue",
+    "recent_orders_pushdown",
+    "top_lineitems_global",
+    "newest_orders",
+    "customer_nation",
+    "top_brands_revenue",
+    "qty_discount_hist2d",
+    "orders_price_range_scan",
+    "customer_spend_bucketed",
+    "orders_lineitem_join_bucketed",
+    "supplier_acctbal_stats",
+    "top_orders_per_priority",
+    "event_value_delta",
+    "event_value_zscore",
+    "brand_price_median",
+    "distinct_event_types",
+    "union_hot_lineitems",
+    "event_user_count_distinct",
+    "customers_with_events",
+    "click_and_purchase_users",
+    "order_customers_no_events",
+    "user_event_pivot",
+    "orders_price_band_join",
+    "returnflag_qty_price_corr",
+    "priority_price_quartiles",
+    "order_price_ntile",
+    "top_terms",
+    "top_bigrams",
+    "source_vocab_jaccard",
+    "funnel_conversion",
+    "priority_trimmed_mean",
+    "part_skyline",
+    "part_triangles",
+    "event_retention",
+    "supplier_hamming_pairs",
+    "event_transitions",
+    "user_event_entropy",
+    "session_event_pairs",
+    "doc_dup_grams",
+    "temperature_mix_sample",
+    "frequent_part_pairs",
+    "user_top_event_type",
+    "pricing_rollup",
+    "bm25_search",
+    "incremental_dedup",
 ]
 
 
