@@ -50,6 +50,69 @@ _PATCH_FLAG = "_cob_ray_empty_block_schema_patch"
 _SIZE_PATCH_FLAG = "_cob_ray_empty_block_size_patch"
 
 
+def install_worker_patch_propagation() -> bool:
+    """Make EVERY Ray Data worker install the compat patches, not just the
+    ones that happen to import this package.
+
+    The patches install at package import (``__init__``), which covers any
+    worker that imports the package while deserializing a UDF — but a
+    nested closure that references no package global (e.g. ``broadcast_
+    semi_join``'s pure-pandas ``filt``, which touches only ``ray``/``pd``)
+    is pickled BY VALUE by cloudpickle, so the worker never imports the
+    package and an empty output block still sprays ``Error calculating
+    size for column '<name>'`` per string column (reproduced; the r04
+    sweep's ``n_name`` noise survived the import-time install for exactly
+    this reason).
+
+    Instead of threading a package reference through 137 closure sites,
+    piggyback on the one object Ray Data already ships to every task: the
+    ``DataContext``. Each ``Dataset`` deep-copies the current context at
+    creation and serializes it into its task specs, and the worker
+    unpickles it during task setup — before the task emits its first
+    block. A module-valued attribute on the context is pickled by
+    cloudpickle AS A REFERENCE (``subimport(name)``), so unpickling the
+    context imports this package in the worker and the ``__init__``
+    installs run there. Requires the package to be importable from the
+    worker's cwd — already true wherever any of this package's pipelines
+    can run at all (their UDFs reference package globals)."""
+    try:
+        from ray.data import DataContext
+    except ImportError:
+        logger.warning("DataContext not found; worker patch propagation "
+                       "skipped")
+        return False
+    DataContext.get_current()._cob_worker_patch_hook = _WorkerPatchShipment()
+    return True
+
+
+class _WorkerPatchShipment:
+    """The attribute value ``install_worker_patch_propagation`` puts on the
+    global ``DataContext``. Two constraints shape it:
+
+    - Ray deep-copies the context per dataset (and derived datasets copy
+      it AGAIN), so the attribute must survive ``copy.deepcopy``
+      repeatedly — holding the module object directly crashes the second
+      copy (``cannot pickle 'module' object``). ``__deepcopy__`` /
+      ``__copy__`` return ``self`` so every context copy keeps this
+      placeholder.
+    - serialization into a task spec goes through cloudpickle, which
+      honors ``__reduce__``: the worker reconstructs by calling
+      ``pydoc.safeimport`` (stdlib, importable everywhere, returns
+      ``None`` instead of raising when the package is absent from the
+      worker's path), importing this package — and running the
+      ``__init__`` patch installs — before the task emits a block."""
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __copy__(self):
+        return self
+
+    def __reduce__(self):
+        import pydoc
+        return (pydoc.safeimport, ("credit_ocr_backend_ray",))
+
+
 def install_pandas_size_bytes_patch() -> bool:
     """Fix ``PandasBlockAccessor.size_bytes`` on EMPTY blocks (ray
     2.49.2): the object-column sampler calls ``np.vectorize`` over a

@@ -1197,6 +1197,65 @@ def test_empty_pandas_block_size_bytes(ray_session):
         PandasBlockAccessor(empty).size_bytes()
 
 
+def test_worker_patch_propagation(ray_session):
+    """Regression for the residual r5 worker-log spam: the import-time
+    patch installs only reach workers that IMPORT the package, but a
+    nested closure referencing no package global (broadcast_semi_join's
+    pure-pandas filt) is pickled by value, so its worker stayed
+    unpatched and empty output blocks sprayed "Error calculating size
+    for column 'c_name'". compat.install_worker_patch_propagation rides
+    the DataContext instead: Ray deep-copies the context per dataset
+    (and again per derived dataset) and ships it in every task spec; the
+    _WorkerPatchShipment attribute survives every copy as itself and its
+    __reduce__ makes the WORKER-side unpickle import the package — so
+    the patches install there before the first block is built."""
+    import copy
+    import types
+
+    from ray.data import DataContext
+
+    from credit_ocr_backend_ray import compat
+
+    assert compat.install_worker_patch_propagation()  # idempotent
+    ctx = DataContext.get_current()
+    hook = ctx._cob_worker_patch_hook
+    assert isinstance(hook, compat._WorkerPatchShipment)
+
+    # stage 1: per-dataset copies (including copies OF copies — derived
+    # datasets re-copy their parent's context) keep the placeholder
+    copied = copy.deepcopy(copy.deepcopy(ctx))
+    assert isinstance(copied._cob_worker_patch_hook,
+                      compat._WorkerPatchShipment)
+
+    # stage 2: cloudpickle honors __reduce__ — the payload reconstructs
+    # via pydoc.safeimport("credit_ocr_backend_ray"), so a worker
+    # unpickling the context performs the import (= runs the installs)
+    from ray import cloudpickle as cp
+    payload = cp.dumps(copied)
+    assert b"credit_ocr_backend_ray" in payload
+    assert b"safeimport" in payload
+    restored = cp.loads(payload)
+    assert isinstance(restored._cob_worker_patch_hook, types.ModuleType)
+
+    # graceful degradation: a worker that cannot import the package gets
+    # None, not an exception (pydoc.safeimport contract)
+    import pydoc
+    assert pydoc.safeimport("credit_ocr_backend_ray_nonexistent") is None
+
+    # behavioral: the exact r5 repro (every block emptied by a broadcast
+    # semi-join whose closure references nothing from the package) runs
+    # clean — with the worker patched, an empty pandas block's
+    # size_bytes short-circuits instead of logging per string column
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import broadcast_semi_join
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"c_name": [f"n{i}" for i in range(400)],
+         "k": list(range(400))})).repartition(4)
+    assert broadcast_semi_join(ds, {-1}, "k").count() == 0
+
+
 def test_hopping_window_null_key_and_count_only(ray_session):
     """ADVICE r3: (a) the pandas partial groupby must pass dropna=False
     or rows with a null key silently vanish from every window; (b) the
