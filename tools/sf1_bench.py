@@ -64,8 +64,39 @@ def build_sf1_tables(src_dir: str = "/root/testdata/sf0.1") -> None:
         f.write("ok")
 
 
+def build_docs_big(copies: int, src: str = "/root/testdata/sf0.1") -> str:
+    """``copies`` shifted copies of the sf0.1 documents table (5k docs;
+    200 copies = 1M docs — r5, VERDICT r04 item 5): per-doc gates see
+    ``copies*5k`` distinct ids; the source axis keeps its cardinality
+    with ``copies``x density, which is how real web sources grow.
+    Cached under /tmp/sf1_tables/docs{N}."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(SF1_DIR, f"docs{copies}x")
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(src, "documents.parquet"))
+    parts = []
+    for c in range(copies):
+        i = tbl.schema.get_field_index("doc_id")
+        parts.append(tbl.set_column(
+            i, "doc_id", pc.add(tbl.column("doc_id"), c * 100_000)))
+    out = pa.concat_tables(parts).replace_schema_metadata(None)
+    pq.write_table(out, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=50_000)
+    print(f"built docs{copies}x: {out.num_rows} rows", file=sys.stderr)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("ok")
+    return out_dir
+
+
 def main() -> int:
     skip_e2e = "--skip-e2e" in sys.argv
+    curation_only = "--curation-only" in sys.argv
     import ray
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -97,7 +128,7 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
-    if not skip_e2e:
+    if not skip_e2e and not curation_only:
         import shutil
         from credit_ocr_backend_ray.pipelines.extraction import (
             ExtractionConfig, run_extraction)
@@ -116,14 +147,45 @@ def main() -> int:
         timed("extract_e2e_sf1_1M_docs", e2e)
 
     sf = SF1_DIR
-    for name in ["orders_lineitem_join", "asof_latest_order",
-                 "events_hopping_window", "dedup_minhash"]:
-        def run(name=name):
-            import pandas as pd
-            r = q[name](sf)
-            df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
-            return {"out_rows": len(df)}
-        timed(f"{name}_sf1", run)
+    if not curation_only:
+        for name in ["orders_lineitem_join", "asof_latest_order",
+                     "events_hopping_window", "dedup_minhash"]:
+            def run(name=name):
+                import pandas as pd
+                r = q[name](sf)
+                df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+                return {"out_rows": len(df)}
+            timed(f"{name}_sf1", run)
+
+    # r5 (VERDICT r04 item 5): the composite curation funnels a
+    # training-data user runs end-to-end, at 100k AND 1M docs with
+    # peak-memory sampling (the pair gives the linearity ratio) —
+    # curated_pack over replicated documents tables, web_corpus over
+    # the flagship page input (extraction -> quality gate -> sparse
+    # exact dedup, one streaming plan).
+    import ray.data as rd
+
+    def curated(docs_dir):
+        from credit_ocr_backend_ray.pipelines.curation import curate_pack
+        ds = rd.read_parquet(
+            os.path.join(docs_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"])
+        out = curate_pack(ds, min_tokens=20, max_dup_micro=600_000,
+                          max_source_mean_dup_micro=520_000,
+                          window=16, budget=512, shard_width=1000)
+        return {"out_rows": out.count()}
+
+    def webc(n_docs):
+        from credit_ocr_backend_ray.pipelines.web import web_corpus_ds
+        from credit_ocr_backend_ray.sources.synth import synthesize_pages
+        inp = synthesize_pages(n_docs)  # cached
+        return {"out_rows": web_corpus_ds(inp).count()}
+
+    for copies, tag in ((20, "100k"), (200, "1M")):
+        d = build_docs_big(copies)
+        timed(f"curated_pack_{tag}_docs", lambda d=d: curated(d))
+    for n, tag in ((100_000, "100k"), (1_000_000, "1M")):
+        timed(f"web_corpus_{tag}_docs", lambda n=n: webc(n))
 
     print(json.dumps({"summary": results}), flush=True)
     ray.shutdown()
