@@ -62,9 +62,24 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
     ties to exactly one row; otherwise ties both survive (deterministic
     set semantics, same in all paths)."""
     if strict:
-        def pick_latest(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values([order_col, key], ascending=False).head(1)
-        return ds.groupby(key).map_groups(pick_latest, batch_format="pandas")
+        from credit_ocr_backend_ray.stages.relational import _with_shard
+
+        def local_pick(b: pd.DataFrame) -> pd.DataFrame:
+            out = (b.sort_values([order_col, key], ascending=False)
+                    .groupby(key, as_index=False, sort=False).head(1))
+            return _with_shard(out, key, 64)
+
+        def shard_pick(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["__shard"])
+            return (g.sort_values([order_col, key], ascending=False)
+                     .groupby(key, as_index=False, sort=False).head(1))
+
+        # coarse-shard co-group, not per-key map_groups: Ray prices
+        # groupby(key) by DISTINCT-key count (measured 64-78 s at 400k
+        # keys), and the key here is per-url — unbounded at crawl scale
+        return (ds.map_batches(local_pick, batch_format="pandas")
+                  .groupby("__shard").map_groups(shard_pick,
+                                                 batch_format="pandas"))
 
     if small_keys:
         winners = (ds.select_columns([key, order_col])
@@ -157,14 +172,26 @@ def dedup_exact_sparse(ds: "rd.Dataset", hash_col: str,
 
     from credit_ocr_backend_ray.stages.relational import grouped_agg
     # the key scan reads ONE column of the cached blocks (zero-copy
-    # Arrow projection) — the wide payload never enters this pass
+    # Arrow projection) — the wide payload never enters this pass.
+    # combine="cogroup": the hash column's cardinality is ~the corpus
+    # size, and Ray's per-key sort machinery priced the old shuffle
+    # combine at 45 s for a 400k-page scan (the web_corpus sf1 leg went
+    # 34x super-linear on exactly this); the coarse-shard co-group does
+    # the same count in ~3 s and scales with shards, not keys
     counts = grouped_agg(ds.select_columns([hash_col])
                          .map_batches(key_partial, batch_format="pandas"),
-                         [hash_col], {"__kn": "__n"}, count_alias=None)
+                         [hash_col], {"__kn": "__n"}, count_alias=None,
+                         combine="cogroup")
     dup_df = counts.filter(expr="__n > 1").to_pandas()
     # an all-unique corpus yields a ZERO-COLUMN empty frame (Ray's empty
     # grouped-output quirk) — treat it as "no collisions"
     dup_keys = ([] if dup_df.empty else sorted(dup_df[hash_col]))
+    if not dup_keys:
+        # nothing collides: the input IS the deduped output. Skipping
+        # the filter passes + shuffle matters: even over all-EMPTY dup
+        # blocks, the dedup machinery costs per-input-block sort setup
+        # (measured 33 s across 783 blocks at the 400k-page scale)
+        return ds
     ref = ray.put(pa.array(dup_keys, pa.string()))
 
     import pyarrow.compute as pc
@@ -178,8 +205,12 @@ def dedup_exact_sparse(ds: "rd.Dataset", hash_col: str,
         return t.filter(pc.fill_null(m, False))
 
     unique_part = ds.map_batches(uniques, batch_format="pyarrow")
+    # coalesce the dup rows before the wide shuffle: they are FEW by the
+    # sparse-path assumption but spread across every input block, and
+    # the co-group's residual cost is per-input-block machinery
     deduped_dups = dedup_exact(ds.map_batches(dup_rows,
-                                              batch_format="pyarrow"),
+                                              batch_format="pyarrow")
+                               .repartition(64),
                                hash_col, tie_col)
     return unique_part.union(deduped_dups)
 
@@ -611,15 +642,25 @@ def corpus_overlap(ds: "rd.Dataset", text_col: str = "text",
                          group_col: pa.array(ss, pa.string())})
 
     def shared_flags(g: pd.DataFrame) -> pd.DataFrame:
-        srcs = g[group_col].drop_duplicates()  # cross-batch pair dupes
+        # one vectorized pass per SHARD, not one group call per distinct
+        # text: Ray's per-key map_groups prices by distinct-key count
+        # (the r5 sf1 measurement — 64-78 s at 400k keys vs ~3 s for 64
+        # coarse shards), and distinct texts ~ corpus size at 100 TB
+        g = g.drop(columns="__shard").drop_duplicates(["th", group_col])
+        n_src = g.groupby("th")[group_col].transform("nunique")
         return pd.DataFrame({
-            group_col: srcs,
-            "__shared": np.int64(1 if len(srcs) > 1 else 0),
+            group_col: g[group_col],
+            "__shared": (n_src > 1).to_numpy().astype(np.int64),
         })
 
+    from credit_ocr_backend_ray.stages.relational import _with_shard
     pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
-    flagged = pairs.groupby("th").map_groups(shared_flags,
-                                             batch_format="pandas")
+    flagged = (pairs.map_batches(
+                   lambda b: _with_shard(b, "th", 64),
+                   batch_format="pandas")
+               .repartition(64)
+               .groupby("__shard").map_groups(shared_flags,
+                                              batch_format="pandas"))
     return grouped_agg(flagged, [group_col], {"__shared": "n_shared"},
                        count_alias="n_texts")
 

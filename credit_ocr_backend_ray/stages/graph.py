@@ -102,8 +102,12 @@ def connected_components(edges: "rd.Dataset", src: str = "src",
         return pa.table({"node": pa.array(u, pa.int64()),
                          "comp": pa.array(u, pa.int64())})
 
-    labels = edges.map_batches(init_nodes, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("comp", alias_name="__s"))
+    # cogroup, not Ray's per-key sort aggregate: node cardinality is
+    # unbounded (measured 64-78 s at 400k distinct keys vs ~3 s sharded)
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+    labels = grouped_agg(
+        edges.map_batches(init_nodes, batch_format="pyarrow"),
+        ["node"], {"comp": "__s"}, count_alias=None, combine="cogroup")
 
     def dedup_init(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -280,8 +284,10 @@ def pagerank(edges: "rd.Dataset", src: str = "src", dst: str = "dst",
                 [sc.astype(np.int64), np.zeros(len(du), np.int64)])),
         })
 
-    nodes = (edges.map_batches(deg_partial, batch_format="pyarrow")
-             .groupby("node").aggregate(Sum("__d", alias_name="outdeg")))
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+    nodes = grouped_agg(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], {"__d": "outdeg"}, count_alias=None, combine="cogroup")
 
     def init_rank(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -469,8 +475,10 @@ def _degrees(simple: "rd.Dataset") -> "rd.Dataset":
         return pa.table({"node": pa.array(n, pa.int64()),
                          "__d": pa.array(c.astype(np.int64), pa.int64())})
 
-    return (simple.map_batches(deg_partial, batch_format="pyarrow")
-                  .groupby("node").aggregate(_Sum("__d", alias_name="deg")))
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+    return grouped_agg(
+        simple.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], {"__d": "deg"}, count_alias=None, combine="cogroup")
 
 
 def _attach_degrees(work: "rd.Dataset", degs: "rd.Dataset", key: str,

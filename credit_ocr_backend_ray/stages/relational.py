@@ -42,19 +42,26 @@ from ray.data.aggregate import Count, Max, Min, Sum
 def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
                 sum_cols: dict[str, str],
                 count_alias: str | None = "n",
-                combine: str = "shuffle") -> "rd.Dataset":
+                combine: str = "shuffle",
+                n_shards: int = 64) -> "rd.Dataset":
     """groupby(keys) with Sum/Count, combiner-style: per-batch partial
     aggregation first. ``sum_cols`` maps input column -> output alias.
 
     ``combine="shuffle"`` (default) finishes with a distributed
-    ``groupby().aggregate()`` — required when the number of groups is
-    unbounded (per-user, per-token, ...). ``combine="driver"`` instead
+    ``groupby().aggregate()`` — fully general, but Ray's per-key sort
+    machinery prices it by DISTINCT-KEY count: measured 64-78 s for a
+    400k-distinct-key fold at sf-bench scale regardless of block count.
+    ``combine="cogroup"`` finishes with a coarse key-hash shard co-group
+    instead (``_with_shard`` on the first key + one vectorized pandas
+    fold per shard — the dedup_exact/latest_per_key pattern): identical
+    results, 3.3 s on the same 400k-key fold, and the sort only ever
+    sees ``n_shards`` groups. Prefer it whenever key cardinality is
+    UNBOUNDED (per-token, per-document, per-url...). ``combine="driver"``
     folds the partials on ONE node (``repartition(1)`` + a single pandas
-    groupby): identical results, and for BOUNDED key cardinality (window
-    buckets, enum keys, histogram bins) it skips the distributed sort
-    machinery's multi-second floor — the partial set is O(groups x
-    input_blocks) rows by construction, so the single node never sees
-    the raw data."""
+    groupby): for BOUNDED key cardinality (window buckets, enum keys,
+    histogram bins) it skips distributed machinery entirely — the
+    partial set is O(groups x input_blocks) rows by construction, so
+    the single node never sees the raw data."""
     keys = list(keys)
     in_cols = list(sum_cols)
 
@@ -87,6 +94,33 @@ def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
         # once (the default batch size would split groups across calls)
         out = partials.repartition(1).map_batches(fold, batch_size=None,
                                                   batch_format="pandas")
+        if count_alias is None:
+            out = out.drop_columns([cnt])
+        return out
+
+    if combine == "cogroup":
+        aliases = list(sum_cols.values())
+
+        def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+            return _with_shard(b, keys[0], n_shards)
+
+        def shard_fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["__shard"])
+            # dropna=False: the Arrow partial keeps null keys as a null
+            # group; the pandas fold must not silently drop those rows
+            return g.groupby(keys, as_index=False, sort=False,
+                             dropna=False).agg(
+                **{a: (a, "sum") for a in aliases},
+                **{cnt: ("__pn", "sum")})
+
+        # coalesce the (tiny, combiner-pruned) partial blocks before the
+        # shard shuffle: the co-group's residual cost is per-input-block
+        # machinery (measured 33 s over 783 near-empty blocks), and an
+        # extraction-shaped upstream yields many small blocks
+        out = (partials.map_batches(add_shard, batch_format="pandas")
+               .repartition(n_shards)
+               .groupby("__shard").map_groups(shard_fold,
+                                              batch_format="pandas"))
         if count_alias is None:
             out = out.drop_columns([cnt])
         return out

@@ -73,7 +73,7 @@ def top_terms(ds, k: int = 50, text_col: str = "text"):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     counts = grouped_agg(partials, ["token"], {"__pn": "n"},
-                         count_alias="__nbatch")
+                         count_alias="__nbatch", combine="cogroup")
 
     def drop_extra(b: pd.DataFrame) -> pd.DataFrame:
         return b[["token", "n"]]
@@ -110,7 +110,7 @@ def token_frequency_spectrum(ds, text_col: str = "text"):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     counts = grouped_agg(partials, ["token"], {"__pn": "occurrences"},
-                         count_alias=None)
+                         count_alias=None, combine="cogroup")
 
     def to_spectrum(t: pa.Table) -> pa.Table:
         g = t.group_by(["occurrences"]).aggregate([([], "count_all")])
@@ -209,7 +209,8 @@ def tfidf_top_term(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "__one": pa.array(np.ones(len(toks), np.int64))})
 
     df_tbl = grouped_agg(ds.map_batches(pairs, batch_format="pyarrow"),
-                         ["token"], {}, count_alias="df").to_pandas()
+                         ["token"], {}, count_alias="df",
+                         combine="cogroup").to_pandas()
     df_map = dict(zip(df_tbl["token"], df_tbl["df"].astype(np.int64)))
     ref = ray.put(df_map)
 
@@ -291,7 +292,8 @@ def doc_mean_token_freq(ds, id_col: str = "doc_id",
 
     counts = grouped_agg(ds.map_batches(count_partial,
                                         batch_format="pyarrow"),
-                         ["token"], {"__pn": "c"}, count_alias=None)
+                         ["token"], {"__pn": "c"}, count_alias=None,
+                         combine="cogroup")
 
     def doc_pairs(t: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -323,7 +325,7 @@ def doc_mean_token_freq(ds, id_col: str = "doc_id",
     per_doc = grouped_agg(joined.map_batches(contrib,
                                              batch_format="pandas"),
                           [id_col], {"k": "n_tokens", "kc": "sum_freq"},
-                          count_alias=None)
+                          count_alias=None, combine="cogroup")
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -386,7 +388,7 @@ def top_bigrams(ds, k: int = 30, text_col: str = "text"):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     counts = grouped_agg(partials, ["w1", "w2"], {"__pn": "n"},
-                         count_alias="__nb")
+                         count_alias="__nb", combine="cogroup")
 
     def drop_extra(b: pd.DataFrame) -> pd.DataFrame:
         return b[["w1", "w2", "n"]]
@@ -589,14 +591,17 @@ def bigram_lift(ds, k: int = 30, min_count: int = 5,
 
     counts = grouped_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["w1", "w2"], {"__pn": "n"}, count_alias="__nb"
+        ["w1", "w2"], {"__pn": "n"}, count_alias="__nb",
+        combine="cogroup"
     ).drop_columns(["__nb"]).map_batches(
         lambda t: t.replace_schema_metadata(None),
         batch_format="pyarrow").materialize()
 
     big_n = int(counts.sum("n"))
-    m1 = grouped_agg(counts, ["w1"], {"n": "nx"}, count_alias=None)
-    m2 = grouped_agg(counts, ["w2"], {"n": "ny"}, count_alias=None)
+    m1 = grouped_agg(counts, ["w1"], {"n": "nx"}, count_alias=None,
+                     combine="cogroup")
+    m2 = grouped_agg(counts, ["w2"], {"n": "ny"}, count_alias=None,
+                     combine="cogroup")
     filtered = counts.filter(expr=f"n >= {min_count}")
     joined = (filtered.join(m1, join_type="inner", num_partitions=8,
                             on=("w1",))
@@ -661,7 +666,7 @@ def learn_bpe(ds, n_merges: int = 50, text_col: str = "text",
 
     freqs_ds = grouped_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["word"], {"__pn": "n"}, count_alias="__nb")
+        ["word"], {"__pn": "n"}, count_alias="__nb", combine="cogroup")
     if min_word_count > 1:
         freqs_ds = freqs_ds.filter(expr=f"n >= {min_word_count}")
     freqs_ds = freqs_ds.materialize()     # blocks spill; driver heap safe

@@ -229,7 +229,7 @@ def test_grouped_agg_sum_alias_n_no_collision(ray_session):
     from credit_ocr_backend_ray.stages.relational import grouped_agg
 
     df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 3]})
-    for combine in ("shuffle", "driver"):
+    for combine in ("shuffle", "driver", "cogroup"):
         out = grouped_agg(_ds(df), ["k"], {"v": "n"}, count_alias=None,
                           combine=combine).to_pandas().set_index("k")
         assert out.loc["a", "n"] == 3
@@ -669,3 +669,42 @@ def test_edit1_join_all_three_edit_kinds(ray_session):
     # the planted variants of the SAME base also pair with each other
     # when within one edit: 2 is identical to 1, so 2-3/2-4/2-5 too
     assert got[(2, 3)] == 1 and got[(2, 4)] == 1 and got[(2, 5)] == 1
+
+
+def test_dedup_exact_sparse_matches_dense_and_shortcircuits(ray_session):
+    """The sparse path (key scan -> dup-only shuffle) must agree with the
+    unconditional dedup_exact on a mixed corpus, and an all-unique corpus
+    must short-circuit: the r5 sf1 run measured 78 s of pure machinery
+    (45 s per-key-sort key scan + 33 s empty-block shuffle) on a 400k-page
+    corpus with ZERO duplicates before the scan went cogroup and the
+    no-collision case returned the input directly."""
+    from credit_ocr_backend_ray.stages.dedup import (dedup_exact,
+                                                     dedup_exact_sparse)
+
+    rng = np.random.default_rng(7)
+    uniq = [f"sha{i:04d}" for i in range(50)]
+    dup_clusters = {"dupA": 3, "dupB": 2, "dupC": 4}
+    rows = [{"h": h, "u": f"u{i:03d}"} for i, h in enumerate(uniq)]
+    i = len(rows)
+    for h, k in dup_clusters.items():
+        for _ in range(k):
+            rows.append({"h": h, "u": f"u{i:03d}"})
+            i += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3)
+
+    sparse = (dedup_exact_sparse(_ds(df).repartition(11), "h", "u")
+              .to_pandas().sort_values("h").reset_index(drop=True))
+    dense = (dedup_exact(_ds(df).repartition(11), "h", "u")
+             .to_pandas().sort_values("h").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sparse[["h", "u"]], dense[["h", "u"]])
+    assert len(sparse) == 53  # 50 uniques + one winner per cluster
+    # deterministic representative: smallest tie_col per cluster
+    for h in dup_clusters:
+        expect = df.loc[df["h"] == h, "u"].min()
+        assert sparse.loc[sparse["h"] == h, "u"].iloc[0] == expect
+
+    # all-unique corpus: every row survives (short-circuit path)
+    df_u = pd.DataFrame({"h": uniq, "u": [f"u{i}" for i in range(50)]})
+    out = dedup_exact_sparse(_ds(df_u).repartition(7), "h", "u").to_pandas()
+    assert sorted(out["h"]) == sorted(uniq)
+    assert list(out.columns) == ["h", "u"]
