@@ -1018,6 +1018,37 @@ def _q_doc_ticket_sample(sf_dir: str):
     return weighted_ticket_sample(ds, "doc_id", "n_chars", k=50)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic deduplication (stages/similarity.py:
+    semantic_dedup; Abbas et al. 2023, arXiv:2303.09540): distributed
+    k-means partition, then a greedy id-ascending cosine prune inside
+    each cluster — the smallest vec_id of every near-dup neighborhood
+    survives. Rows-only (the k-means float fixpoint is not
+    SQL-expressible); the planted-near-dup recall, determinism and
+    cluster-cap contracts are pinned in
+    tests/test_analytics_ops.py (test_semantic_dedup_*)."""
+    from credit_ocr_backend_ray.stages.similarity import semantic_dedup
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.92, nlist=8,
+                          iters=3).select_columns(["vec_id"])
+
+
+def _q_doc_importance(sf_dir: str):
+    """DSIR-style hashed-unigram importance weights (stages/curate.py:
+    doc_importance; Xie et al. 2023, arXiv:2302.03169) against the
+    src0 slice as the target distribution: one bounded combiner pass
+    builds the two hashed-bucket unigram LMs, the micro-nat log-ratio
+    table broadcasts, and scoring is a stateless map. Integer-exact:
+    every log factor floors to micro-nats BEFORE the per-doc sum, so
+    the DuckDB oracle hash-matches with no float-association drift."""
+    from credit_ocr_backend_ray.stages.curate import doc_importance
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "text", "source"])
+    return doc_importance(ds, target_source="src0")
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (stages/similarity.py:
     label_centroids): the vector-column aggregate — one (label,
@@ -3716,9 +3747,13 @@ def _q_temperature_mix(sf_dir: str):
 # queries whose last driver cert predates r04 (none of them were in the
 # r04 window). The r04-window queries stay verified by the local sweep.
 _SHOWCASE_ORDER = [
-    # first-ever certification opportunity (rows-only -> SQL in r5)
+    # first-ever certification opportunity (rows-only -> SQL in r5, plus
+    # the two operators NEW in r5: DSIR importance weights with a full
+    # SQL oracle, SemDeDup rows-only)
     "event_type_pagerank",
     "part_kcore",
+    "doc_importance",
+    "semantic_dedup",
     # changed-code re-certs this round (JPEG branch in the media
     # extractor; empty-block size_bytes patch on the Q5 path; the
     # packing composite downstream of the curation edits)
@@ -3769,8 +3804,6 @@ _SHOWCASE_ORDER = [
     "frequent_part_pairs",
     "user_top_event_type",
     "pricing_rollup",
-    "bm25_search",
-    "incremental_dedup",
 ]
 
 
@@ -3885,6 +3918,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "order_interval_overlaps": _q_order_interval_overlaps,
         "price_quantiles_kll": _q_price_quantiles_kll,
         "label_centroids": _q_label_centroids,
+        "semantic_dedup": _q_semantic_dedup,
+        "doc_importance": _q_doc_importance,
         "doc_ticket_sample": _q_doc_ticket_sample,
         "priority_quantiles_kll": _q_priority_quantiles_kll,
         "embedding_covariance": _q_embedding_covariance,
@@ -4271,6 +4306,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dim_idx AS BIGINT) AS dim_idx,
                    round(avg(CAST(e AS DOUBLE)), 6) + 0.0 AS centroid
             FROM u GROUP BY label, dim_idx
+        """,
+        "doc_importance": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                           % 4096 AS bk
+                FROM (
+                    SELECT doc_id, source,
+                           unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS tok
+                    FROM documents
+                    WHERE text IS NOT NULL AND trim(text) <> '')
+                WHERE tok <> ''
+            ), hist AS (
+                SELECT bk, count(*) AS n_raw,
+                       count(*) FILTER (WHERE source = 'src0') AS n_tgt
+                FROM toks GROUP BY bk
+            ), tot AS (
+                SELECT sum(n_raw) AS r_total, sum(n_tgt) AS t_total
+                FROM hist
+            ), lr AS (
+                SELECT bk,
+                       (CAST(floor(1e6 * ln(CAST(n_tgt + 1 AS DOUBLE)))
+                             AS BIGINT)
+                        - CAST(floor(1e6 * ln(CAST(t_total + 4096
+                                                   AS DOUBLE)))
+                               AS BIGINT))
+                     - (CAST(floor(1e6 * ln(CAST(n_raw + 1 AS DOUBLE)))
+                             AS BIGINT)
+                        - CAST(floor(1e6 * ln(CAST(r_total + 4096
+                                                   AS DOUBLE)))
+                               AS BIGINT)) AS w
+                FROM hist CROSS JOIN tot
+            )
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST(sum(lr.w) AS BIGINT) AS importance_micro
+            FROM toks t JOIN lr USING (bk)
+            GROUP BY t.doc_id
         """,
         "order_interval_overlaps": """
             WITH iv AS (

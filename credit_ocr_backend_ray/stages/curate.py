@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from credit_ocr_backend_ray.stages.relational import global_topk, grouped_agg
@@ -409,3 +410,110 @@ def duplicate_gram_stats(ds: "rd.Dataset", n: int = 8,
     return grouped_agg(parted, [id_col],
                        {"__pos": "n_grams", "__dup": "n_dup_grams"},
                        count_alias=None, combine="cogroup")
+
+
+# ------------------------------------------------- importance resampling
+
+def doc_importance(ds: "rd.Dataset", target_source: str,
+                   n_buckets: int = 4096, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> "rd.Dataset":
+    """DSIR-style hashed-unigram importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like its
+    token distribution is, using +1-smoothed hashed-bucket unigram LMs —
+    importance(d) = sum over d's tokens of
+    ``ln p_target(bucket) - ln p_raw(bucket)``. High scores mark raw
+    documents that look like the ``target_source`` slice; feed them to
+    ``weighted-ticket`` sampling (``relational.weighted_sample``) for the
+    actual resample.
+
+    Integer-exact contract (the repo's micro-unit convention): each log
+    factor is floored to micro-nats SEPARATELY —
+    ``floor(1e6*ln(n+1)) - floor(1e6*ln(total+B))`` — so every per-token
+    weight is an int64 and the per-doc sum is order-independent; DuckDB
+    computes the identical floors from the identical integer counts (the
+    ``user_event_entropy`` ln-equality precedent, hardened by flooring
+    before the sum instead of rounding after it). Buckets use the
+    engine-independent ``md5 hex[:15] -> BIGINT`` hash shared with
+    ``epoch_packed_sequences``.
+
+    Scale shape: one combiner pass emits <= ``n_buckets`` fixed-width
+    partial rows per batch (bounded keys -> driver fold); the ratio
+    table (B int64s) broadcasts via ``ray.put``; the scoring pass is
+    stateless per batch. No shuffle anywhere; per-batch md5 work is
+    memoized per distinct token."""
+    ws = _WS
+    memo: dict[str, int] = {}
+
+    def bucket(tok: str) -> int:
+        b = memo.get(tok)
+        if b is None:
+            if len(memo) > 1_000_000:
+                memo.clear()
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) \
+                % n_buckets
+            memo[tok] = b
+        return b
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        raw: Counter = Counter()
+        tgt: Counter = Counter()
+        for txt, src in zip(t[text_col].to_pylist(),
+                            t[source_col].to_pylist()):
+            if not txt or not txt.strip():
+                continue
+            is_t = src == target_source
+            for tok in ws.split(txt.strip()):
+                if tok:
+                    b = bucket(tok)
+                    raw[b] += 1
+                    if is_t:
+                        tgt[b] += 1
+        ks = sorted(raw)
+        return pa.table({
+            "bk": pa.array(ks, pa.int64()),
+            "__r": pa.array([raw[k] for k in ks], pa.int64()),
+            "__t": pa.array([tgt.get(k, 0) for k in ks], pa.int64()),
+        })
+
+    hist = grouped_agg(ds.select_columns([text_col, source_col])
+                       .map_batches(partial, batch_format="pyarrow"),
+                       ["bk"], {"__r": "n_raw", "__t": "n_tgt"},
+                       count_alias=None, combine="driver").to_pandas()
+    r_total = int(hist["n_raw"].sum())
+    t_total = int(hist["n_tgt"].sum())
+
+    def micro_ln(x: np.ndarray | int) -> np.ndarray:
+        return np.floor(1e6 * np.log(np.asarray(x, np.float64))) \
+            .astype(np.int64)
+
+    w = ((micro_ln(hist["n_tgt"].to_numpy() + 1)
+          - micro_ln(t_total + n_buckets))
+         - (micro_ln(hist["n_raw"].to_numpy() + 1)
+            - micro_ln(r_total + n_buckets)))
+    wmap = dict(zip(hist["bk"].astype(int), w.astype(int)))
+    ref = ray.put(wmap)
+
+    def score(t: pa.Table) -> pa.Table:
+        wm = ray.get(ref)
+        ids: list[int] = []
+        nt: list[int] = []
+        imp: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if not txt or not txt.strip():
+                continue
+            toks = [tok for tok in ws.split(txt.strip()) if tok]
+            if not toks:
+                continue
+            ids.append(i)
+            nt.append(len(toks))
+            imp.append(sum(wm[bucket(tok)] for tok in toks))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "importance_micro": pa.array(imp, pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+              .map_batches(score, batch_format="pyarrow"))

@@ -771,3 +771,55 @@ def knn_pq(ds: "rd.Dataset", queries: np.ndarray, codebooks: np.ndarray,
     return (out.sort_values(["query_id", "score", id_col],
                             ascending=[True, False, True])
                .reset_index(drop=True))
+
+
+def semantic_dedup(ds: "rd.Dataset", threshold: float = 0.92,
+                   nlist: int = 8, iters: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cluster_cap: int = 100_000) -> "rd.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partition + within-cluster cosine pruning —
+    the embedding-space analogue of ``dedup_exact_sparse``. Keeps, per
+    cluster, the greedy id-ascending maximal set in which no kept vector
+    has cosine >= ``threshold`` to an earlier kept one (deterministic:
+    the smallest id of each near-dup neighborhood survives).
+
+    Scale shape: ``kmeans_fit`` is the shuffle-free broadcast/combiner
+    Lloyd's pass; assignment is one vectorized argmax per batch; the only
+    all-to-all moves each row ONCE to its cluster's fold (nlist bounded
+    groups — not per-key machinery). The in-cluster check is O(|c|^2)
+    BY DESIGN (the paper's own step, run inside each cluster, which is
+    why nlist must scale with the corpus: size clusters to ~sqrt(n) rows
+    at 100 TB). ``cluster_cap`` turns a mis-sized nlist into an explicit
+    error instead of a silent quadratic blowup — the
+    interval_self_join replication-cap pattern."""
+    cent, _ = kmeans_fit(ds, nlist=nlist, iters=iters, id_col=id_col,
+                         vec_col=vec_col)
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        vecs = _norm_rows(_as_matrix(t[vec_col]))
+        a = np.argmax(vecs @ cm.T, axis=1).astype(np.int64)
+        return t.append_column("__cl", pa.array(a, pa.int64()))
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > cluster_cap:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(g)} rows exceeds "
+                f"cluster_cap={cluster_cap}; raise nlist so clusters "
+                f"stay ~sqrt(corpus) before the quadratic in-cluster "
+                f"check")
+        g = g.sort_values(id_col).reset_index(drop=True)
+        vecs = _norm_rows(np.asarray(g[vec_col].tolist(),
+                                     dtype=np.float64))
+        sims = vecs @ vecs.T
+        keep = np.ones(len(g), dtype=bool)
+        for i in range(len(g)):
+            if keep[i]:
+                # writes through: keep[i+1:] is a basic-slice VIEW
+                keep[i + 1:][sims[i, i + 1:] >= threshold] = False
+        return g[keep].drop(columns="__cl")
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("__cl").map_groups(prune, batch_format="pandas"))

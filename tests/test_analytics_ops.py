@@ -708,3 +708,82 @@ def test_dedup_exact_sparse_matches_dense_and_shortcircuits(ray_session):
     out = dedup_exact_sparse(_ds(df_u).repartition(7), "h", "u").to_pandas()
     assert sorted(out["h"]) == sorted(uniq)
     assert list(out.columns) == ["h", "u"]
+
+
+def test_semantic_dedup_planted_neighborhoods(ray_session):
+    """SemDeDup contract: planted near-duplicate neighborhoods collapse
+    to their smallest id; well-separated vectors all survive; the
+    result is deterministic across runs."""
+    from credit_ocr_backend_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [base[i] for i in range(40)]
+    ids = list(range(40))
+    # plant: ids 100/101 are tiny perturbations of id 0 (cos ~ 0.999);
+    # id 200 perturbs id 7
+    for new, src in ((100, 0), (101, 0), (200, 7)):
+        v = base[src] + 0.01 * rng.standard_normal(16)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(new)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v.astype(np.float32).tolist()
+                                     for v in vecs]})
+
+    out1 = semantic_dedup(_ds(df), threshold=0.95, nlist=4, iters=2) \
+        .to_pandas()
+    kept = set(out1["vec_id"])
+    assert {100, 101, 200}.isdisjoint(kept)  # planted dups pruned
+    assert {0, 7}.issubset(kept)             # smallest ids survive
+    # random unit vectors in 16-d are far below cos 0.95 of each other
+    assert kept == set(range(40))
+
+    out2 = semantic_dedup(_ds(df), threshold=0.95, nlist=4, iters=2) \
+        .to_pandas()
+    assert sorted(out2["vec_id"]) == sorted(out1["vec_id"])
+
+
+def test_semantic_dedup_cluster_cap_raises(ray_session):
+    from credit_ocr_backend_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "vec_id": range(30),
+        "embedding": [rng.standard_normal(8).tolist() for _ in range(30)],
+    })
+    with pytest.raises(Exception, match="cluster_cap"):
+        semantic_dedup(_ds(df), nlist=1, iters=1,
+                       cluster_cap=10).to_pandas()
+
+
+def test_doc_importance_targets_score_higher(ray_session):
+    """DSIR semantics: documents sharing the target slice's vocabulary
+    score higher than off-target documents; scores are integer
+    micro-nats and deterministic."""
+    from credit_ocr_backend_ray.stages.curate import doc_importance
+
+    rows = []
+    for i in range(10):   # target slice: vocabulary A
+        rows.append({"doc_id": i, "source": "tgt",
+                     "text": "alpha beta gamma delta"})
+    for i in range(10, 20):  # raw slice 1: same vocabulary A
+        rows.append({"doc_id": i, "source": "raw1",
+                     "text": "alpha beta gamma delta"})
+    for i in range(20, 30):  # raw slice 2: disjoint vocabulary B
+        rows.append({"doc_id": i, "source": "raw2",
+                     "text": "omega sigma tau upsilon"})
+    rows.append({"doc_id": 99, "source": "raw1", "text": "   "})
+    df = pd.DataFrame(rows)
+
+    out = doc_importance(_ds(df), target_source="tgt") \
+        .to_pandas().set_index("doc_id")
+    assert 99 not in out.index            # no-token doc excluded
+    assert len(out) == 30
+    assert str(out["importance_micro"].dtype) == "int64"
+    # every vocabulary-A doc outscores every vocabulary-B doc
+    a = out.loc[list(range(20)), "importance_micro"]
+    b = out.loc[list(range(20, 30)), "importance_micro"]
+    assert a.min() > b.max()
+    # same text -> identical integer score (order-independent sum)
+    assert a.nunique() == 1 and b.nunique() == 1
