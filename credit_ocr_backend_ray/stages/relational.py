@@ -167,6 +167,27 @@ def _with_shard(b: pd.DataFrame, key: str, n_shards: int) -> pd.DataFrame:
     return b
 
 
+def shard_cogroup(ds: "rd.Dataset", key: str, fold, n_shards: int = 64
+                  ) -> "rd.Dataset":
+    """Coarse key-hash shard co-group: tag each row with
+    ``hash(key) % n_shards`` and run ``fold`` once per SHARD (the frame
+    arrives without the ``__shard`` column). The replacement for
+    ``ds.groupby(key).map_groups(...)`` whenever key cardinality is
+    unbounded — Ray's per-key machinery prices by distinct-key count
+    (measured 64-78 s at 400k keys vs ~3 s for 64 shards, r5);
+    ``fold`` keeps exact per-key semantics by grouping WITHIN the shard
+    with vectorized pandas ops."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return _with_shard(b, key, n_shards)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fold(g.drop(columns="__shard"))
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("__shard").map_groups(run, batch_format="pandas"))
+
+
 def latest_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
                    ascending: list[bool] | None = None,
                    n_shards: int = 64) -> "rd.Dataset":
@@ -334,12 +355,16 @@ def grouped_stats(ds: "rd.Dataset", keys: Sequence[str], col: str,
             __s=(col, "sum"), __n=(col, "size"),
             __mn=(col, "min"), __mx=(col, "max"))
 
-    out = ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(
-        Sum("__s", alias_name=f"sum_{a}"),
-        Sum("__n", alias_name="n"),
-        Min("__mn", alias_name=f"min_{a}"),
-        Max("__mx", alias_name=f"max_{a}"),
-    )
+    # shard co-group, not Ray's per-key aggregate: key cardinality is
+    # caller-controlled and often unbounded (per-supplier, per-user)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False,
+                         dropna=False).agg(
+            **{f"sum_{a}": ("__s", "sum")}, n=("__n", "sum"),
+            **{f"min_{a}": ("__mn", "min"), f"max_{a}": ("__mx", "max")})
+
+    out = shard_cogroup(ds.map_batches(partial, batch_format="pandas"),
+                        keys[0], fold)
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b[f"avg_{a}"] = b[f"sum_{a}"] / b["n"]
@@ -382,19 +407,20 @@ def sessionize(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
     for per-user web logs; salt by time-range for pathological keys)."""
     gap = pd.Timedelta(seconds=gap_s)
 
+    # shard co-group (unbounded per-user keys): the gap scan vectorizes
+    # across ALL keys of a shard — per-key diff/cumsum via groupby
     def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col])
-        sid = (g[ts_col].diff() > gap).cumsum().astype("int64")
-        out = (g.assign(session_id=sid)
-                .groupby("session_id", as_index=False)
-                .agg(session_start=(ts_col, "min"),
-                     session_end=(ts_col, "max"),
-                     n_events=(ts_col, "size"),
-                     sum_value=(value_col, "sum")))
-        out.insert(0, key, g[key].iloc[0])
-        return out
+        g = g.sort_values([key, ts_col, tie_col])
+        brk = g.groupby(key, sort=False)[ts_col].diff() > gap
+        sid = brk.groupby(g[key], sort=False).cumsum().astype("int64")
+        return (g.assign(session_id=sid)
+                 .groupby([key, "session_id"], as_index=False)
+                 .agg(session_start=(ts_col, "min"),
+                      session_end=(ts_col, "max"),
+                      n_events=(ts_col, "size"),
+                      sum_value=(value_col, "sum")))
 
-    return ds.groupby(key).map_groups(sess, batch_format="pandas")
+    return shard_cogroup(ds, key, sess)
 
 
 def session_assign(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
@@ -407,13 +433,15 @@ def session_assign(ds: "rd.Dataset", key: str, ts_col: str, gap_s: float,
     roll-up."""
     gap = pd.Timedelta(seconds=gap_s)
 
+    # shard co-group (unbounded per-user keys), same break rule as
+    # sessionize — vectorized per-key diff/cumsum across the shard
     def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col])
-        g = g.assign(session_id=(g[ts_col].diff() > gap)
-                     .cumsum().astype("int64"))
-        return g
+        g = g.sort_values([key, ts_col, tie_col])
+        brk = g.groupby(key, sort=False)[ts_col].diff() > gap
+        return g.assign(session_id=brk.groupby(g[key], sort=False)
+                        .cumsum().astype("int64"))
 
-    return ds.groupby(key).map_groups(assign, batch_format="pandas")
+    return shard_cogroup(ds, key, assign)
 
 
 def asof_join(left: "rd.Dataset", right: "rd.Dataset", left_key: str,
@@ -601,12 +629,14 @@ def running_sum(ds: "rd.Dataset", key: str, order_cols: list[str],
     ``SUM() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     window function as one hash shuffle + a sorted per-group scan.
     ``order_cols`` must end in a unique tie-break for determinism."""
+    # shard co-group (unbounded per-key cardinality): the cumulative
+    # scan vectorizes across all keys of a shard via groupby.cumsum
     def scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols)
-        g[alias] = g[val_col].cumsum()
+        g = g.sort_values([key, *order_cols])
+        g[alias] = g.groupby(key, sort=False)[val_col].cumsum()
         return g
 
-    return ds.groupby(key).map_groups(scan, batch_format="pandas")
+    return shard_cogroup(ds, key, scan)
 
 
 def lag_delta(ds: "rd.Dataset", key: str, order_cols: list[str],
@@ -616,12 +646,15 @@ def lag_delta(ds: "rd.Dataset", key: str, order_cols: list[str],
     ``val - lag(val) OVER (PARTITION BY key ORDER BY ...)`` window function;
     the first row of each key gets NULL. ``forward=True`` flips it to the
     LEAD form (``lead(val) - val``; the LAST row of each key gets NULL)."""
+    # shard co-group (unbounded per-key cardinality): per-key lag/lead
+    # vectorizes across the shard via groupby.diff
     def scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols)
-        g[alias] = (-g[val_col].diff(-1)) if forward else g[val_col].diff()
+        g = g.sort_values([key, *order_cols])
+        d = g.groupby(key, sort=False)[val_col]
+        g[alias] = (-d.diff(-1)) if forward else d.diff()
         return g
 
-    return ds.groupby(key).map_groups(scan, batch_format="pandas")
+    return shard_cogroup(ds, key, scan)
 
 
 def grouped_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
@@ -637,13 +670,19 @@ def grouped_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
     keys = list(keys)
     a = alias or f"q_{col}"
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.iloc[:1][keys].copy()
-        out[a] = np.quantile(g[col].to_numpy(), q, method=method)
-        return out
+    # shard co-group: the per-group np.quantile kernel is unchanged
+    # (holistic — the group co-locates inside its shard), but the
+    # shuffle runs over 64 coarse shards instead of Ray's per-key
+    # machinery (priced by distinct-key count)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in g.groupby(keys, sort=False, dropna=False):
+            out = grp.iloc[:1][keys].copy()
+            out[a] = np.quantile(grp[col].to_numpy(), q, method=method)
+            rows.append(out)
+        return pd.concat(rows, ignore_index=True)
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_group, batch_format="pandas")
+    return shard_cogroup(ds, keys[0], fold)
 
 
 def grouped_mad(ds: "rd.Dataset", keys: Sequence[str], col: str,
