@@ -188,6 +188,23 @@ def shard_cogroup(ds: "rd.Dataset", key: str, fold, n_shards: int = 64
               .groupby("__shard").map_groups(run, batch_format="pandas"))
 
 
+def _groupwise(keys: Sequence[str], kernel):
+    """Adapt a per-GROUP kernel into a per-SHARD fold for
+    ``shard_cogroup``: group WITHIN the shard (dropna=False so null keys
+    survive, matching Arrow group_by semantics) and run the unchanged
+    holistic kernel per group. The Python loop is per-shard worker-side
+    — ~distinct_keys / n_shards iterations, not a driver loop."""
+    keys = list(keys)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [kernel(grp) for _, grp in
+             g.groupby(keys, sort=False, dropna=False)],
+            ignore_index=True)
+
+    return fold
+
+
 def latest_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
                    ascending: list[bool] | None = None,
                    n_shards: int = 64) -> "rd.Dataset":
@@ -674,15 +691,12 @@ def grouped_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
     # (holistic — the group co-locates inside its shard), but the
     # shuffle runs over 64 coarse shards instead of Ray's per-key
     # machinery (priced by distinct-key count)
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for kv, grp in g.groupby(keys, sort=False, dropna=False):
-            out = grp.iloc[:1][keys].copy()
-            out[a] = np.quantile(grp[col].to_numpy(), q, method=method)
-            rows.append(out)
-        return pd.concat(rows, ignore_index=True)
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][keys].copy()
+        out[a] = np.quantile(g[col].to_numpy(), q, method=method)
+        return out
 
-    return shard_cogroup(ds, keys[0], fold)
+    return shard_cogroup(ds, keys[0], _groupwise(keys, per_group))
 
 
 def grouped_mad(ds: "rd.Dataset", keys: Sequence[str], col: str,
@@ -690,7 +704,7 @@ def grouped_mad(ds: "rd.Dataset", keys: Sequence[str], col: str,
     """Median absolute deviation per group — the robust dispersion
     aggregate (``median(abs(x - median(x)))``, DuckDB ``mad()``
     semantics with interpolated medians). Holistic like the exact
-    quantile: one hash shuffle co-locates each group."""
+    quantile: one coarse-shard co-group co-locates each group."""
     keys = list(keys)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -699,8 +713,7 @@ def grouped_mad(ds: "rd.Dataset", keys: Sequence[str], col: str,
         out[alias] = float(np.median(np.abs(v - np.median(v))))
         return out
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_group, batch_format="pandas")
+    return shard_cogroup(ds, keys[0], _groupwise(keys, per_group))
 
 
 def histogram(ds: "rd.Dataset", col: str, lo: float, hi: float,
@@ -927,26 +940,31 @@ def grouped_multi_quantile(ds: "rd.Dataset", keys: Sequence[str], col: str,
             out[a] = np.quantile(v, q, method="linear")
         return out
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_group, batch_format="pandas")
+    return shard_cogroup(ds, keys[0], _groupwise(keys, per_group))
 
 
 def ntile(ds: "rd.Dataset", key: str, order_cols: list[str], n: int,
           alias: str = "tile") -> "rd.Dataset":
     """NTILE(n) OVER (PARTITION BY key ORDER BY order_cols): SQL tile
     semantics — as-equal-as-possible buckets, the first ``count % n``
-    buckets one row larger. One hash shuffle + per-group sorted scan;
-    ``order_cols`` must end in a unique tie-break for determinism."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols).reset_index(drop=True)
-        c = len(g)
-        base, rem = divmod(c, n)
-        sizes = np.full(n, base, dtype=np.int64)
-        sizes[:rem] += 1
-        g[alias] = np.repeat(np.arange(1, n + 1), sizes)[:c]
+    buckets one row larger. Coarse-shard co-group (unbounded per-key
+    cardinality); the tile assignment vectorizes across ALL keys of a
+    shard from per-key rank and count. ``order_cols`` must end in a
+    unique tie-break for determinism."""
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols])
+        grp = g.groupby(key, sort=False)
+        r = grp.cumcount().to_numpy()
+        c = grp[key].transform("size").to_numpy()
+        base, rem = c // n, c % n
+        cut = rem * (base + 1)
+        # first `rem` tiles get base+1 rows, the rest `base`; base==0
+        # (fewer rows than tiles) keeps r < cut so the divisor is safe
+        g[alias] = np.where(r < cut, r // (base + 1),
+                            rem + (r - cut) // np.maximum(base, 1)) + 1
         return g
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    return shard_cogroup(ds, key, scan)
 
 
 def deterministic_sample(ds: "rd.Dataset", key_col: str,
@@ -1459,17 +1477,18 @@ def grouped_concat(ds: "rd.Dataset", key: str, order_cols: list[str],
                    val_col: str, sep: str = ",",
                    alias: str = "concat") -> "rd.Dataset":
     """STRING_AGG(val, sep ORDER BY order_cols) per key — a holistic
-    (order-sensitive) aggregate: one hash shuffle co-locates each key,
-    then a sorted per-group join. ``order_cols`` must end in a unique
-    tie-break for a deterministic concatenation."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols)
-        out = g.iloc[:1][[key]].copy()
-        out[alias] = sep.join(g[val_col].astype(str))
-        out[f"{alias}_n"] = len(g)
-        return out
+    (order-sensitive) aggregate: one coarse-shard co-group co-locates
+    each key, then a sorted per-key join vectorized across the shard.
+    ``order_cols`` must end in a unique tie-break for a deterministic
+    concatenation."""
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols])
+        return (g.assign(__s=g[val_col].astype(str))
+                 .groupby(key, as_index=False, sort=False, dropna=False)
+                 .agg(**{alias: ("__s", sep.join),
+                         f"{alias}_n": ("__s", "size")}))
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    return shard_cogroup(ds, key, fold)
 
 
 def grouped_zscore(ds: "rd.Dataset", keys: Sequence[str], col: str,
@@ -1651,17 +1670,16 @@ def first_last_per_key(ds: "rd.Dataset", key: str, order_cols: list[str],
         out.loc[dup, "__pn"] = 0
         return out
 
+    # coarse-shard co-group fold, vectorized across all keys of a shard
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols)
-        out = g.iloc[:1][[key]].copy()
-        for c in val_cols:
-            out[f"first_{c}"] = g[c].iloc[0]
-            out[f"last_{c}"] = g[c].iloc[-1]
-        out["n"] = int(g["__pn"].sum())
-        return out
+        g = g.sort_values([key, *order_cols])
+        grp = g.groupby(key, as_index=False, sort=False, dropna=False)
+        return grp.agg(**{f"first_{c}": (c, "first") for c in val_cols},
+                       **{f"last_{c}": (c, "last") for c in val_cols},
+                       n=("__pn", "sum"))
 
     pruned = ds.map_batches(locals_, batch_format="pandas")
-    return pruned.groupby(key).map_groups(fold, batch_format="pandas")
+    return shard_cogroup(pruned, key, fold)
 
 
 def stratified_sample(ds: "rd.Dataset", key_col: str, strata_col: str,
@@ -2311,9 +2329,9 @@ def iqr_outliers(ds: "rd.Dataset", keys: Sequence[str], col: str,
     """Per-key Tukey-fence outlier counts: rows outside
     ``[q1 - k*IQR, q3 + k*IQR]`` with exact linear-interpolation
     quartiles (``percentile_cont`` semantics, same contract as
-    ``grouped_multi_quantile``). One hash shuffle, per-group vectorized
-    (holistic statistic: bounded-cardinality keys, one key's rows fit a
-    worker). Output: (keys..., n, n_outliers) — integer-only values, no
+    ``grouped_multi_quantile``). One coarse-shard co-group, per-group
+    vectorized (holistic statistic: one SHARD's rows fit a worker).
+    Output: (keys..., n, n_outliers) — integer-only values, no
     float hash drift."""
     keys = list(keys)
 
@@ -2328,8 +2346,7 @@ def iqr_outliers(ds: "rd.Dataset", keys: Sequence[str], col: str,
         out["n_outliers"] = int(((v < lo) | (v > hi)).sum())
         return out
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_group, batch_format="pandas")
+    return shard_cogroup(ds, keys[0], _groupwise(keys, per_group))
 
 
 def time_band_join(left: "rd.Dataset", right: "rd.Dataset",
@@ -2489,8 +2506,8 @@ def winsorize_per_key(ds: "rd.Dataset", keys: Sequence[str], col: str,
     """Per-key winsorization (outlier clamping, the data-cleaning
     sibling of ``iqr_outliers``): values clip to the key's exact
     [p_lo, p_hi] quantiles (``percentile_cont`` linear interpolation).
-    One hash shuffle; per-group vectorized clip (holistic statistic —
-    bounded-cardinality keys, one key's rows fit a worker)."""
+    One coarse-shard co-group; per-group vectorized clip (holistic
+    statistic — one SHARD's rows fit a worker)."""
     keys = list(keys)
     out_col = alias or f"w_{col}"
 
@@ -2502,5 +2519,4 @@ def winsorize_per_key(ds: "rd.Dataset", keys: Sequence[str], col: str,
         g[out_col] = np.clip(v, ql, qh)
         return g
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_group, batch_format="pandas")
+    return shard_cogroup(ds, keys[0], _groupwise(keys, per_group))

@@ -581,9 +581,15 @@ def embedding_near_dup(ds: "rd.Dataset", threshold: float = 0.95,
                                 "n_trunc": [dropped]})
         return out
 
+    # coarse-shard co-group: distinct (band, bucket) keys scale with the
+    # corpus, so Ray's per-key machinery (priced by distinct-key count)
+    # is replaced by 64 hash shards with an in-shard per-bucket loop
+    from credit_ocr_backend_ray.stages.relational import (
+        _groupwise, shard_cogroup)
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(
-        in_bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = shard_cogroup(bucketed, "bucket",
+                          _groupwise(["bucket"], in_bucket_pairs)
+                          ).to_pandas()
     if pairs.empty:
         return pairs.reindex(columns=["id_a", "id_b", "cos"])
     total_trunc = int(pairs["n_trunc"].sum())
@@ -821,5 +827,7 @@ def semantic_dedup(ds: "rd.Dataset", threshold: float = 0.92,
                 keep[i + 1:][sims[i, i + 1:] >= threshold] = False
         return g[keep].drop(columns="__cl")
 
-    return (ds.map_batches(assign, batch_format="pyarrow")
-              .groupby("__cl").map_groups(prune, batch_format="pandas"))
+    from credit_ocr_backend_ray.stages.relational import (
+        _groupwise, shard_cogroup)
+    return shard_cogroup(ds.map_batches(assign, batch_format="pyarrow"),
+                         "__cl", _groupwise(["__cl"], prune))

@@ -261,8 +261,9 @@ def grouped_approx_quantile(ds: "rd.Dataset", keys: Sequence[str],
             out[alias] = lo + (i + frac) * width
         return out
 
-    return partials.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        merge, batch_format="pandas")
+    from credit_ocr_backend_ray.stages.relational import (
+        _groupwise, shard_cogroup)
+    return shard_cogroup(partials, keys[0], _groupwise(keys, merge))
 
 
 def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
@@ -298,8 +299,9 @@ def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
         out[alias] = int(round(_estimate(acc)))
         return out
 
-    return partials.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        merge, batch_format="pandas")
+    from credit_ocr_backend_ray.stages.relational import (
+        _groupwise, shard_cogroup)
+    return shard_cogroup(partials, keys[0], _groupwise(keys, merge))
 
 
 def kmv_source_overlap(ds: "rd.Dataset", source_col: str = "source",

@@ -154,18 +154,21 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"token": pa.array(toks, pa.string()),
                          id_col: pa.array(ids, pa.int64())})
 
+    # coarse-shard co-group over hash(token) — distinct-token count is
+    # unbounded (Ray's per-key machinery prices by it); postings build
+    # vectorizes across all tokens of a shard
     def postings(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy(np.int64))
-        if len(ids) < min_df:
-            return pd.DataFrame({"token": pd.Series([], dtype=object),
-                                 "df": pd.Series([], dtype=np.int64),
-                                 "postings": pd.Series([], dtype=object)})
-        return pd.DataFrame({"token": [g["token"].iloc[0]],
-                             "df": np.int64(len(ids)),
-                             "postings": [",".join(map(str, ids))]})
+        g = (g.drop_duplicates(["token", id_col])
+              .sort_values(["token", id_col]))
+        out = (g.assign(__s=g[id_col].astype(str))
+                .groupby("token", as_index=False, sort=False)
+                .agg(df=(id_col, "size"), postings=("__s", ",".join)))
+        out["df"] = out["df"].astype(np.int64)
+        return out[out["df"] >= min_df] if min_df > 1 else out
 
-    return (ds.map_batches(pairs, batch_format="pyarrow")
-              .groupby("token").map_groups(postings, batch_format="pandas"))
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+    return shard_cogroup(ds.map_batches(pairs, batch_format="pyarrow"),
+                         "token", postings)
 
 
 def tfidf_top_term(ds, text_col: str = "text", id_col: str = "doc_id"):
