@@ -37,7 +37,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max
 
 from credit_ocr_backend_ray.functions.hashing import (
     jaccard, minhash_band_keys_for_texts, shingle_hashes_batch, simhash64,
@@ -82,9 +81,20 @@ def dedup_latest(ds: "rd.Dataset", key: str = "url",
                                                  batch_format="pandas"))
 
     if small_keys:
-        winners = (ds.select_columns([key, order_col])
-                     .groupby(key).aggregate(Max(order_col,
-                                                 alias_name="__max_ord")))
+        from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+        def wpart(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby(key, as_index=False, sort=False).agg(
+                __max_ord=(order_col, "max"))
+
+        def wfold(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(key, as_index=False, sort=False,
+                             dropna=False).agg(
+                __max_ord=("__max_ord", "max"))
+
+        winners = shard_cogroup(
+            ds.select_columns([key, order_col])
+              .map_batches(wpart, batch_format="pandas"), key, wfold)
         wdf = winners.to_pandas()  # bounded by assumption (small_keys)
         ref = ray.put(wdf)
 

@@ -711,16 +711,14 @@ def connected_components_bucketed(edges: "rd.Dataset", adj_path: str,
         return pa.table({"node": pa.array(u, pa.int64()),
                          "comp": pa.array(u, pa.int64())})
 
-    labels = (edges.map_batches(init_nodes, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("comp", alias_name="__s")))
-
-    def dedup_init(t: pa.Table) -> pa.Table:
-        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(node, pa.int64()),
-                         "comp": pa.array(node, pa.int64())})
-
-    labels = labels.map_batches(dedup_init,
-                                batch_format="pyarrow").materialize()
+    # node dedup via coarse-shard co-group (node count is unbounded;
+    # Ray's per-key aggregate prices by distinct keys); comp == node at
+    # init so dedup alone yields the label table
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+    labels = shard_cogroup(
+        edges.map_batches(init_nodes, batch_format="pyarrow"),
+        "node", lambda g: g.drop_duplicates("node"),
+        n_shards=n_buckets).materialize()
 
     def tag_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

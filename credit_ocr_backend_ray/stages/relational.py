@@ -23,7 +23,7 @@ scale-conscious shapes:
   row) via aligned-schema union + one co-grouping shuffle + per-group
   ``searchsorted`` — no Ray Data primitive exists for this; the
   partitioning assumption is that one key's rows fit a worker.
-- ``distinct``: grouped Count projected back to the key columns.
+- ``distinct``: per-batch dedup combiner + coarse-shard co-group dedup.
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 
 def grouped_agg(ds: "rd.Dataset", keys: Sequence[str],
@@ -757,10 +757,18 @@ def histogram2d(ds: "rd.Dataset", xcol: str, xlo: float, xhi: float,
 
 
 def distinct(ds: "rd.Dataset", cols: Sequence[str]) -> "rd.Dataset":
-    """DISTINCT over ``cols``: project then grouped Count (partials combine
-    per-partition, so only unique keys cross the shuffle), keys only out."""
-    out = ds.select_columns(list(cols)).groupby(list(cols)).aggregate(Count())
-    return out.select_columns(list(cols))
+    """DISTINCT over ``cols``: project, per-batch ``drop_duplicates``
+    combiner (only locally-unique rows cross the shuffle), then a
+    coarse-shard co-group dedup — distinct-row count is unbounded, so
+    Ray's per-key aggregate (priced by distinct keys) is avoided."""
+    cols = list(cols)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(cols)
+
+    return shard_cogroup(
+        ds.select_columns(cols).map_batches(local, batch_format="pandas"),
+        cols[0], lambda g: g.drop_duplicates(cols))
 
 
 def grouped_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
@@ -821,8 +829,14 @@ def set_op(a: "rd.Dataset", b: "rd.Dataset", cols: Sequence[str],
          .union(b.select_columns(cols).map_batches(tag("b"),
                                                    batch_format="pyarrow"))
          .map_batches(partial_dedup, batch_format="pandas"))
-    agg = u.groupby(cols).aggregate(Max("__a", alias_name="__in_a"),
-                                    Max("__b", alias_name="__in_b"))
+    # coarse-shard co-group: distinct-row count is unbounded, so the
+    # flag fold runs per shard instead of Ray's per-key aggregate
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(cols, as_index=False, sort=False,
+                         dropna=False).agg(
+            __in_a=("__a", "max"), __in_b=("__b", "max"))
+
+    agg = shard_cogroup(u, cols[0], fold)
     keep = ("__in_a == 1 and __in_b == 1" if op == "intersect"
             else "__in_a == 1 and __in_b == 0")
     return agg.filter(expr=keep).select_columns(cols)
@@ -906,13 +920,13 @@ def grouped_corr(ds: "rd.Dataset", keys: Sequence[str], x: str, y: str,
         d["__sxy"] = xv * yv
         return d.groupby(keys, as_index=False, sort=False).sum()
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-             .groupby(keys).aggregate(
-                 Sum("__n", alias_name="__n"), Sum("__sx", alias_name="__sx"),
-                 Sum("__sy", alias_name="__sy"),
-                 Sum("__sxx", alias_name="__sxx"),
-                 Sum("__syy", alias_name="__syy"),
-                 Sum("__sxy", alias_name="__sxy")))
+    # coarse-shard co-group over the moment partials (unbounded keys)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False,
+                         dropna=False).sum()
+
+    agg = shard_cogroup(ds.map_batches(partial, batch_format="pandas"),
+                        keys[0], fold)
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         n = b["__n"]
@@ -1270,14 +1284,26 @@ def validate_rules(ds: "rd.Dataset",
     results: dict[int, int] = {
         i: int(partials[f"__v{i}"].sum()) for i, _ in local}
 
+    # unique: per-batch value-count partials + coarse-shard co-group —
+    # distinct values are unbounded (the whole point of a uniqueness
+    # check), so Ray's per-key count machinery is avoided; only
+    # (value, partial_count) rows cross the shuffle and each shard
+    # folds to ONE scalar
     for i, r in uniq:
-        counts = ds.groupby(r["col"]).count()
+        c = r["col"]
 
-        def extra(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"__e": [int((b["count()"] - 1).sum())]})
+        def vpart(b: pd.DataFrame, c=c) -> pd.DataFrame:
+            return (b.groupby(c, as_index=False, sort=False, dropna=False)
+                     .size().rename(columns={"size": "__c"}))
 
-        results[i] = int(counts.map_batches(
-            extra, batch_format="pandas").to_pandas()["__e"].sum())
+        def vfold(g: pd.DataFrame, c=c) -> pd.DataFrame:
+            n = g.groupby(c, sort=False, dropna=False)["__c"].sum()
+            return pd.DataFrame({"__e": [int((n - 1).sum())]})
+
+        part = ds.select_columns([c]).map_batches(vpart,
+                                                  batch_format="pandas")
+        results[i] = int(
+            shard_cogroup(part, c, vfold).to_pandas()["__e"].sum())
 
     return pd.DataFrame({
         "rule_id": list(range(len(rules))),
@@ -1515,10 +1541,12 @@ def grouped_zscore(ds: "rd.Dataset", keys: Sequence[str], col: str,
         d["__ss"] = v * v
         return d.groupby(keys, as_index=False, sort=False).sum()
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-             .groupby(keys).aggregate(
-                 Sum("__n", alias_name="__n"), Sum("__s", alias_name="__s"),
-                 Sum("__ss", alias_name="__ss")).to_pandas())
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False,
+                         dropna=False).sum()
+
+    agg = shard_cogroup(ds.map_batches(partial, batch_format="pandas"),
+                        keys[0], fold).to_pandas()
     n = agg["__n"]
     mean = agg["__s"] / n
     var = (agg["__ss"] - agg["__s"] ** 2 / n) / (n - ddof)
@@ -2313,10 +2341,18 @@ def profile_columns(ds: "rd.Dataset", cols: Sequence[str],
         return pa.table({"col_name": pa.array(names, pa.string()),
                          "__val": pa.array(vals, pa.string())})
 
-    dist = (ds.map_batches(uniq, batch_format="pyarrow")
-              .groupby(["col_name", "__val"]).count()
-              .groupby("col_name").count().to_pandas()
-              .rename(columns={"count()": "n_distinct"}))
+    # coarse-shard co-group over hash(__val): distinct values are
+    # unbounded; each shard dedups and emits per-column partial distinct
+    # counts (<= cols rows per shard), summed on the driver
+    def dfold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col_name", "__val"])
+        return (d.groupby("col_name", as_index=False, sort=False)
+                 .size().rename(columns={"size": "__d"}))
+
+    dist = (shard_cogroup(ds.map_batches(uniq, batch_format="pyarrow"),
+                          "__val", dfold).to_pandas()
+            .groupby("col_name", as_index=False)["__d"].sum()
+            .rename(columns={"__d": "n_distinct"}))
     out = folded.merge(dist, on="col_name", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return (out[["col_name", "n", "n_null", "n_distinct",
