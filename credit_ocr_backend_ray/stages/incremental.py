@@ -241,14 +241,17 @@ def minhash_index_query(new_ds: "rd.Dataset", index_dir: str,
         return (j[["new_id", id_col]].rename(columns={id_col: "idx_id"})
                 .drop_duplicates())
 
-    cands = (probe.groupby("bucket")
-                  .map_groups(match_bucket, batch_format="pandas")
-             # distinct (new_id, idx_id): a pair surfaced by several
-             # bands lands in several bucket groups — verify it once
-                  .groupby(["new_id", "idx_id"]).count()
-                  .drop_columns(["count()"])
-             # strip the pandas-block schema metadata before the join
-             # shuffle (unhashable metadata defeats Ray's schema dedup)
+    # distinct (new_id, idx_id): a pair surfaced by several bands lands
+    # in several bucket groups — verify it once. Coarse-shard co-group
+    # (candidate-pair count is unbounded; Ray's per-key count prices by
+    # distinct keys), then strip the pandas-block schema metadata before
+    # the join shuffle (unhashable metadata defeats Ray's schema dedup).
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+    cands = (shard_cogroup(
+                  probe.groupby("bucket")
+                       .map_groups(match_bucket, batch_format="pandas"),
+                  "new_id",
+                  lambda g: g.drop_duplicates(["new_id", "idx_id"]))
                   .map_batches(lambda t: t.replace_schema_metadata(None),
                                batch_format="pyarrow")
                   .materialize())  # bounded: candidate PAIRS only

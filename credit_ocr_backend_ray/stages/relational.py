@@ -1819,12 +1819,15 @@ def grouped_linreg(ds: "rd.Dataset", keys: Sequence[str], x: str, y: str,
             __sxy=("__xy", "sum"), __sxx=("__xx", "sum"))
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(keys) \
-        .aggregate(Sum("__n", alias_name="n"),
-                   Sum("__sx", alias_name="sx"),
-                   Sum("__sy", alias_name="sy"),
-                   Sum("__sxy", alias_name="sxy"),
-                   Sum("__sxx", alias_name="sxx"))
+    # coarse-shard co-group over the moment partials (unbounded keys)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False,
+                         dropna=False).agg(
+            n=("__n", "sum"), sx=("__sx", "sum"), sy=("__sy", "sum"),
+            sxy=("__sxy", "sum"), sxx=("__sxx", "sum"))
+
+    agg = shard_cogroup(ds.map_batches(partial, batch_format="pandas"),
+                        keys[0], fold)
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         n = b["n"].to_numpy(np.float64)
