@@ -291,17 +291,36 @@ def approx_count_distinct(ds: "rd.Dataset", keys: Sequence[str], col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(_M, dtype=np.uint8)
-        for b in g["__regs"]:
-            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
-        out = g.iloc[:1][keys].copy()
-        out[alias] = int(round(_estimate(acc)))
+    # vectorized merge: all banks of a shard as one uint8 matrix,
+    # per-key max via reduceat, estimator evaluated for every key at
+    # once (chunked so the float64 blow-up stays ~64 MB); matches the
+    # scalar _estimate bit-for-bit (same exp2/log, same half-even round)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys)
+        from credit_ocr_backend_ray.stages.relational import _segments
+        starts, sizes = _segments(g, keys)
+        raw = np.frombuffer(b"".join(g["__regs"]),
+                            dtype=np.uint8).reshape(len(g), _M)
+        n_seg = len(sizes)
+        est = np.empty(n_seg, dtype=np.float64)
+        step = 4096
+        for s0 in range(0, n_seg, step):
+            s1 = min(s0 + step, n_seg)
+            r0 = starts[s0]
+            r1 = starts[s1 - 1] + sizes[s1 - 1]
+            acc = np.maximum.reduceat(raw[r0:r1], starts[s0:s1] - r0,
+                                      axis=0)
+            e = _ALPHA / np.sum(np.exp2(-acc.astype(np.float64)), axis=1)
+            zeros = (acc == 0).sum(axis=1)
+            small = (e <= 2.5 * _M) & (zeros > 0)
+            e[small] = _M * np.log(_M / zeros[small])
+            est[s0:s1] = e
+        out = g.iloc[starts][keys].reset_index(drop=True)
+        out[alias] = np.round(est).astype("int64")
         return out
 
-    from credit_ocr_backend_ray.stages.relational import (
-        _groupwise, shard_cogroup)
-    return shard_cogroup(partials, keys[0], _groupwise(keys, merge))
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+    return shard_cogroup(partials, keys[0], fold)
 
 
 def kmv_source_overlap(ds: "rd.Dataset", source_col: str = "source",
