@@ -917,7 +917,7 @@ def pivot_sum(ds: "rd.Dataset", index: Sequence[str], pivot_col: str,
 
     return grouped_agg(ds.map_batches(derive, batch_format="pyarrow"), index,
                        {f"{prefix}{v}": f"{prefix}{v}" for v in values},
-                       count_alias=None)
+                       count_alias=None, combine="cogroup")
 
 
 def range_join_broadcast(ds: "rd.Dataset", bands: pd.DataFrame, col: str,
@@ -1644,7 +1644,7 @@ def mode_per_key(ds: "rd.Dataset", key: str, col: str,
     combiner grouped count of (key, col) pairs, then top-1-per-key over the
     counts — both shuffles move only (key, value, count) triples."""
     counts = grouped_agg(ds.select_columns([key, col]), [key, col], {},
-                         count_alias=count_alias)
+                         count_alias=count_alias, combine="cogroup")
     top = latest_per_key(counts, key, [count_alias, col],
                          ascending=[False, True])
     return top.map_batches(
@@ -2157,7 +2157,8 @@ def grouped_entropy(ds: "rd.Dataset", key: str, state_col: str,
     float sum spans ≤|states| terms so cross-engine association drift
     is a few ulps — rounded well above it by callers."""
     counts = grouped_agg(ds.select_columns([key, state_col]),
-                         [key, state_col], {}, count_alias="__n")
+                         [key, state_col], {}, count_alias="__n",
+                         combine="cogroup")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__shard"])

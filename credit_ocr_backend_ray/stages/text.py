@@ -120,7 +120,8 @@ def token_frequency_spectrum(ds, text_col: str = "text"):
     spectrum_partials = counts.map_batches(to_spectrum,
                                            batch_format="pyarrow")
     return grouped_agg(spectrum_partials, ["occurrences"],
-                       {"__pc": "n_tokens"}, count_alias=None)
+                       {"__pc": "n_tokens"}, count_alias=None,
+                       combine="cogroup")
 
 
 def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
