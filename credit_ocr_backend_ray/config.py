@@ -205,8 +205,13 @@ def load_config(path: str) -> dict[str, DocTypeConfig]:
 def labels_by_field(cfg: DocTypeConfig) -> dict[str, list[str]]:
     """Invert field_mappings: English field -> lowercase German labels, in
     mapping-insertion order (the order the reference scans them,
-    field_extractor.py:360-364)."""
-    inv: dict[str, list[str]] = {}
-    for label, eng in cfg.field_mappings.items():
-        inv.setdefault(eng, []).append(label.lower())
-    return inv
+    field_extractor.py:360-364). Cached on the config instance — the
+    mapper calls this once per document, and the inversion is pure."""
+    cached = getattr(cfg, "_labels_by_field", None)
+    if cached is None:
+        inv: dict[str, list[str]] = {}
+        for label, eng in cfg.field_mappings.items():
+            inv.setdefault(eng, []).append(label.lower())
+        cached = inv
+        object.__setattr__(cfg, "_labels_by_field", inv)  # frozen dataclass
+    return cached

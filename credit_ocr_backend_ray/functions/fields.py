@@ -46,16 +46,19 @@ def map_fields(
     label_sets = labels_by_field(cfg)
     extracted: dict[str, Any] = {}
 
+    # lowercase each candidate label/line once, not once per expected field
+    # (the scan itself stays per-field so first-match order is unchanged)
+    lv_items = [(item, item["label"].lower()) for item in normalized_items
+                if item["type"] == "label_value"]
+    lines_lc: list[tuple[dict[str, Any], str]] | None = None
+
     for field_name in cfg.expected_fields:
         german_labels = label_sets.get(field_name, [])
         if not german_labels:
             continue
 
         hit = None
-        for item in normalized_items:
-            if item["type"] != "label_value":
-                continue
-            item_label = item["label"].lower()
+        for item, item_label in lv_items:
             if any(lbl in item_label for lbl in german_labels):
                 hit = item
                 break
@@ -70,10 +73,10 @@ def map_fields(
             continue
 
         if original_lines:
-            for line in original_lines:
-                if line["type"] != "line":
-                    continue
-                text = line["text"].lower()
+            if lines_lc is None:
+                lines_lc = [(ln, ln["text"].lower()) for ln in original_lines
+                            if ln["type"] == "line"]
+            for line, text in lines_lc:
                 if any(lbl in text for lbl in german_labels):
                     extracted[field_name] = {
                         "value": line["text"],

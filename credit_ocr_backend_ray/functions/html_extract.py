@@ -46,6 +46,9 @@ _BOILER_MARKERS = (
     "cookie", "banner", "consent", "menu", "navbar", "sidebar", "advert",
     "promo", "share", "social", "breadcrumb",
 )
+# one alternation scan instead of len(_BOILER_MARKERS) substring passes;
+# plain literals, so the match set is identical to any(m in marker ...)
+_BOILER_RE = re.compile("|".join(_BOILER_MARKERS))
 LINK_DENSITY_MAX = 0.33
 MIN_CONTENT_CHARS = 25
 ROWS_PER_PAGE = 44
@@ -225,9 +228,12 @@ def link_stats(node: Node, in_link: bool = False) -> tuple[int, int]:
 def is_boilerplate(node: Node) -> bool:
     if node.tag in STRUCTURAL_BOILERPLATE:
         return True
-    marker = (node.attrs.get("class", "") + " " + node.attrs.get("id", "")).lower()
-    if any(m in marker for m in _BOILER_MARKERS):
-        return True
+    # attr-less nodes can't carry class/id markers — skip the parse + scan
+    if node._raw_attrs or node._attrs:
+        marker = (node.attrs.get("class", "")
+                  + " " + node.attrs.get("id", "")).lower()
+        if _BOILER_RE.search(marker):
+            return True
     if node.tag in BLOCK_TAGS:
         total, linked = link_stats(node)
         if total > 0 and linked / total > LINK_DENSITY_MAX and total < MIN_CONTENT_CHARS * 8:
