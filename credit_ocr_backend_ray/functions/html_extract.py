@@ -215,7 +215,11 @@ def link_stats(node: Node, in_link: bool = False) -> tuple[int, int]:
         linked = 0
         for child in node.children:
             if isinstance(child, str):
-                total += len(" ".join(child.split()))
+                # len of the whitespace-normalized text without building it:
+                # sum of token lengths + one separator between tokens
+                parts = child.split()
+                if parts:
+                    total += sum(map(len, parts)) + len(parts) - 1
             else:
                 t, l = link_stats(child)
                 total += t

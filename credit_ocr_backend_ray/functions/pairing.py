@@ -35,8 +35,12 @@ from credit_ocr_backend_ray.functions.geometry import (
 
 
 def _first_equal_index(lines: list[dict], target: dict) -> int:
+    # cheap text pre-filter before the full dict compare (bounding_box is a
+    # list of point dicts, so == on the record is the expensive part); the
+    # first index whose record compares equal is unchanged
+    ttext = target["text"]
     for k, ln in enumerate(lines):
-        if ln == target:
+        if ln["text"] == ttext and ln == target:
             return k
     raise ValueError("line not found")
 
