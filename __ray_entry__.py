@@ -742,7 +742,13 @@ def _q_heavy_hitter_terms(sf_dir: str):
 
     ds = (_rp(_t(sf_dir, "documents"), columns=["text"])
             .map_batches(tokenize, batch_format="pyarrow"))
-    return cms_heavy_hitters(ds, "token", k=20)
+    out = cms_heavy_hitters(ds, "token", k=20)
+    # The (value, n) winners are EXACT (verification pass) and therefore
+    # SQL-oracled; the sketch-internal `est` column (overcount bound is
+    # pinned in tests/test_relational_ops.py) is not SQL-expressible, so
+    # it stays out of the certified frame.
+    return (out[["value", "n"]].rename(columns={"value": "token"})
+               .reset_index(drop=True))
 
 
 def _q_top_terms(sf_dir: str):
@@ -4738,6 +4744,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "heavy_hitter_terms": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS token
+                FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
         """,
         "top_bigrams": """
             WITH toks AS (
