@@ -340,6 +340,106 @@ def doc_mean_token_freq(ds, id_col: str = "doc_id",
     return per_doc.map_batches(fin, batch_format="pandas")
 
 
+def unigram_nll(ds, id_col: str = "doc_id", text_col: str = "text",
+                top_vocab: int = 65_536):
+    """Per-document unigram-LM negative log-likelihood — the CCNet-style
+    perplexity filter (Wenzek et al. 2019: score documents with a
+    language model and drop outliers; the reference has no counterpart —
+    a training-data-funnel scale addition next to doc_mean_token_freq,
+    which deliberately avoids the log).
+
+    The transcendental is kept OFF the distributed path so the result
+    is order-independent and bit-exactly SQL-oracled: the model is the
+    corpus's own top-``top_vocab`` unigrams (bounded by construction —
+    the tokenizer-vocab convention), each entry's log-prob is quantized
+    ONCE on the driver to int64 micro-nats (floor(ln(c/N) * 1e6)), and
+    every out-of-vocab token shares one UNK symbol carrying the entire
+    pruned mass. Per-document scoring is then an exact int64 sum.
+
+    Stages: (1) corpus token counts (combiner partial + cogroup merge),
+    materialized once because two consumers read it; (2) top-V prune via
+    ``global_topk`` (per-batch prune + tiny final sort — never a full
+    vocabulary sort) plus a scalar total from the same counts table;
+    (3) the <= top_vocab micro-nat table broadcast once (``ray.put``),
+    per-batch vectorized lookup (``Series.map``) + ``np.add.reduceat``
+    per doc.
+
+    Output: (doc_id, n_tokens, nll_micro, nll) with ``nll_micro`` the
+    exact int64 total and ``nll = nll_micro / (1e6 * n_tokens)`` — a
+    deterministic float64 division of exact integers. Zero-token
+    documents are excluded (no likelihood to take)."""
+    import itertools
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import (
+        global_topk, grouped_agg)
+
+    ws = re.compile(r"\s+")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(count_partial,
+                                        batch_format="pyarrow"),
+                         ["token"], {"__pn": "c"}, count_alias=None,
+                         combine="cogroup").materialize()
+    total = int(counts.sum("c") or 0)
+    kept = global_topk(counts, ["c", "token"], top_vocab,
+                       ascending=[False, True]).to_pandas()
+
+    lut: dict[str, int] = {
+        tok: math.floor(math.log(c / total) * 1e6)
+        for tok, c in zip(kept["token"], kept["c"])}
+    unk_mass = total - int(kept["c"].sum())
+    unk_mlp = (math.floor(math.log(unk_mass / total) * 1e6)
+               if unk_mass > 0 else 0)
+    lut_ref = ray.put(lut)
+
+    schema = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
+                        ("nll_micro", pa.int64()), ("nll", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        mdl = ray.get(lut_ref)
+        doc_ids: list[int] = []
+        doc_toks: list[list[str]] = []
+        for i, txt in zip(t[id_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            toks = ([tok for tok in ws.split(txt.strip()) if tok]
+                    if txt else [])
+            if toks:
+                doc_ids.append(i)
+                doc_toks.append(toks)
+        if not doc_ids:
+            return schema.empty_table()
+        lens = np.fromiter((len(x) for x in doc_toks), dtype=np.int64,
+                           count=len(doc_toks))
+        flat = list(itertools.chain.from_iterable(doc_toks))
+        mlp = (pd.Series(flat, dtype=object).map(mdl)
+                 .fillna(unk_mlp).to_numpy(dtype=np.int64))
+        bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nll_micro = -np.add.reduceat(mlp, bounds)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(lens),
+            "nll_micro": pa.array(nll_micro),
+            "nll": pa.array(nll_micro.astype(np.float64) / (1e6 * lens)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def compression_ratio_batch(batch: pa.Table,
                             text_col: str = "text") -> pa.Table:
     """Gopher-style compressibility signal: zlib(level 6) compressed

@@ -114,6 +114,48 @@ def test_doc_mean_token_freq_hand_computed(ray_session):
     assert out.loc[1, "mean_freq_micro"] == 2_000_000
 
 
+def test_unigram_nll_hand_computed(ray_session):
+    import math
+    import pandas as pd
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import unigram_nll
+
+    # corpus counts: a=3, b=2, c=1 -> N=6; full vocab (no truncation)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a a b", "a b c", "   "]})
+    out = (unigram_nll(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the all-whitespace doc has no likelihood -> excluded
+    assert list(out["doc_id"]) == [1, 2]
+    m = {t: math.floor(math.log(c / 6) * 1e6)
+         for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "nll_micro"] == -(2 * m["a"] + m["b"])
+    assert out.loc[1, "nll_micro"] == -(m["a"] + m["b"] + m["c"])
+    assert out.loc[1, "nll"] == out.loc[1, "nll_micro"] / 3e6
+
+
+def test_unigram_nll_top_vocab_unk_mass(ray_session):
+    import math
+    import pandas as pd
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.text import unigram_nll
+
+    # top_vocab=2 keeps a (3) and b (2); c and d (1 each) share the
+    # pruned UNK mass 2/7
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a a a b c", "b d"]})
+    out = (unigram_nll(rd.from_pandas(df), top_vocab=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ma = math.floor(math.log(3 / 7) * 1e6)
+    mb = math.floor(math.log(2 / 7) * 1e6)
+    mu = math.floor(math.log(2 / 7) * 1e6)   # unk mass = 1+1 of 7
+    assert out.loc[0, "nll_micro"] == -(3 * ma + mb + mu)
+    assert out.loc[1, "nll_micro"] == -(mb + mu)
+    # rarer tokens -> strictly higher per-token surprise for doc 2
+    assert out.loc[1, "nll"] > out.loc[0, "nll"]
+
+
 def test_normalize_text_unicode_and_nulls(ray_session):
     import pandas as pd
     import ray.data as rd
