@@ -3359,6 +3359,30 @@ def _q_doc_dup_grams(sf_dir: str):
     return duplicate_gram_stats(ds, n=3)
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Exact-substring span dedup (the CUT step of Lee et al.'22, next
+    to doc_dup_grams' counting step): token positions covered by any
+    5-gram window that repeats anywhere in the corpus are removed from
+    the document; returns per-doc token counts plus the rewritten
+    text."""
+    from credit_ocr_backend_ray.stages.curate import substring_dedup
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return substring_dedup(ds, n=5)
+
+
+def _q_nb_quality_score(sf_dir: str):
+    """GPT-3-style quality-classifier filter: naive-Bayes token
+    log-odds trained to separate one curated source from the rest of
+    the corpus, every document scored by the broadcast weight table —
+    exact int64 micro-nat arithmetic (the unigram_nll contract)."""
+    from credit_ocr_backend_ray.stages.curate import nb_source_score
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "text", "source"])
+    return nb_source_score(ds, pos_source="src7")
+
+
 def _q_event_value_next_delta(sf_dir: str):
     """LEAD window: next value minus current per user's ordered stream
     (the forward twin of event_value_delta)."""
@@ -3771,9 +3795,13 @@ _SHOWCASE_ORDER = [
     # first-ever certification opportunity (rows-only -> SQL in r5, plus
     # the two operators NEW in r5: DSIR importance weights with a full
     # SQL oracle, SemDeDup rows-only). Final-session additions lead:
-    # unigram_nll is NEW this round (CCNet perplexity filter,
-    # integer-micro-nat bit-exact oracle) and the other three were
-    # upgraded rows-only -> SQL this session.
+    # substring_dedup (Lee et al. span-cut, full SQL oracle incl. the
+    # rewritten text) and nb_quality_score (GPT-3-style quality filter,
+    # bit-exact micro-nat oracle) are NEW this session; unigram_nll is
+    # NEW this round (CCNet perplexity filter) and the next three were
+    # upgraded rows-only -> SQL this round.
+    "substring_dedup",
+    "nb_quality_score",
     "doc_unigram_nll",
     "heavy_hitter_terms",
     "approx_price_quantiles",
@@ -3931,6 +3959,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_pairs": _q_frequent_part_pairs,
         "temperature_mix_sample": _q_temperature_mix,
         "doc_dup_grams": _q_doc_dup_grams,
+        "substring_dedup": _q_substring_dedup,
+        "nb_quality_score": _q_nb_quality_score,
         "event_value_next_delta": _q_event_value_next_delta,
         "brand_price_p90_disc": _q_brand_price_p90_disc,
         "priority_price_mad": _q_priority_price_mad,
@@ -4953,6 +4983,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dup_grams
             FROM g JOIN tot ON g.gram = tot.gram GROUP BY g.doc_id
+        """,
+        "substring_dedup": """
+            -- Lee et al. span-cut restated: duplicated 5-gram starts,
+            -- interval union via DISTINCT covered positions, text
+            -- rebuilt from the uncovered tokens in position order
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text),
+                                                       '\\s+') END AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 4)) AS s(i)
+                WHERE len(t) >= 5),
+            tot AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(*) >= 2),
+            dup AS (SELECT g.doc_id, g.i FROM g JOIN tot USING (gram)),
+            cov AS (SELECT DISTINCT dup.doc_id, dup.i + k AS p
+                    FROM dup, unnest(generate_series(0, 4)) AS u(k)),
+            covn AS (SELECT doc_id, count(*) AS nc FROM cov
+                     GROUP BY doc_id),
+            pos AS (SELECT doc_id, p, t[p] AS tok
+                    FROM toks, unnest(generate_series(1, len(t)))
+                         AS s(p)),
+            kept AS (SELECT doc_id,
+                            string_agg(tok, ' ' ORDER BY p) AS txt
+                     FROM pos
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM cov
+                         WHERE cov.doc_id = pos.doc_id
+                           AND cov.p = pos.p)
+                     GROUP BY doc_id)
+            SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(covn.nc, 0) AS BIGINT) AS n_dup_tokens,
+                   COALESCE(kept.txt, '') AS text_cut
+            FROM toks LEFT JOIN covn USING (doc_id)
+                      LEFT JOIN kept USING (doc_id)
+        """,
+        "nb_quality_score": """
+            -- naive-Bayes log-odds quality filter restated: per-token
+            -- micro-nat weight floor((ln((cp+1)/(Npos+V)) -
+            -- ln((cn+1)/(Nneg+V)))*1e6) quantized once (same libm as
+            -- the kernel's math.log), class prior likewise, then exact
+            -- BIGINT sums per document
+            WITH toks AS (
+                SELECT doc_id, source = 'src7' AS pos, token FROM (
+                    SELECT doc_id, source,
+                           unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS token
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(trim(text)) > 0)
+                WHERE token <> ''),
+            cnt AS (SELECT token,
+                           sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                           sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+                    FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS v, sum(cp) AS npos,
+                           sum(cn) AS nneg FROM cnt),
+            w AS (SELECT token,
+                         CAST(floor((ln(CAST(cp + 1 AS DOUBLE)
+                                        / (npos + v))
+                                     - ln(CAST(cn + 1 AS DOUBLE)
+                                          / (nneg + v))) * 1e6)
+                              AS BIGINT) AS wm
+                  FROM cnt, tot),
+            pr AS (SELECT CAST(floor(ln(
+                       CAST(sum(CASE WHEN source = 'src7'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN source = 'src7'
+                                  THEN 0 ELSE 1 END)) * 1e6)
+                       AS BIGINT) AS pm FROM documents),
+            sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+                          sum(w.wm) AS s
+                   FROM toks t JOIN w USING (token) GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(sc.s, 0) + pr.pm AS BIGINT)
+                       AS score_micro,
+                   CAST(CASE WHEN COALESCE(sc.s, 0) + pr.pm > 0
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_pos
+            FROM documents d CROSS JOIN pr
+                 LEFT JOIN sc ON sc.doc_id = d.doc_id
         """,
         "temperature_mix_sample": """
             WITH c AS (SELECT source, count(*) AS n FROM documents

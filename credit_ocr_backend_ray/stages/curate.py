@@ -412,6 +412,238 @@ def duplicate_gram_stats(ds: "rd.Dataset", n: int = 8,
                        count_alias=None, combine="cogroup")
 
 
+def substring_dedup(ds: "rd.Dataset", n: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_shards: int = 64) -> "rd.Dataset":
+    """Exact-substring span dedup — the CUT step of Lee et al. (ACL'22)
+    next to ``duplicate_gram_stats``'s counting step: every token
+    position covered by a length-``n`` token window whose exact text
+    occurs at least twice ANYWHERE in the corpus (same document counts)
+    is removed from the document. This is the aggressive deterministic
+    variant (all occurrences cut, no canonical survivor) used as a
+    strong repetition filter; documents shorter than ``n`` tokens pass
+    through untouched. The reference has no counterpart (its corpus is
+    one credit request per document) — a §2.10a training-data addition.
+
+    Shape: (1) window emit — one (gram, doc, start) row per token
+    position, sharded by gram hash; the one-row-per-position shuffle is
+    the inherent cost of exact-substring dedup (swap the string key for
+    a 128-bit gram hash at extreme scale, the contract shared with
+    ``duplicate_gram_stats``); (2) one vectorized transform-count per
+    gram shard keeps only duplicated starts — the output is bounded by
+    the duplicated mass, typically a small fraction of the corpus;
+    (3) ONE doc-keyed co-group of the docs table against the duplicated
+    starts: interval union via a +1/-1 difference array, text rebuilt
+    from the uncovered positions. No stage holds more than a shard.
+
+    Output: (doc_id, n_tokens, n_dup_tokens, text_cut)."""
+    from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+    from credit_ocr_backend_ray.stages.relational import _with_shard
+
+    def emit(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        ids: list[int] = []
+        starts: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            for j in range(len(toks) - n + 1):
+                grams.append(" ".join(toks[j:j + n]))
+                ids.append(i)
+                starts.append(j)
+        shard = (hash_strings_u64(grams) % np.uint64(n_shards)).astype(
+            np.int64) if grams else np.array([], np.int64)
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "__start": pa.array(starts, pa.int64()),
+            "__shard": pa.array(shard, pa.int64()),
+        })
+
+    def dup_starts(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["gram"].transform("size")
+        out = g.loc[tot.to_numpy(np.int64) >= 2, [id_col, "__start"]]
+        return (out.astype({id_col: "int64", "__start": "int64"})
+                   .reset_index(drop=True))
+
+    dups = (ds.map_batches(emit, batch_format="pyarrow")
+              .groupby("__shard").map_groups(dup_starts,
+                                             batch_format="pandas"))
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        # positional arrays throughout: incoming blocks may carry a
+        # non-default index and pandas would align Series against it
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            text_col: pd.array(b[text_col].tolist(), dtype=object),
+            "__start": np.full(len(b), -1, np.int64),
+            "__side": np.zeros(len(b), np.int8),
+        })
+        return _with_shard(out, id_col, n_shards)
+
+    def tag_dups(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            text_col: pd.array([None] * len(b), dtype=object),
+            "__start": b["__start"].to_numpy(np.int64),
+            "__side": np.ones(len(b), np.int8),
+        })
+        return _with_shard(out, id_col, n_shards)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy(np.int8)
+        starts_by_doc = {
+            did: grp["__start"].to_numpy(np.int64)
+            for did, grp in g[side == 1].groupby(id_col, sort=False)}
+        docs = g[side == 0]
+        ids_out: list[int] = []
+        ntok: list[int] = []
+        ndup: list[int] = []
+        txts: list[str] = []
+        for did, txt in zip(docs[id_col].to_numpy(np.int64),
+                            docs[text_col]):
+            toks = _tokens(txt)
+            length = len(toks)
+            s = starts_by_doc.get(did)
+            if s is None or length == 0:
+                covered_n, cut_txt = 0, " ".join(toks)
+            else:
+                diff = np.zeros(length + 1, np.int64)
+                np.add.at(diff, s, 1)
+                np.add.at(diff, s + n, -1)
+                covered = np.cumsum(diff[:length]) > 0
+                covered_n = int(covered.sum())
+                cut_txt = " ".join(
+                    tok for tok, c in zip(toks, covered) if not c)
+            ids_out.append(int(did))
+            ntok.append(length)
+            ndup.append(covered_n)
+            txts.append(cut_txt)
+        return pd.DataFrame({
+            id_col: pd.array(ids_out, dtype="int64"),
+            "n_tokens": pd.array(ntok, dtype="int64"),
+            "n_dup_tokens": pd.array(ndup, dtype="int64"),
+            "text_cut": pd.array(txts, dtype=object),
+        })
+
+    docs_side = (ds.select_columns([id_col, text_col])
+                   .map_batches(tag_docs, batch_format="pandas"))
+    dups_side = dups.map_batches(tag_dups, batch_format="pandas")
+    return (docs_side.union(dups_side)
+                     .groupby("__shard")
+                     .map_groups(cut, batch_format="pandas"))
+
+
+def nb_source_score(ds: "rd.Dataset", pos_source: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    source_col: str = "source",
+                    max_vocab_rows: int = 50_000_000) -> "rd.Dataset":
+    """Quality-classifier filter, the GPT-3/PaLM shape (Brown et al.
+    2020 §A: a linear classifier trained to separate a curated source
+    from raw CommonCrawl, then used to score every crawl document) —
+    restated as multinomial naive-Bayes log-odds, the deterministic
+    shuffle-free sibling of that logistic model. The reference has no
+    counterpart; §2.10a training-data addition.
+
+    Exactness contract (the ``unigram_nll`` trick): the transcendental
+    stays OFF the distributed path. Each token weight is quantized ONCE
+    on the driver to int64 micro-nats
+    ``floor((ln((cpos+1)/(Npos+V)) - ln((cneg+1)/(Nneg+V))) * 1e6)``
+    (Laplace smoothing, V = corpus distinct-token count), the class
+    prior ``floor(ln(Dpos/Dneg) * 1e6)`` likewise; scoring is an exact
+    int64 sum — order-independent and bit-equal to the DuckDB
+    restatement (same libm ln).
+
+    Scale: training is ONE combiner token-count pass (per-batch Counter
+    → (token, cpos, cneg) partial rows; per-batch DOC counts ride the
+    same table as a single null-token row, which the cogroup combine
+    preserves — Ray's sort-based groupby cannot) + one cogroup merge.
+    The weight table is the corpus distinct vocabulary — guarded by
+    ``max_vocab_rows`` (learn_bpe's cap pattern; raise it consciously
+    or pre-prune the corpus) — broadcast once via ``ray.put``; scoring
+    is a stateless vectorized map (Series.map + np.add.reduceat).
+
+    Output: (doc_id, n_tokens, score_micro, is_pos) over every input
+    document; zero-token documents carry the bare prior."""
+    import itertools
+    from collections import Counter
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cp: Counter = Counter()
+        cn: Counter = Counter()
+        dp = dn = 0
+        for src, txt in zip(t[source_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if src == pos_source:
+                cp.update(_tokens(txt))
+                dp += 1
+            else:
+                cn.update(_tokens(txt))
+                dn += 1
+        vocab = list(cp.keys() | cn.keys())
+        return pa.table({
+            "token": pa.array(vocab + [None], pa.string()),
+            "__cp": pa.array([cp.get(k, 0) for k in vocab] + [dp],
+                             pa.int64()),
+            "__cn": pa.array([cn.get(k, 0) for k in vocab] + [dn],
+                             pa.int64()),
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["token"], {"__cp": "cp", "__cn": "cn"}, count_alias=None,
+        combine="cogroup").materialize()
+    n_rows = counts.count()
+    if n_rows - 1 > max_vocab_rows:
+        raise ValueError(
+            f"nb_source_score: corpus vocabulary {n_rows - 1} exceeds "
+            f"max_vocab_rows={max_vocab_rows}; the weight table must "
+            "stay driver-bounded — prune the corpus or raise the cap "
+            "consciously")
+    pdf = counts.to_pandas()
+    null_row = pdf[pdf["token"].isna()]
+    d_pos = int(null_row["cp"].iloc[0])
+    d_neg = int(null_row["cn"].iloc[0])
+    if d_pos == 0 or d_neg == 0:
+        raise ValueError("nb_source_score: both classes need at least "
+                         f"one document (pos={d_pos}, neg={d_neg})")
+    vocab_pdf = pdf[pdf["token"].notna()]
+    v = len(vocab_pdf)
+    n_pos = int(vocab_pdf["cp"].sum())
+    n_neg = int(vocab_pdf["cn"].sum())
+    lut: dict[str, int] = {
+        tok: math.floor((math.log((cp + 1) / (n_pos + v))
+                         - math.log((cn + 1) / (n_neg + v))) * 1e6)
+        for tok, cp, cn in zip(vocab_pdf["token"], vocab_pdf["cp"],
+                               vocab_pdf["cn"])}
+    unseen = math.floor((math.log(1 / (n_pos + v))
+                         - math.log(1 / (n_neg + v))) * 1e6)
+    prior = math.floor(math.log(d_pos / d_neg) * 1e6)
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        mdl = ray.get(lut_ref)
+        doc_ids = t[id_col].to_pylist()
+        doc_toks = [_tokens(txt) for txt in t[text_col].to_pylist()]
+        lens = np.fromiter((len(x) for x in doc_toks), dtype=np.int64,
+                           count=len(doc_toks))
+        totals = np.full(len(doc_ids), prior, np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = list(itertools.chain.from_iterable(doc_toks))
+            wm = (pd.Series(flat, dtype=object).map(mdl)
+                    .fillna(unseen).to_numpy(dtype=np.int64))
+            bounds = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            totals[nz] += np.add.reduceat(wm, bounds)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(lens),
+            "score_micro": pa.array(totals),
+            "is_pos": pa.array((totals > 0).astype(np.int32)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ------------------------------------------------- importance resampling
 
 def doc_importance(ds: "rd.Dataset", target_source: str,

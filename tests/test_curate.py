@@ -163,3 +163,115 @@ def test_source_reputation_planted(ray_session):
     assert out["n_docs"].tolist() == [2, 1]
     assert out["total_tokens"].tolist() == [6, 4]
     assert out["mean_dup_micro"].tolist() == [166666, 750000]
+
+
+def test_substring_dedup_planted_span(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import substring_dedup
+    # docs 1 and 2 share the 4-token run "a b c d" (planted); doc 3 is
+    # unique; doc 4 is shorter than n and passes through; doc 5 empty.
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x a b c d y", "a b c d z w", "p q r s t u",
+                 "one two", None],
+    })
+    out = (substring_dedup(rd.from_pandas(docs).repartition(3), n=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["n_tokens"].tolist() == [6, 6, 6, 2, 0]
+    # the shared window covers positions 1-4 in doc 1, 0-3 in doc 2
+    assert out["n_dup_tokens"].tolist() == [4, 4, 0, 0, 0]
+    assert out["text_cut"].tolist() == ["x y", "z w", "p q r s t u",
+                                        "one two", ""]
+
+
+def test_substring_dedup_overlapping_windows_union(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import substring_dedup
+    # "a b c" appears twice WITHIN one doc (within-doc repeats count);
+    # overlapping duplicated windows must union, not double-count.
+    docs = pd.DataFrame({
+        "doc_id": [1],
+        "text": ["a b c a b c"],
+    })
+    out = substring_dedup(rd.from_pandas(docs), n=3).to_pandas()
+    # windows: (a b c)@0, (b c a)@1, (c a b)@2, (a b c)@3 -> only
+    # "a b c" repeats; covered = {0,1,2} U {3,4,5} = all 6 tokens
+    assert out["n_dup_tokens"].tolist() == [6]
+    assert out["text_cut"].tolist() == [""]
+
+
+def test_substring_dedup_is_layout_independent(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import substring_dedup
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefgh")
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": range(60), "text": texts})
+    a = (substring_dedup(rd.from_pandas(docs).repartition(1), n=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (substring_dedup(rd.from_pandas(docs).repartition(7), n=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_tokens"] - a["n_dup_tokens"]
+            == a["text_cut"].str.split().str.len().fillna(0)).all()
+
+
+def test_nb_source_score_matches_direct_formula(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import nb_source_score
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["wiki", "wiki", "crawl", "crawl"],
+        "text": ["good clean prose", "good good text",
+                 "spam spam spam junk", None],
+    })
+    out = (nb_source_score(rd.from_pandas(docs).repartition(2), "wiki")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # direct recomputation
+    from collections import Counter
+    cp = Counter("good clean prose".split()) \
+        + Counter("good good text".split())
+    cn = Counter("spam spam spam junk".split())
+    vocab = set(cp) | set(cn)
+    v, npos, nneg = len(vocab), sum(cp.values()), sum(cn.values())
+    w = {t: math.floor((math.log((cp[t] + 1) / (npos + v))
+                        - math.log((cn[t] + 1) / (nneg + v))) * 1e6)
+         for t in vocab}
+    prior = math.floor(math.log(2 / 2) * 1e6)
+    exp = {1: prior + sum(w[t] for t in "good clean prose".split()),
+           2: prior + sum(w[t] for t in "good good text".split()),
+           3: prior + sum(w[t] for t in "spam spam spam junk".split()),
+           4: prior}
+    assert out["score_micro"].tolist() == [exp[i] for i in [1, 2, 3, 4]]
+    assert out["n_tokens"].tolist() == [3, 3, 4, 0]
+    # curated-source docs score positive, crawl docs negative
+    assert out["is_pos"].tolist() == [1, 1, 0, 0]
+
+
+def test_nb_source_score_single_class_raises(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import nb_source_score
+    docs = pd.DataFrame({"doc_id": [1], "source": ["only"],
+                         "text": ["x"]})
+    with pytest.raises(Exception):
+        nb_source_score(rd.from_pandas(docs), "only").to_pandas()
+
+
+def test_nb_source_score_vocab_cap_raises(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import nb_source_score
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["a", "b"],
+        "text": ["t0 t1 t2 t3 t4 t5 t6 t7", "u0 u1 u2 u3"],
+    })
+    with pytest.raises(Exception, match="max_vocab_rows"):
+        nb_source_score(rd.from_pandas(docs), "a",
+                        max_vocab_rows=4).to_pandas()
