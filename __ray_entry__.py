@@ -3383,6 +3383,26 @@ def _q_nb_quality_score(sf_dir: str):
     return nb_source_score(ds, pos_source="src7")
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03,
+    the MOSS algorithm): per-window minimal md5-hex 4-gram hash,
+    rightmost tie-break — bit-exactly SQL-oracled via lexicographic
+    varchar minima."""
+    from credit_ocr_backend_ray.stages.text import winnow_fingerprints
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=4, w=4)
+
+
+def _q_winnow_overlap(sf_dir: str):
+    """MOSS-style local-similarity pairs: documents sharing >= 2
+    distinct winnowing fingerprint values, with the shared count."""
+    from credit_ocr_backend_ray.stages.text import winnow_overlap
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return winnow_overlap(ds, k=4, w=4, min_shared=2)
+
+
 def _q_event_value_next_delta(sf_dir: str):
     """LEAD window: next value minus current per user's ordered stream
     (the forward twin of event_value_delta)."""
@@ -3802,6 +3822,8 @@ _SHOWCASE_ORDER = [
     # upgraded rows-only -> SQL this round.
     "substring_dedup",
     "nb_quality_score",
+    "winnow_fingerprints",
+    "winnow_overlap",
     "doc_unigram_nll",
     "heavy_hitter_terms",
     "approx_price_quantiles",
@@ -3961,6 +3983,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_grams": _q_doc_dup_grams,
         "substring_dedup": _q_substring_dedup,
         "nb_quality_score": _q_nb_quality_score,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
         "event_value_next_delta": _q_event_value_next_delta,
         "brand_price_p90_disc": _q_brand_price_p90_disc,
         "priority_price_mad": _q_priority_price_mad,
@@ -5022,6 +5046,78 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(kept.txt, '') AS text_cut
             FROM toks LEFT JOIN covn USING (doc_id)
                       LEFT JOIN kept USING (doc_id)
+        """,
+        "winnow_fingerprints": """
+            -- winnowing (Schleimer'03) restated: md5-hex 4-gram
+            -- hashes, per-window (w=4) lexicographic minimum with
+            -- rightmost tie-break (ORDER BY h ASC, i DESC), positions
+            -- deduped; short docs form a single whole-doc window
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text),
+                                                       '\\s+') END AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id, i,
+                       substr(md5(array_to_string(t[i:i+3], ' ')),
+                              1, 16) AS h,
+                       len(t) - 3 AS nh
+                FROM toks, unnest(generate_series(1, len(t) - 3)) AS s(i)
+                WHERE len(t) >= 4),
+            wins AS (
+                SELECT doc_id, wj
+                FROM (SELECT DISTINCT doc_id, nh FROM g) d,
+                     unnest(generate_series(1, greatest(d.nh - 3, 1)))
+                         AS s(wj)),
+            cand AS (
+                SELECT w.doc_id, g.i, g.h,
+                       row_number() OVER (PARTITION BY w.doc_id, w.wj
+                                          ORDER BY g.h ASC, g.i DESC)
+                           AS rn
+                FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                  AND g.i BETWEEN w.wj AND w.wj + 3)
+            SELECT DISTINCT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   h AS fp
+            FROM cand WHERE rn = 1
+        """,
+        "winnow_overlap": """
+            -- MOSS match step: distinct (doc, fingerprint-value) pairs
+            -- self-joined on the value, counted, thresholded at 2
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text),
+                                                       '\\s+') END AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id, i,
+                       substr(md5(array_to_string(t[i:i+3], ' ')),
+                              1, 16) AS h,
+                       len(t) - 3 AS nh
+                FROM toks, unnest(generate_series(1, len(t) - 3)) AS s(i)
+                WHERE len(t) >= 4),
+            wins AS (
+                SELECT doc_id, wj
+                FROM (SELECT DISTINCT doc_id, nh FROM g) d,
+                     unnest(generate_series(1, greatest(d.nh - 3, 1)))
+                         AS s(wj)),
+            cand AS (
+                SELECT w.doc_id, g.i, g.h,
+                       row_number() OVER (PARTITION BY w.doc_id, w.wj
+                                          ORDER BY g.h ASC, g.i DESC)
+                           AS rn
+                FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                  AND g.i BETWEEN w.wj AND w.wj + 3),
+            fpd AS (SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fpd a JOIN fpd b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
         "nb_quality_score": """
             -- naive-Bayes log-odds quality filter restated: per-token

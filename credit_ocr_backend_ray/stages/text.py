@@ -255,6 +255,139 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                                     pa.uint64())))
 
 
+def winnow_fingerprints(ds, k: int = 4, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS local-similarity algorithm): hash every
+    k-token gram, slide a w-gram window, select each window's minimal
+    hash (RIGHTMOST occurrence on ties — the paper's rule, which both
+    bounds fingerprint density and keeps selection position-robust),
+    dedupe selected positions. Guarantees any shared token run of
+    length >= k + w - 1 yields at least one shared fingerprint — the
+    local complement of the global rolling_fingerprint.
+
+    Exactness contract: the gram hash is the first 16 hex chars of
+    md5(gram), compared LEXICOGRAPHICALLY — the python min over hex
+    strings equals DuckDB's varchar min, so the whole selection is
+    bit-exactly SQL-oracled (no engine hash involved). Documents with
+    fewer than k tokens emit nothing; documents with fewer than w grams
+    form a single window (at least one fingerprint per non-trivial doc,
+    per the paper).
+
+    Stateless one-pass map — the per-doc sliding-window minimum runs a
+    monotonic deque, O(grams) per document, worker-side. Output: one
+    row per selected fingerprint (doc_id, pos, fp), pos the 0-based
+    token index of the gram start."""
+    import hashlib
+    import re
+    from collections import deque
+
+    ws = re.compile(r"\s+")
+
+    def emit(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_pos: list[int] = []
+        out_fp: list[str] = []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            toks = ([x for x in ws.split(txt.strip()) if x]
+                    if txt else [])
+            nh = len(toks) - k + 1
+            if nh <= 0:
+                continue
+            hs = [hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                  .hexdigest()[:16] for i in range(nh)]
+            selected: set[int] = set()
+            dq: deque[int] = deque()
+            first_end = min(w, nh) - 1   # short docs: one whole window
+            for i in range(nh):
+                while dq and hs[dq[-1]] >= hs[i]:
+                    dq.pop()             # >= : rightmost minimum wins
+                dq.append(i)
+                if i >= first_end:
+                    while dq[0] <= i - w:
+                        dq.popleft()
+                    selected.add(dq[0])
+            for i in sorted(selected):
+                out_id.append(did)
+                out_pos.append(i)
+                out_fp.append(hs[i])
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "fp": pa.array(out_fp, pa.string()),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def winnow_overlap(ds, k: int = 4, w: int = 4, min_shared: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   max_bucket: int = 1024):
+    """Cross-document local-similarity pairs from winnowing
+    fingerprints (the MOSS match step): documents sharing at least
+    ``min_shared`` distinct fingerprint values, with the shared count —
+    plagiarism/mirror detection that exact-dedup and MinHash both miss
+    (MinHash estimates GLOBAL Jaccard; winnowing guarantees hits on
+    LOCAL shared runs of >= k + w - 1 tokens).
+
+    Shape: fingerprint emit (stateless map) → distinct (doc, fp) →
+    one fp-shard co-group producing within-bucket pairs (a fingerprint
+    shared by m docs yields m·(m-1)/2 pairs; any bucket over
+    ``max_bucket`` docs raises an explicit ValueError rather than
+    silently exploding — the interval_self_join cap pattern; raise it
+    consciously for pathological corpora) → one pair-keyed combine for
+    the shared counts. Output: (doc_a, doc_b, n_shared), doc_a <
+    doc_b."""
+    import itertools
+
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        _with_shard, grouped_agg)
+
+    fps = winnow_fingerprints(ds, k=k, w=w, id_col=id_col,
+                              text_col=text_col)
+
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b[[id_col, "fp"]].drop_duplicates()
+               .reset_index(drop=True))
+        return _with_shard(out, "fp", 64)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for fp, grp in g.groupby("fp", sort=False):
+            docs = np.unique(grp[id_col].to_numpy(np.int64))
+            if len(docs) > max_bucket:
+                raise ValueError(
+                    f"winnow_overlap: fingerprint {fp!r} shared by "
+                    f"{len(docs)} documents exceeds max_bucket="
+                    f"{max_bucket}; pairs would explode quadratically "
+                    "— raise the cap consciously or pre-dedup exact "
+                    "duplicates first")
+            for x, y in itertools.combinations(docs, 2):
+                a_out.append(int(x))
+                b_out.append(int(y))
+        return pd.DataFrame({"doc_a": pd.array(a_out, dtype="int64"),
+                             "doc_b": pd.array(b_out, dtype="int64"),
+                             "__n": np.ones(len(a_out), np.int64)})
+
+    pair_rows = (fps.map_batches(local_distinct, batch_format="pandas")
+                    .groupby("__shard")
+                    .map_groups(pairs, batch_format="pandas"))
+    counted = grouped_agg(pair_rows, ["doc_a", "doc_b"],
+                          {"__n": "n_shared"}, count_alias=None,
+                          combine="cogroup")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return (b[b["n_shared"].to_numpy(np.int64) >= min_shared]
+                .reset_index(drop=True))
+
+    return counted.map_batches(keep, batch_format="pandas")
+
+
 def doc_mean_token_freq(ds, id_col: str = "doc_id",
                         text_col: str = "text"):
     """Per-document mean corpus-frequency of its tokens — the

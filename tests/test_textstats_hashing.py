@@ -173,3 +173,101 @@ def test_normalize_text_unicode_and_nulls(ray_session):
     assert [hex(ord(c)) for c in out["norm_text"][1][1]] == ["0xe9"]
     assert out["norm_text"][2] == "plain ascii"
     assert pd.isna(out["norm_text"][3])
+
+
+def test_winnow_constant_text_rightmost_tiebreak(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import winnow_fingerprints
+    # all grams identical -> every window's min ties -> rightmost index
+    # selected per window -> positions w-1 .. nh-1
+    docs = pd.DataFrame({"doc_id": [1], "text": [" ".join(["a"] * 10)]})
+    out = (winnow_fingerprints(rd.from_pandas(docs), k=3, w=3)
+           .to_pandas().sort_values("pos"))
+    # nh = 8 grams, windows start at i>=w-1=2 -> selected {2..7}
+    assert out["pos"].tolist() == [2, 3, 4, 5, 6, 7]
+    assert out["fp"].nunique() == 1
+
+
+def test_winnow_shared_run_guarantee(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import winnow_fingerprints
+    # the winnowing guarantee: a shared token run of length >= k+w-1
+    # (here 3+3-1=5: "p q r s t") must yield >=1 shared fingerprint
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x y p q r s t z w v", "m n o p q r s t u k"],
+    })
+    out = (winnow_fingerprints(rd.from_pandas(docs), k=3, w=3)
+           .to_pandas())
+    shared = (set(out[out.doc_id == 1]["fp"])
+              & set(out[out.doc_id == 2]["fp"]))
+    assert len(shared) >= 1
+
+
+def test_winnow_short_doc_single_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import winnow_fingerprints
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        # doc 1: 4 tokens, k=3 -> 2 grams < w=4 -> ONE window, 1 fp
+        # doc 2: 2 tokens < k -> no grams -> absent from output
+        "text": ["a b c d", "a b"],
+    })
+    out = (winnow_fingerprints(rd.from_pandas(docs), k=3, w=4)
+           .to_pandas())
+    assert out["doc_id"].tolist() == [1]
+    assert len(out) == 1
+
+
+def test_winnow_layout_independent(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import winnow_fingerprints
+    rng = np.random.default_rng(11)
+    vocab = list("abcdef")
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [" ".join(rng.choice(vocab, size=15)) for _ in range(40)],
+    })
+    a = (winnow_fingerprints(rd.from_pandas(docs).repartition(1))
+         .to_pandas().sort_values(["doc_id", "pos"])
+         .reset_index(drop=True))
+    b = (winnow_fingerprints(rd.from_pandas(docs).repartition(7))
+         .to_pandas().sort_values(["doc_id", "pos"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_winnow_overlap_planted_and_cap(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import winnow_overlap
+    shared = "p q r s t u v w"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"x1 y1 {shared} z1", f"x2 {shared} z2 w2",
+                 "completely different tokens here now ok fine yes"],
+    })
+    out = (winnow_overlap(rd.from_pandas(docs).repartition(2),
+                          k=3, w=3, min_shared=2)
+           .to_pandas())
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert int(out["n_shared"].iloc[0]) >= 2
+    # the quadratic-blowup guard trips on a hot fingerprint bucket
+    many = pd.DataFrame({
+        "doc_id": range(10),
+        "text": ["same same same same same same"] * 10,
+    })
+    with pytest.raises(Exception, match="max_bucket"):
+        winnow_overlap(rd.from_pandas(many), k=3, w=3,
+                       max_bucket=4).to_pandas()
