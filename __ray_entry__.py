@@ -3403,6 +3403,28 @@ def _q_winnow_overlap(sf_dir: str):
     return winnow_overlap(ds, k=4, w=4, min_shared=2)
 
 
+def _q_mirror_clusters(sf_dir: str):
+    """Mirror/plagiarism clusters: connected components over the MOSS
+    winnowing-overlap pair graph, rep = min doc_id per component. The
+    union-find runs driver-side over the verified pair set only (the
+    dedup_clusters contract: orders of magnitude smaller than the
+    corpus) — and unlike the MinHash variant the WHOLE composite is
+    SQL-expressible, so the oracle pins pairs AND components (recursive
+    CTE min-label propagation)."""
+    import pyarrow as pa
+    from credit_ocr_backend_ray.stages.dedup import cluster_pairs
+    from credit_ocr_backend_ray.stages.text import winnow_overlap
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = (winnow_overlap(ds, k=4, w=4, min_shared=2)
+             .to_pandas()
+             .rename(columns={"doc_a": "id_a", "doc_b": "id_b"}))
+    reps = cluster_pairs(pairs)
+    ids = sorted(reps)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "rep": pa.array([reps[i] for i in ids], pa.int64())})
+
+
 def _q_event_value_next_delta(sf_dir: str):
     """LEAD window: next value minus current per user's ordered stream
     (the forward twin of event_value_delta)."""
@@ -3824,6 +3846,7 @@ _SHOWCASE_ORDER = [
     "nb_quality_score",
     "winnow_fingerprints",
     "winnow_overlap",
+    "mirror_clusters",
     "doc_unigram_nll",
     "heavy_hitter_terms",
     "approx_price_quantiles",
@@ -3985,6 +4008,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "nb_quality_score": _q_nb_quality_score,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap": _q_winnow_overlap,
+        "mirror_clusters": _q_mirror_clusters,
         "event_value_next_delta": _q_event_value_next_delta,
         "brand_price_p90_disc": _q_brand_price_p90_disc,
         "priority_price_mad": _q_priority_price_mad,
@@ -5118,6 +5142,56 @@ def oracle_sql() -> dict[str, str]:
                  ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        "mirror_clusters": """
+            -- winnowing pairs + connected components: recursive-CTE
+            -- min-label propagation (terminates at fixpoint via UNION
+            -- dedup); MATERIALIZED pins the multiply-referenced CTEs
+            -- against exponential inlining (the pagerank lesson)
+            WITH RECURSIVE toks AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text),
+                                                       '\\s+') END AS t
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, i,
+                       substr(md5(array_to_string(t[i:i+3], ' ')),
+                              1, 16) AS h,
+                       len(t) - 3 AS nh
+                FROM toks, unnest(generate_series(1, len(t) - 3)) AS s(i)
+                WHERE len(t) >= 4),
+            wins AS (
+                SELECT doc_id, wj
+                FROM (SELECT DISTINCT doc_id, nh FROM g) d,
+                     unnest(generate_series(1, greatest(d.nh - 3, 1)))
+                         AS s(wj)),
+            cand AS (
+                SELECT w.doc_id, g.i, g.h,
+                       row_number() OVER (PARTITION BY w.doc_id, w.wj
+                                          ORDER BY g.h ASC, g.i DESC)
+                           AS rn
+                FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                  AND g.i BETWEEN w.wj AND w.wj + 3),
+            fpd AS MATERIALIZED (
+                SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1),
+            prs AS MATERIALIZED (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM fpd a JOIN fpd b
+                     ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+            edges AS MATERIALIZED (
+                SELECT doc_a AS a, doc_b AS b FROM prs
+                UNION ALL
+                SELECT doc_b, doc_a FROM prs),
+            reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, reach.r
+                FROM reach JOIN edges e ON e.a = reach.node)
+            SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS rep
+            FROM reach GROUP BY node
         """,
         "nb_quality_score": """
             -- naive-Bayes log-odds quality filter restated: per-token

@@ -271,3 +271,27 @@ def test_winnow_overlap_planted_and_cap(ray_session):
     with pytest.raises(Exception, match="max_bucket"):
         winnow_overlap(rd.from_pandas(many), k=3, w=3,
                        max_bucket=4).to_pandas()
+
+
+def test_mirror_clusters_two_components(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.dedup import cluster_pairs
+    from credit_ocr_backend_ray.stages.text import winnow_overlap
+    run1 = "p q r s t u v w"
+    run2 = "m n o k l j h g"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20],
+        "text": [f"a1 b1 {run1}", f"a2 {run1} c2", f"{run1} d3 e3",
+                 f"x1 y1 {run2}", f"x2 {run2} y2",
+                 "totally unrelated words only here right now ok"],
+    })
+    pairs = (winnow_overlap(rd.from_pandas(docs).repartition(3),
+                            k=3, w=3, min_shared=2)
+             .to_pandas()
+             .rename(columns={"doc_a": "id_a", "doc_b": "id_b"}))
+    reps = cluster_pairs(pairs)
+    # component {1,2,3} -> rep 1; {10,11} -> rep 10; 20 absent
+    assert {i: reps[i] for i in sorted(reps)} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
