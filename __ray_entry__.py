@@ -1997,6 +1997,17 @@ def _q_doc_quality_stats(sf_dir: str):
     return doc_quality_stats(ds)
 
 
+def _q_gopher_topgram_stats(sf_dir: str):
+    """Gopher's argmax-gram repetition signals (stages/curate.py): per
+    document the most frequent 2-/3-gram (deterministic tie-break), the
+    character fraction its occurrences cover, and stop-word count/frac —
+    integer micro-units, stateless single pass."""
+    from credit_ocr_backend_ray.stages.curate import gopher_topgram_stats
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return gopher_topgram_stats(ds)
+
+
 def _q_bm25_search(sf_dir: str):
     """Okapi BM25 top-20 documents for a fixed 3-term query
     (stages/curate.py): corpus stats from one bounded partial pass,
@@ -3977,6 +3988,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_sample": _q_source_quota_sample,
         "decontamination_stats": _q_decontamination_stats,
         "doc_quality_stats": _q_doc_quality_stats,
+        "gopher_topgram_stats": _q_gopher_topgram_stats,
         "bm25_search": _q_bm25_search,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
@@ -5399,6 +5411,62 @@ def oracle_sql() -> dict[str, str]:
                          regexp_split_to_array(trim(text), '\\s+') AS t
                   FROM documents WHERE text IS NOT NULL)
             WHERE len(t) > 0 AND t <> ['']
+        """,
+        "gopher_topgram_stats": """
+            WITH base AS (
+                SELECT doc_id, t, len(t) AS ntok,
+                       CAST(list_aggregate(
+                                list_transform(t, x -> length(x)),
+                                'sum') AS BIGINT) AS nch,
+                       CAST(len(list_filter(t, x -> x IN
+                                ('a', 'and', 'be', 'have', 'of', 'that',
+                                 'the', 'to', 'with'))) AS BIGINT) AS nsw
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+')
+                                 AS t
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE len(t) > 0 AND t <> ['']
+            ), c2 AS (
+                SELECT doc_id, gram, count(*) AS cnt FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, ntok),
+                                  i -> t[i] || ' ' || t[i + 1])) AS gram
+                    FROM base)
+                GROUP BY doc_id, gram
+            ), t2 AS (
+                SELECT doc_id, gram, cnt FROM c2
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1
+            ), c3 AS (
+                SELECT doc_id, gram, count(*) AS cnt FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, ntok - 1),
+                                  i -> t[i] || ' ' || t[i + 1] || ' '
+                                       || t[i + 2])) AS gram
+                    FROM base)
+                GROUP BY doc_id, gram
+            ), t3 AS (
+                SELECT doc_id, gram, cnt FROM c3
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1
+            )
+            SELECT b.doc_id,
+                   COALESCE(t2.gram, '') AS top2_gram,
+                   CASE WHEN t2.gram IS NULL THEN 0
+                        ELSE (2 * t2.cnt * (length(t2.gram) - 1)
+                              * 1000000 + b.nch) // (2 * b.nch)
+                   END AS top2_frac_micro,
+                   COALESCE(t3.gram, '') AS top3_gram,
+                   CASE WHEN t3.gram IS NULL THEN 0
+                        ELSE (2 * t3.cnt * (length(t3.gram) - 2)
+                              * 1000000 + b.nch) // (2 * b.nch)
+                   END AS top3_frac_micro,
+                   b.nsw AS stopword_count,
+                   (2 * b.nsw * 1000000 + b.ntok) // (2 * b.ntok)
+                       AS stopword_frac_micro
+            FROM base b
+            LEFT JOIN t2 ON b.doc_id = t2.doc_id
+            LEFT JOIN t3 ON b.doc_id = t3.doc_id
         """,
         "bm25_search": """
             WITH toks AS (

@@ -749,3 +749,87 @@ def doc_importance(ds: "rd.Dataset", target_source: str,
 
     return (ds.select_columns([id_col, text_col])
               .map_batches(score, batch_format="pyarrow"))
+
+
+# Gopher's repetition table also gates on the character share of the
+# single most frequent n-gram and on stop-word presence (Rae et al.
+# 2021 Table A1, rows "top n-gram character fraction" and the MassiveWeb
+# stop-word rule).  ``doc_quality_stats`` above covers the token-level
+# shape rules; this op covers the argmax-gram family.  The same list
+# Gopher uses, plus bare "a" (the synthetic corpus' only other
+# function word):
+_STOPWORDS = ("a", "and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_topgram_stats(ds: "rd.Dataset", text_col: str = "text",
+                         id_col: str = "doc_id") -> "rd.Dataset":
+    """Per-document top-n-gram character fractions (n = 2, 3) and
+    stop-word counts — the remaining Gopher repetition signals.
+
+    For each document: the most frequent token n-gram (ties broken by
+    lexicographically smallest space-joined gram, so the argmax itself
+    is deterministic and oracle-checkable), and the fraction of the
+    document's characters its occurrences cover::
+
+        frac = count(gram) * chars(gram) / total_token_chars
+
+    where ``chars`` counts token characters only (no separators) — the
+    fraction can exceed 1 for heavily-overlapping repeats, which is
+    fine: Gopher thresholds it, it never treats it as a probability.
+    Fractions are integer micro-units via exact integer rounding
+    ``(2*num*1e6 + den) // (2*den)`` (== floor(num/den*1e6 + 0.5) with
+    no float in the loop), so the DuckDB oracle hash-matches bit-exactly.
+
+    Documents with no tokens are excluded; a document shorter than n
+    tokens reports frac 0 and an empty-string gram for that n.
+
+    Scale shape: stateless single-pass ``map_batches`` — per-doc
+    Counters over a bounded token list, nothing crosses the wire but
+    one output row per document.  No shuffle."""
+    from collections import Counter
+
+    sw = frozenset(_STOPWORDS)
+
+    def top_gram(toks: list[str], n: int) -> tuple[str, int]:
+        if len(toks) < n:
+            return "", 0
+        c = Counter(" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1))
+        best = max(c.values())
+        gram = min(g for g, k in c.items() if k == best)
+        return gram, best
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        cols: dict[str, list] = {k: [] for k in (
+            "top2_gram", "top2_frac_micro", "top3_gram", "top3_frac_micro",
+            "stopword_count", "stopword_frac_micro")}
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            n_chars = sum(len(tk) for tk in toks)
+            ids.append(i)
+            for n in (2, 3):
+                gram, cnt = top_gram(toks, n)
+                glen = len(gram) - (n - 1) if gram else 0
+                num = cnt * glen
+                cols[f"top{n}_gram"].append(gram)
+                cols[f"top{n}_frac_micro"].append(
+                    (2 * num * 1_000_000 + n_chars) // (2 * n_chars))
+            nsw = sum(tk in sw for tk in toks)
+            cols["stopword_count"].append(nsw)
+            cols["stopword_frac_micro"].append(
+                (2 * nsw * 1_000_000 + len(toks)) // (2 * len(toks)))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "top2_gram": pa.array(cols["top2_gram"], pa.string()),
+            "top2_frac_micro": pa.array(cols["top2_frac_micro"], pa.int64()),
+            "top3_gram": pa.array(cols["top3_gram"], pa.string()),
+            "top3_frac_micro": pa.array(cols["top3_frac_micro"], pa.int64()),
+            "stopword_count": pa.array(cols["stopword_count"], pa.int64()),
+            "stopword_frac_micro": pa.array(cols["stopword_frac_micro"],
+                                            pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+              .map_batches(stats, batch_format="pyarrow"))

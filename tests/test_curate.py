@@ -98,6 +98,32 @@ def test_doc_quality_stats_planted(ray_session):
         2_000_000, 3_000_000]
 
 
+def test_gopher_topgram_stats_planted(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import gopher_topgram_stats
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        # doc 1: 2-gram tie ("the cat" x2 vs "cat the" x2) -> lexic. min;
+        #        top 3-gram overlaps itself so frac > 1 is exercised
+        # doc 2: single token -> empty grams, zero fracs
+        # doc 3: excluded (null text)
+        # doc 4: one bigram covering every char -> frac exactly 1e6
+        "text": ["the cat the cat the", "xy", None, "a b"],
+    })
+    out = gopher_topgram_stats(rd.from_pandas(docs).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["top2_gram"].tolist() == ["cat the", "", "a b"]
+    # doc 1: 2 occurrences x 6 token chars / 15 total chars
+    assert out["top2_frac_micro"].tolist() == [800_000, 0, 1_000_000]
+    assert out["top3_gram"].tolist() == ["the cat the", "", ""]
+    # doc 1: 2 x 9 / 15 = 1.2 -- overlapping repeats exceed 1 by design
+    assert out["top3_frac_micro"].tolist() == [1_200_000, 0, 0]
+    assert out["stopword_count"].tolist() == [3, 0, 1]
+    assert out["stopword_frac_micro"].tolist() == [600_000, 0, 500_000]
+
+
 def test_bm25_matches_direct_formula(ray_session):
     import ray.data as rd
 
