@@ -3853,6 +3853,7 @@ _SHOWCASE_ORDER = [
     # bit-exact micro-nat oracle) are NEW this session; unigram_nll is
     # NEW this round (CCNet perplexity filter) and the next three were
     # upgraded rows-only -> SQL this round.
+    "gopher_topgram_stats",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
