@@ -477,6 +477,19 @@ def _q_events_hopping_window(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_events_watermarked(sf_dir: str):
+    """Streaming late-data gate (stages/relational.py): per-event high
+    watermark (running max event time over md5-simulated arrival order)
+    and the 7-day allowed-lateness verdict — a distributed global
+    prefix-max via ordered hash-range buckets, exclusive bucket-prefix
+    broadcast, one shard co-group. No global sort."""
+    from credit_ocr_backend_ray.stages.relational import (
+        watermark_late_events)
+
+    ds = _rp(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    return watermark_late_events(ds)
+
+
 def _q_customers_without_events(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.relational import broadcast_anti_join
@@ -3854,6 +3867,7 @@ _SHOWCASE_ORDER = [
     # NEW this round (CCNet perplexity filter) and the next three were
     # upgraded rows-only -> SQL this round.
     "gopher_topgram_stats",
+    "events_watermarked",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -3952,6 +3966,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": _q_asof_latest_order,
         "asof_latest_order_broadcast": _q_asof_latest_order_broadcast,
         "events_hopping_window": _q_events_hopping_window,
+        "events_watermarked": _q_events_watermarked,
         "customers_without_events": _q_customers_without_events,
         "customer_running_total": _q_customer_running_total,
         "event_value_delta": _q_event_value_delta,
@@ -4590,6 +4605,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 CROSS JOIN (SELECT unnest(range(4)) AS k) k)
             GROUP BY 1, 2
+        """,
+        "events_watermarked": """
+            WITH e AS (
+                SELECT event_id, epoch_us(ts) AS tus,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT) AS h
+                FROM events
+            ), w AS (
+                SELECT event_id, tus,
+                       max(tus) OVER (ORDER BY h, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS hw
+                FROM e
+            )
+            SELECT event_id, hw AS high_watermark_us,
+                   CAST(CASE WHEN tus < hw - 604800000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS late
+            FROM w
         """,
         "customers_without_events": """
             SELECT c_custkey, c_name FROM customer

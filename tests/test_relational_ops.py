@@ -1749,3 +1749,42 @@ def test_bpe_prune_and_cap(ray_session):
             [(w, c) for w, c in
              pd.Series(corpus).value_counts().items()], 12)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_watermark_late_events_brute_force(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        watermark_late_events)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = 1_700_000_000_000_000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 3_600_000_000, n), unit="us"),
+    })
+    delay = 600_000_000  # 10 min
+    out = (watermark_late_events(rd.from_pandas(ev).repartition(5),
+                                 delay_us=delay, n_buckets=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    # brute force: one local scan in md5-arrival order
+    h = ev["event_id"].map(lambda i: int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:4], "big"))
+    o = ev.assign(__h=h,
+                  tus=ev["ts"].astype("datetime64[us]").astype("int64")) \
+          .sort_values(["__h", "event_id"])
+    o["hw"] = o["tus"].cummax()
+    o["late"] = (o["tus"] < o["hw"] - delay).astype(np.int64)
+    o = o.sort_values("event_id").reset_index(drop=True)
+
+    assert out["event_id"].tolist() == o["event_id"].tolist()
+    assert out["high_watermark_us"].tolist() == o["hw"].tolist()
+    assert out["late"].tolist() == o["late"].tolist()
+    assert 0 < out["late"].sum() < n  # the gate actually splits the set
