@@ -2021,6 +2021,17 @@ def _q_gopher_topgram_stats(sf_dir: str):
     return gopher_topgram_stats(ds)
 
 
+def _q_hashed_features(sf_dir: str):
+    """Feature hashing (stages/text.py): Weinberger et al. 2009 hashing
+    trick — each document's bag of tokens projected into 64 signed-count
+    buckets with no vocabulary pass (md5 bucket + independent sign bit),
+    sparse long-form output. Stateless single pass."""
+    from credit_ocr_backend_ray.stages.text import hashed_features
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return hashed_features(ds, d=64)
+
+
 def _q_bm25_search(sf_dir: str):
     """Okapi BM25 top-20 documents for a fixed 3-term query
     (stages/curate.py): corpus stats from one bounded partial pass,
@@ -3868,6 +3879,7 @@ _SHOWCASE_ORDER = [
     # upgraded rows-only -> SQL this round.
     "gopher_topgram_stats",
     "events_watermarked",
+    "hashed_features",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -4005,6 +4017,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_stats": _q_decontamination_stats,
         "doc_quality_stats": _q_doc_quality_stats,
         "gopher_topgram_stats": _q_gopher_topgram_stats,
+        "hashed_features": _q_hashed_features,
         "bm25_search": _q_bm25_search,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
@@ -5500,6 +5513,27 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN t2 ON b.doc_id = t2.doc_id
             LEFT JOIN t3 ON b.doc_id = t3.doc_id
+        """,
+        "hashed_features": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                           AS u
+                FROM toks WHERE tok <> ''
+            )
+            SELECT doc_id, CAST(u % 64 AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN (u // 65536) % 2 = 0
+                            THEN 1 ELSE -1 END) AS BIGINT) AS feat
+            FROM h
+            GROUP BY doc_id, bucket
+            HAVING sum(CASE WHEN (u // 65536) % 2 = 0
+                       THEN 1 ELSE -1 END) <> 0
         """,
         "bm25_search": """
             WITH toks AS (

@@ -1015,3 +1015,64 @@ def apply_bpe(ds, merges: list[tuple[str, str]], text_col: str = "text",
         })
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def hashed_features(ds, d: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Feature hashing — the "hashing trick" (Weinberger et al. 2009):
+    project each document's bag of tokens into a fixed ``d``-dimensional
+    signed-count vector with NO vocabulary pass, the standard cheap
+    featurizer for linear quality classifiers at corpus scale (Vowpal
+    Wabbit's input layer; what nb_source_score would use when even a
+    capped vocabulary is too big).
+
+    Per token occurrence: ``u = first-32-md5-bits(token)``; bucket
+    ``u % d`` gains sign ``+1`` if bit 16 of ``u`` is 0 else ``-1``
+    (the sign bit is taken well above the bucket bits so the two are
+    independent — low bits alone would make sign a function of bucket).
+    md5 keeps the engine-independence contract of
+    ``relational.deterministic_sample``; the per-distinct-token hash is
+    cached per batch, so the loop runs over the batch vocabulary, not
+    over occurrences.
+
+    Output is sparse long form (doc_id, bucket, feat) with zero-sum
+    cells dropped — at most ``d`` rows per document. Stateless single
+    ``map_batches`` pass, no shuffle; downstream consumers pivot or
+    gather per doc as needed."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+")
+
+    def featurize(t: pa.Table) -> pa.Table:
+        cache: dict[str, tuple[int, int]] = {}
+        ids: list[int] = []
+        buckets: list[int] = []
+        feats: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = [w for w in ws.split((txt or "").strip()) if w]
+            if not toks:
+                continue
+            acc: Counter = Counter()
+            for w, c in Counter(toks).items():
+                bs = cache.get(w)
+                if bs is None:
+                    u = int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:4], "big")
+                    bs = (u % d, 1 if (u >> 16) & 1 == 0 else -1)
+                    cache[w] = bs
+                acc[bs[0]] += bs[1] * c
+            for b in sorted(acc):
+                if acc[b]:
+                    ids.append(i)
+                    buckets.append(b)
+                    feats.append(acc[b])
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "feat": pa.array(feats, pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+              .map_batches(featurize, batch_format="pyarrow"))

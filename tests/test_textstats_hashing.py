@@ -295,3 +295,45 @@ def test_mirror_clusters_two_components(ray_session):
     # component {1,2,3} -> rep 1; {10,11} -> rep 10; 20 absent
     assert {i: reps[i] for i in sorted(reps)} == {
         1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_hashed_features_planted(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import hashed_features
+
+    def bs(w, d=8):
+        u = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "big")
+        return u % d, 1 if (u >> 16) & 1 == 0 else -1
+
+    # find two words with the same bucket and opposite signs so the
+    # zero-sum drop is actually exercised
+    words = [f"w{i}" for i in range(200)]
+    pair = None
+    for a in words:
+        for b in words:
+            ba, sa = bs(a)
+            bb, sb = bs(b)
+            if a != b and ba == bb and sa == -sb:
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair, "no cancelling pair in probe vocabulary"
+    a, b = pair
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"{a} {b}",        # cancels -> doc 1 emits nothing
+                 f"{a} {a} {b}",    # partial cancel -> one residual
+                 None],             # excluded
+    })
+    out = (hashed_features(rd.from_pandas(docs).repartition(2), d=8)
+           .to_pandas().sort_values(["doc_id", "bucket"])
+           .reset_index(drop=True))
+    assert out["doc_id"].tolist() == [2]
+    assert out["bucket"].tolist() == [bs(a)[0]]
+    assert out["feat"].tolist() == [bs(a)[1]]
