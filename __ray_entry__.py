@@ -2021,6 +2021,17 @@ def _q_gopher_topgram_stats(sf_dir: str):
     return gopher_topgram_stats(ds)
 
 
+def _q_label_balanced_sample(sf_dir: str):
+    """Class-balanced subset (stages/curate.py): every label of the
+    embeddings table downsampled to the global minority-class count —
+    bounded combiner count pass for the quota, then the shared
+    md5-deterministic per-key rank with combiner pruning."""
+    from credit_ocr_backend_ray.stages.curate import label_balanced_sample
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "label"])
+    return label_balanced_sample(ds)
+
+
 def _q_hashed_features(sf_dir: str):
     """Feature hashing (stages/text.py): Weinberger et al. 2009 hashing
     trick — each document's bag of tokens projected into 64 signed-count
@@ -3880,6 +3891,7 @@ _SHOWCASE_ORDER = [
     "gopher_topgram_stats",
     "events_watermarked",
     "hashed_features",
+    "label_balanced_sample",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -4018,6 +4030,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_stats": _q_doc_quality_stats,
         "gopher_topgram_stats": _q_gopher_topgram_stats,
         "hashed_features": _q_hashed_features,
+        "label_balanced_sample": _q_label_balanced_sample,
         "bm25_search": _q_bm25_search,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
@@ -5513,6 +5526,19 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN t2 ON b.doc_id = t2.doc_id
             LEFT JOIN t3 ON b.doc_id = t3.doc_id
+        """,
+        "label_balanced_sample": """
+            WITH c AS (
+                SELECT min(cnt) AS n FROM (
+                    SELECT count(*) AS cnt FROM embeddings GROUP BY label)
+            ), r AS (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY label
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS rk
+                FROM embeddings)
+            SELECT vec_id, label FROM r, c WHERE r.rk <= c.n
         """,
         "hashed_features": """
             WITH toks AS (

@@ -833,3 +833,27 @@ def gopher_topgram_stats(ds: "rd.Dataset", text_col: str = "text",
 
     return (ds.select_columns([id_col, text_col])
               .map_batches(stats, batch_format="pyarrow"))
+
+
+def label_balanced_sample(ds: "rd.Dataset", key_col: str = "label",
+                          id_col: str = "vec_id") -> "rd.Dataset":
+    """Class-balanced training subset: downsample EVERY class to the
+    global minority-class count — the standard rebalancing step before
+    training a classifier on skewed labels (the data-dependent-quota
+    sibling of ``quota_sample_per_key``, whose quota is a constant).
+
+    Pass 1 is a combiner label count (labels are a bounded enum, so the
+    partials stay tiny and the minimum is a driver scalar); pass 2
+    reuses ``quota_sample_per_key`` with that count — per-class rank by
+    ``(md5(str(id)), id)``, the engine-independent order every sampler
+    in this repo shares, combiner-pruned so at most ``n`` rows per
+    (class, batch) cross the one shuffle. Scale: nothing here grows
+    with rows beyond the pruned shuffle; the kept set is stable under
+    repartitioning."""
+    counts = grouped_agg(ds.select_columns([key_col]), [key_col], {},
+                         count_alias="n").to_pandas()
+    if counts.empty:
+        return ds.select_columns([id_col, key_col]).limit(0)
+    n = int(counts["n"].min())
+    return quota_sample_per_key(ds.select_columns([id_col, key_col]),
+                                key_col, id_col, n)

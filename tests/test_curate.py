@@ -301,3 +301,21 @@ def test_nb_source_score_vocab_cap_raises(ray_session):
     with pytest.raises(Exception, match="max_vocab_rows"):
         nb_source_score(rd.from_pandas(docs), "a",
                         max_vocab_rows=4).to_pandas()
+
+
+def test_label_balanced_sample_planted(ray_session):
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import label_balanced_sample
+
+    rows = pd.DataFrame({
+        "vec_id": range(100),
+        "label": [0] * 70 + [1] * 20 + [2] * 10,
+    })
+    out = (label_balanced_sample(rd.from_pandas(rows).repartition(4))
+           .to_pandas())
+    # every class cut to the minority count, deterministically
+    assert out["label"].value_counts().to_dict() == {0: 10, 1: 10, 2: 10}
+    out2 = (label_balanced_sample(rd.from_pandas(rows).repartition(7))
+            .to_pandas())
+    assert sorted(out["vec_id"]) == sorted(out2["vec_id"])
