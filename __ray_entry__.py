@@ -477,6 +477,19 @@ def _q_events_hopping_window(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_orders_global_rank(sf_dir: str):
+    """Global enumeration without a global sort (stages/relational.py):
+    every order's 1-based rank by (totalprice, orderkey) via ordered
+    value-range buckets + a driver exclusive prefix-SUM of bounded
+    bucket counts + one shard co-group — the contiguous-sample-id
+    assignment step of an index-addressable training corpus."""
+    from credit_ocr_backend_ray.stages.relational import global_row_number
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_totalprice"])
+    return global_row_number(ds, "o_totalprice", "o_orderkey")
+
+
 def _q_events_watermarked(sf_dir: str):
     """Streaming late-data gate (stages/relational.py): per-event high
     watermark (running max event time over md5-simulated arrival order)
@@ -3892,6 +3905,7 @@ _SHOWCASE_ORDER = [
     "events_watermarked",
     "hashed_features",
     "label_balanced_sample",
+    "orders_global_rank",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -3991,6 +4005,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order_broadcast": _q_asof_latest_order_broadcast,
         "events_hopping_window": _q_events_hopping_window,
         "events_watermarked": _q_events_watermarked,
+        "orders_global_rank": _q_orders_global_rank,
         "customers_without_events": _q_customers_without_events,
         "customer_running_total": _q_customer_running_total,
         "event_value_delta": _q_event_value_delta,
@@ -4631,6 +4646,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 CROSS JOIN (SELECT unnest(range(4)) AS k) k)
             GROUP BY 1, 2
+        """,
+        "orders_global_rank": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS row_num
+            FROM orders
         """,
         "events_watermarked": """
             WITH e AS (

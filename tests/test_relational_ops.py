@@ -1788,3 +1788,38 @@ def test_watermark_late_events_brute_force(ray_session):
     assert out["high_watermark_us"].tolist() == o["hw"].tolist()
     assert out["late"].tolist() == o["late"].tolist()
     assert 0 < out["late"].sum() < n  # the gate actually splits the set
+
+
+def test_global_row_number_matches_argsort(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import global_row_number
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        # heavy ties: only 12 distinct values, exercises in-bucket order
+        "v": rng.integers(0, 12, 300).astype(np.float64),
+    })
+    out = (global_row_number(rd.from_pandas(df).repartition(6),
+                             "v", "id", n_buckets=16)
+           .to_pandas().sort_values("row_num").reset_index(drop=True))
+    want = df.sort_values(["v", "id"]).reset_index(drop=True)
+    assert out["id"].tolist() == want["id"].tolist()
+    assert out["row_num"].tolist() == list(range(1, 301))
+
+
+def test_global_row_number_constant_column(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import global_row_number
+
+    df = pd.DataFrame({"id": np.arange(50, dtype=np.int64),
+                       "v": np.zeros(50)})
+    out = (global_row_number(rd.from_pandas(df).repartition(3), "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["row_num"].tolist() == list(range(1, 51))
