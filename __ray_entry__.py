@@ -2034,6 +2034,19 @@ def _q_gopher_topgram_stats(sf_dir: str):
     return gopher_topgram_stats(ds)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA projection (stages/similarity.py): one bounded
+    covariance-partial pass, driver eigh on the dim x dim matrix
+    (deterministic sign convention), broadcast top-4 components, then a
+    stateless streaming matmul projection. Rows-only oracle —
+    eigendecomposition is not SQL; pinned by unit tests against direct
+    numpy PCA."""
+    from credit_ocr_backend_ray.stages.similarity import embedding_pca
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_pca(ds, k=4)
+
+
 def _q_label_balanced_sample(sf_dir: str):
     """Class-balanced subset (stages/curate.py): every label of the
     embeddings table downsampled to the global minority-class count —
@@ -4046,6 +4059,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "gopher_topgram_stats": _q_gopher_topgram_stats,
         "hashed_features": _q_hashed_features,
         "label_balanced_sample": _q_label_balanced_sample,
+        "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,

@@ -470,17 +470,11 @@ def label_centroids(ds: "rd.Dataset", key_col: str = "label",
             .sort_values([key_col, "dim_idx"]).reset_index(drop=True))
 
 
-def embedding_covariance(ds: "rd.Dataset",
-                         vec_col: str = "embedding") -> pd.DataFrame:
-    """Population covariance matrix of the embedding dimensions — the
-    distributed linear-algebra partial every PCA/whitening/feature-drift
-    check starts from: each batch emits ONE (X^T X, column-sum, n)
-    partial (a dim x dim float64 block as raw bytes), the driver folds
-    the tiny partial set, and ``cov = XtX/n - mu mu^T``. Shuffle volume
-    is batches x dim^2 bytes, independent of row count; rows are never
-    shuffled. Output long form (dim_i, dim_j, cov) for i <= j, rounded
-    to 6 decimals (+0.0 normalizes IEEE -0.0) to match the SQL
-    covar_pop oracle."""
+def _cov_fold(ds: "rd.Dataset", vec_col: str):
+    """One (X^T X, column-sum, n) partial per batch, folded on the
+    driver: the bounded-size covariance pass shared by
+    ``embedding_covariance`` and ``embedding_pca``. Shuffle volume is
+    batches x dim^2 bytes — row count never crosses the wire."""
     def partial(t: pa.Table) -> pa.Table:
         x = _as_matrix(t[vec_col])
         return pa.table({
@@ -500,7 +494,61 @@ def embedding_covariance(ds: "rd.Dataset",
         n += int(bn)
     mu = s / n
     cov = xtx / n - np.outer(mu, mu)
-    iu = np.triu_indices(dim)
+    return cov, mu, n
+
+
+def embedding_pca(ds: "rd.Dataset", k: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "rd.Dataset":
+    """Distributed PCA projection — dimensionality reduction at corpus
+    scale: ONE covariance-partial pass (``_cov_fold``: a dim x dim
+    block per batch, never the rows), an eigendecomposition of the tiny
+    dim x dim matrix on the driver, and a stateless broadcast-matmul
+    pass projecting every vector onto the top-``k`` principal
+    components.
+
+    Deterministic sign convention: each component is flipped so its
+    largest-magnitude entry is positive (ties broken by lowest index),
+    which pins the otherwise-arbitrary eigenvector sign. Output:
+    (id, pc_0..pc_{k-1}) rounded to 6 decimals (+0.0 normalizes IEEE
+    -0.0); eigenvalue/variance shares are read from
+    ``embedding_covariance``. Scale: the driver touches dim^2 floats;
+    the projection streams."""
+    cov, mu, _n = _cov_fold(ds, vec_col)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]                  # dim x k
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    pref = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(pref)
+        x = _as_matrix(t[vec_col])
+        p = np.round((x - m) @ c, 6) + 0.0
+        cols = {id_col: t[id_col]}
+        for j in range(c.shape[1]):
+            cols[f"pc_{j}"] = pa.array(p[:, j], pa.float64())
+        return pa.table(cols)
+
+    return (ds.select_columns([id_col, vec_col])
+              .map_batches(project, batch_format="pyarrow"))
+
+
+def embedding_covariance(ds: "rd.Dataset",
+                         vec_col: str = "embedding") -> pd.DataFrame:
+    """Population covariance matrix of the embedding dimensions — the
+    distributed linear-algebra partial every PCA/whitening/feature-drift
+    check starts from: each batch emits ONE (X^T X, column-sum, n)
+    partial (a dim x dim float64 block as raw bytes), the driver folds
+    the tiny partial set, and ``cov = XtX/n - mu mu^T``. Shuffle volume
+    is batches x dim^2 bytes, independent of row count; rows are never
+    shuffled. Output long form (dim_i, dim_j, cov) for i <= j, rounded
+    to 6 decimals (+0.0 normalizes IEEE -0.0) to match the SQL
+    covar_pop oracle."""
+    cov, mu, n = _cov_fold(ds, vec_col)
+    iu = np.triu_indices(cov.shape[0])
     return pd.DataFrame({
         "dim_i": iu[0].astype(np.int64),
         "dim_j": iu[1].astype(np.int64),

@@ -787,3 +787,40 @@ def test_doc_importance_targets_score_higher(ray_session):
     assert a.min() > b.max()
     # same text -> identical integer score (order-independent sum)
     assert a.nunique() == 1 and b.nunique() == 1
+
+
+def test_embedding_pca_matches_direct(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.similarity import embedding_pca
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud so component order is unambiguous
+    base = rng.normal(size=(240, 6)) * np.array([9, 5, 2, 1, 0.5, 0.1])
+    rot = np.linalg.qr(rng.normal(size=(6, 6)))[0]
+    x = base @ rot + rng.normal(size=6)
+    df = pd.DataFrame({"vec_id": np.arange(240, dtype=np.int64),
+                       "embedding": [r.astype(np.float32) for r in x]})
+    k = 3
+    out = (embedding_pca(rd.from_pandas(df).repartition(5), k=k)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    # direct single-process PCA with the same sign convention
+    xf = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    mu = xf.mean(axis=0)
+    cov = (xf - mu).T @ (xf - mu) / len(xf)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    comps = comps * flip
+    want = (xf - mu) @ comps
+
+    got = out[[f"pc_{j}" for j in range(k)]].to_numpy()
+    assert np.allclose(got, want, atol=2e-5)
+    # projected variance tracks the top eigenvalues, in order
+    ev = np.sort(w)[::-1][:k]
+    assert np.allclose(got.var(axis=0), ev, rtol=1e-3)
+    assert ev[0] > ev[1] > ev[2]
