@@ -2058,6 +2058,18 @@ def _q_label_balanced_sample(sf_dir: str):
     return label_balanced_sample(ds)
 
 
+def _q_bigram_nll(sf_dir: str):
+    """Bigram-LM NLL (stages/text.py): the n=2 rung of the CCNet
+    perplexity ladder — Laplace-smoothed transitions over the corpus's
+    top-20 unigrams + UNK, min_count=2 prune as part of the scoring
+    contract, driver-quantized int64 micro-nats, exact integer sums.
+    Bit-exact SQL restatement including the prune."""
+    from credit_ocr_backend_ray.stages.text import bigram_nll
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bigram_nll(ds, top_vocab=20, min_count=2)
+
+
 def _q_hashed_features(sf_dir: str):
     """Feature hashing (stages/text.py): Weinberger et al. 2009 hashing
     trick — each document's bag of tokens projected into 64 signed-count
@@ -3919,6 +3931,7 @@ _SHOWCASE_ORDER = [
     "hashed_features",
     "label_balanced_sample",
     "orders_global_rank",
+    "bigram_nll",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -4058,6 +4071,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_stats": _q_doc_quality_stats,
         "gopher_topgram_stats": _q_gopher_topgram_stats,
         "hashed_features": _q_hashed_features,
+        "bigram_nll": _q_bigram_nll,
         "label_balanced_sample": _q_label_balanced_sample,
         "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
@@ -5561,6 +5575,69 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN t2 ON b.doc_id = t2.doc_id
             LEFT JOIN t3 ON b.doc_id = t3.doc_id
+        """,
+        "bigram_nll": """
+            -- the bigram-LM NLL restated: top-20 vocab (count DESC,
+            -- token ASC), OOV collapsed to chr(1), Laplace
+            -- P(w|v)=(c+1)/(cv+V1), min_count=2 prune IS the contract
+            -- (pruned bigrams score as unseen), micro-nat
+            -- floor(ln(p)*1e6) bit-equal to the kernel's math.log
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ), b2 AS (
+                SELECT doc_id, t FROM base
+                WHERE len(t) > 1 AND t <> ['']
+            ), cnt AS (
+                SELECT token, count(*) AS c FROM (
+                    SELECT unnest(t) AS token FROM base
+                    WHERE len(t) > 0 AND t <> [''])
+                GROUP BY token
+            ), kept AS (
+                SELECT token, c FROM cnt
+                ORDER BY c DESC, token ASC LIMIT 20
+            ), vv AS (SELECT count(*) + 1 AS v1 FROM kept
+            ), tr0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i])) AS rv,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i + 1])) AS rw
+                FROM b2
+            ), tr AS (
+                SELECT doc_id,
+                       CASE WHEN rv IN (SELECT token FROM kept)
+                            THEN rv ELSE chr(1) END AS v,
+                       CASE WHEN rw IN (SELECT token FROM kept)
+                            THEN rw ELSE chr(1) END AS w
+                FROM tr0
+            ), bgc AS (
+                SELECT v, w, count(*) AS c FROM tr GROUP BY v, w
+            ), ctx AS (
+                SELECT v, CAST(sum(c) AS BIGINT) AS cv
+                FROM bgc GROUP BY v
+            ), lp AS (
+                SELECT b.v, b.w,
+                       CAST(floor(ln(CAST(b.c + 1 AS DOUBLE)
+                                     / (ctx.cv + (SELECT v1 FROM vv)))
+                                  * 1e6) AS BIGINT) AS mlp
+                FROM bgc b JOIN ctx ON b.v = ctx.v
+                WHERE b.c >= 2
+            ), dflt AS (
+                SELECT v, CAST(floor(ln(1.0 / (cv + (SELECT v1 FROM vv)))
+                                    * 1e6) AS BIGINT) AS mlp
+                FROM ctx
+            )
+            SELECT tr.doc_id, count(*) AS n_transitions,
+                   CAST(-sum(COALESCE(lp.mlp, d.mlp)) AS BIGINT)
+                       AS nll_micro,
+                   CAST(-sum(COALESCE(lp.mlp, d.mlp)) AS DOUBLE)
+                       / (1e6 * count(*)) AS nll
+            FROM tr
+            LEFT JOIN lp ON tr.v = lp.v AND tr.w = lp.w
+            JOIN dflt d ON tr.v = d.v
+            GROUP BY tr.doc_id
         """,
         "label_balanced_sample": """
             WITH c AS (

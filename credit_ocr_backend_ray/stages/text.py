@@ -1076,3 +1076,162 @@ def hashed_features(ds, d: int = 64, id_col: str = "doc_id",
 
     return (ds.select_columns([id_col, text_col])
               .map_batches(featurize, batch_format="pyarrow"))
+
+
+def bigram_nll(ds, id_col: str = "doc_id", text_col: str = "text",
+               top_vocab: int = 65_536, min_count: int = 1,
+               max_model_rows: int = 5_000_000):
+    """Per-document bigram-LM negative log-likelihood — the next step of
+    the CCNet perplexity ladder after ``unigram_nll`` (Wenzek et al.
+    2019 score with a KenLM n-gram model; this is the n=2 rung with
+    Laplace smoothing, self-trained on the corpus like its sibling).
+
+    Model: vocabulary = the corpus's top-``top_vocab`` unigrams plus one
+    UNK symbol (``\\x01`` — whitespace tokenization can never produce
+    it); every transition probability is
+    ``P(w|v) = (c(v,w)+1) / (cv(v)+V1)`` with ``cv(v)`` the total
+    transitions out of ``v`` and ``V1`` the vocabulary size including
+    UNK. Observed bigrams with ``c < min_count`` are DEFINED as unseen
+    (the prune is part of the scoring contract, not an approximation),
+    which bounds the broadcast model on heavy-tailed corpora; if the
+    pruned table still exceeds ``max_model_rows`` the op raises
+    ValueError (learn_bpe's explicit-cap pattern) rather than melting
+    the driver. All log-probs are quantized ONCE on the driver to int64
+    micro-nats (floor(ln(p)*1e6)), so per-document scoring is an exact
+    integer sum — order-independent and bit-exactly SQL-oracled.
+
+    Stages: (1) unigram counts (combiner + cogroup) → top-V vocab via
+    ``global_topk``; (2) vocab broadcast, one transition-count pass
+    (consecutive in-document pairs, OOV collapsed to UNK — the count
+    table is keyed by vocab², already collapsed, never raw tokens);
+    (3) driver quantization of the ≤ max_model_rows bigram LUT plus a
+    V1-sized per-context unseen default; (4) broadcast both, vectorized
+    lookup per batch, ``np.add.reduceat`` per doc.
+
+    Output: (doc_id, n_transitions, nll_micro, nll); documents with
+    fewer than 2 tokens have no transitions and are excluded."""
+    import itertools
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import (
+        global_topk, grouped_agg)
+
+    ws = re.compile(r"\s+")
+    UNK = "\x01"
+    SEP = "\x02"
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(count_partial,
+                                        batch_format="pyarrow"),
+                         ["token"], {"__pn": "c"}, count_alias=None,
+                         combine="cogroup")
+    kept = global_topk(counts, ["c", "token"], top_vocab,
+                       ascending=[False, True]).to_pandas()
+    vocab = frozenset(kept["token"])
+    v1 = len(vocab) + 1
+    vocab_ref = ray.put(vocab)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        vset = ray.get(vocab_ref)
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            toks = ([tok for tok in ws.split(txt.strip()) if tok]
+                    if txt else [])
+            if len(toks) < 2:
+                continue
+            m = [tok if tok in vset else UNK for tok in toks]
+            c.update(zip(m, m[1:]))
+        return pa.table({
+            "bg": pa.array([v + SEP + w for v, w in c.keys()],
+                           pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    # the transition table is keyed by (vocab+UNK)^2 — collapsed before
+    # it ever crosses the wire; raw tokens never shuffle
+    bgc = grouped_agg(ds.map_batches(bigram_partial,
+                                     batch_format="pyarrow"),
+                      ["bg"], {"__pn": "c"}, count_alias=None,
+                      combine="cogroup").to_pandas()
+    # context totals from the FULL (unpruned) table — cv is V1-bounded
+    ctx = (bgc.assign(__v=bgc["bg"].str.split(SEP).str[0])
+              .groupby("__v")["c"].sum())
+    cv = {v: int(n) for v, n in ctx.items()}
+
+    pruned = bgc[bgc["c"] >= min_count]
+    if len(pruned) > max_model_rows:
+        raise ValueError(
+            f"bigram model has {len(pruned)} rows after the "
+            f"min_count={min_count} prune — above max_model_rows="
+            f"{max_model_rows}; raise min_count (or max_model_rows if "
+            f"the driver can hold the table)")
+    lut = {bg: math.floor(math.log((int(c) + 1)
+                                   / (cv[bg.split(SEP, 1)[0]] + v1))
+                          * 1e6)
+           for bg, c in zip(pruned["bg"], pruned["c"])}
+    dflt = {v: math.floor(math.log(1.0 / (n + v1)) * 1e6)
+            for v, n in cv.items()}
+    # a vocab word appearing ONLY doc-final never occurs as a context,
+    # so it has no cv entry; scoring such a context (possible in a doc
+    # the model-side pass never saw a transition for — not at
+    # self-train time, but keep it total) uses cv=0: ln(1/(0+v1))
+    zero_mlp = math.floor(math.log(1.0 / v1) * 1e6)
+    model_ref = ray.put((lut, dflt))
+
+    schema = pa.schema([(id_col, pa.int64()),
+                        ("n_transitions", pa.int64()),
+                        ("nll_micro", pa.int64()), ("nll", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        vset = ray.get(vocab_ref)
+        mdl, de = ray.get(model_ref)
+        doc_ids: list[int] = []
+        doc_bgs: list[list[str]] = []
+        doc_vs: list[list[str]] = []
+        for i, txt in zip(t[id_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            toks = ([tok for tok in ws.split(txt.strip()) if tok]
+                    if txt else [])
+            if len(toks) < 2:
+                continue
+            m = [tok if tok in vset else UNK for tok in toks]
+            doc_ids.append(i)
+            doc_bgs.append([v + SEP + w for v, w in zip(m, m[1:])])
+            doc_vs.append(m[:-1])
+        if not doc_ids:
+            return schema.empty_table()
+        lens = np.fromiter((len(x) for x in doc_bgs), dtype=np.int64,
+                           count=len(doc_bgs))
+        flat_bg = list(itertools.chain.from_iterable(doc_bgs))
+        flat_v = list(itertools.chain.from_iterable(doc_vs))
+        mlp = pd.Series(flat_bg, dtype=object).map(mdl)
+        miss = mlp.isna()
+        if miss.any():
+            fall = (pd.Series(np.asarray(flat_v, dtype=object)[miss])
+                      .map(de).fillna(zero_mlp))
+            mlp[miss] = fall.to_numpy()
+        mlp = mlp.to_numpy(dtype=np.int64)
+        bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nll_micro = -np.add.reduceat(mlp, bounds)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_transitions": pa.array(lens),
+            "nll_micro": pa.array(nll_micro),
+            "nll": pa.array(nll_micro.astype(np.float64) / (1e6 * lens)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

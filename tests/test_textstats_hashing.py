@@ -337,3 +337,40 @@ def test_hashed_features_planted(ray_session):
     assert out["doc_id"].tolist() == [2]
     assert out["bucket"].tolist() == [bs(a)[0]]
     assert out["feat"].tolist() == [bs(a)[1]]
+
+
+def test_bigram_nll_hand_computed(ray_session):
+    import math
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import bigram_nll
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # vocab (top 3 by count desc, token asc): a, b, c; x -> UNK
+        # d3 has a single token -> no transitions -> excluded
+        "text": ["a b a b c", "b a x", "z"],
+    })
+    out = (bigram_nll(rd.from_pandas(docs).repartition(2),
+                      top_vocab=3, min_count=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    v1 = 4  # |{a,b,c}| + UNK
+    m_ab = math.floor(math.log(3 / (3 + v1)) * 1e6)  # c(a,b)=2, cv(a)=3
+    m_ba = math.floor(math.log(3 / (3 + v1)) * 1e6)  # c(b,a)=2, cv(b)=3
+    d_a = math.floor(math.log(1 / (3 + v1)) * 1e6)   # unseen from a
+    d_b = math.floor(math.log(1 / (3 + v1)) * 1e6)   # unseen from b
+
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_transitions"].tolist() == [4, 2]
+    # d1: (a,b)+(b,a)+(a,b) kept, (b,c) pruned at min_count=2
+    assert out["nll_micro"].tolist() == [
+        -(m_ab + m_ba + m_ab + d_b), -(m_ba + d_a)]
+    assert out["nll"].tolist() == [
+        out["nll_micro"][0] / 4e6, out["nll_micro"][1] / 2e6]
+
+    with pytest.raises(ValueError, match="max_model_rows"):
+        bigram_nll(rd.from_pandas(docs), top_vocab=3, max_model_rows=1)
