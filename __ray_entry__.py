@@ -2034,6 +2034,18 @@ def _q_gopher_topgram_stats(sf_dir: str):
     return gopher_topgram_stats(ds)
 
 
+def _q_contrastive_pairs(sf_dir: str):
+    """Deterministic triplet mining (stages/similarity.py): for every
+    labeled vector, positive = next same-label row on the md5 ring
+    (wrap to label first), negative = next row of the cyclic-successor
+    label — two shard co-groups, per-label shift and one searchsorted,
+    no all-pairs. Single-member labels yield no anchor."""
+    from credit_ocr_backend_ray.stages.similarity import contrastive_pairs
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "label"])
+    return contrastive_pairs(ds)
+
+
 def _q_embedding_pca(sf_dir: str):
     """Distributed PCA projection (stages/similarity.py): one bounded
     covariance-partial pass, driver eigh on the dim x dim matrix
@@ -3932,6 +3944,7 @@ _SHOWCASE_ORDER = [
     "label_balanced_sample",
     "orders_global_rank",
     "bigram_nll",
+    "contrastive_pairs",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -4073,6 +4086,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": _q_hashed_features,
         "bigram_nll": _q_bigram_nll,
         "label_balanced_sample": _q_label_balanced_sample,
+        "contrastive_pairs": _q_contrastive_pairs,
         "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
         "doc_chunks": _q_doc_chunks,
@@ -5638,6 +5652,44 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lp ON tr.v = lp.v AND tr.w = lp.w
             JOIN dflt d ON tr.v = d.v
             GROUP BY tr.doc_id
+        """,
+        "contrastive_pairs": """
+            -- ring key rk = (first 32 md5 bits) * 2^32 + id; positive =
+            -- lead over the label partition in rk order (wrap = first),
+            -- negative = first row of the cyclic-successor label with
+            -- rk strictly greater (wrap = that label's ring first)
+            WITH r AS (
+                SELECT vec_id, label,
+                       CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT)
+                           * 4294967296 + vec_id AS rk
+                FROM embeddings
+            ), lbl AS (
+                SELECT label, row_number() OVER (ORDER BY label) AS i,
+                       count(*) OVER () AS n
+                FROM (SELECT DISTINCT label FROM r)
+            ), succ AS (
+                SELECT a.label, b.label AS nlabel
+                FROM lbl a JOIN lbl b ON b.i = a.i % a.n + 1
+            ), pos AS (
+                SELECT vec_id, label, rk,
+                       COALESCE(lead(vec_id) OVER w,
+                                first_value(vec_id) OVER w) AS pos_id
+                FROM r
+                WINDOW w AS (PARTITION BY label ORDER BY rk
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)
+            )
+            SELECT p.vec_id, p.label, p.pos_id,
+                   COALESCE(
+                       (SELECT c.vec_id FROM r c
+                        WHERE c.label = s.nlabel AND c.rk > p.rk
+                        ORDER BY c.rk LIMIT 1),
+                       (SELECT c.vec_id FROM r c
+                        WHERE c.label = s.nlabel
+                        ORDER BY c.rk LIMIT 1)) AS neg_id
+            FROM pos p JOIN succ s ON p.label = s.label
+            WHERE p.pos_id <> p.vec_id
         """,
         "label_balanced_sample": """
             WITH c AS (

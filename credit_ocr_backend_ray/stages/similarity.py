@@ -879,3 +879,118 @@ def semantic_dedup(ds: "rd.Dataset", threshold: float = 0.92,
         _groupwise, shard_cogroup)
     return shard_cogroup(ds.map_batches(assign, batch_format="pyarrow"),
                          "__cl", _groupwise(["__cl"], prune))
+
+
+def contrastive_pairs(ds: "rd.Dataset", id_col: str = "vec_id",
+                      label_col: str = "label") -> "rd.Dataset":
+    """Deterministic (anchor, positive, negative) triplet mining for
+    metric-learning / contrastive training: every labeled vector is an
+    anchor; its POSITIVE is the next same-label row on the md5 ring —
+    ring order is ``(h, id)`` with ``h`` the first 32 md5 bits of the
+    id (``deterministic_sample``'s engine-independence contract),
+    wrapping to the label's first row — and its NEGATIVE is the next
+    row of the anchor's cyclic-successor label on the same ring (a
+    fixed pseudo-random draw from a guaranteed-different class).
+    Anchors whose label has a single member have no positive and are
+    excluded.
+
+    Scale shape: TWO shard co-groups, no all-pairs and no global sort.
+    Positives co-group by the label itself (successor = per-label
+    ``shift(-1)`` over the ring sort, first-row wrap — fully
+    vectorized). Negatives co-group anchors (keyed by their successor
+    label) WITH the candidate rows of that label in one pass: inside
+    each label group, one ``searchsorted`` of anchor ring keys against
+    the sorted candidate keys gives every anchor's strict successor,
+    ``% n`` wraps. Ring keys pack ``(h << 32) | id`` into uint64, so
+    ids must fit 32 bits (asserted).
+
+    Output: (id, label, pos_id, neg_id), one row per anchor."""
+    import hashlib
+
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        assert (ids >= 0).all() and (ids < (1 << 32)).all(), \
+            "contrastive_pairs packs (h, id) into uint64: ids must fit " \
+            "32 bits"
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") for i in ids),
+            dtype=np.uint64, count=len(b))
+        key = (h << np.uint64(32)) | ids.astype(np.uint64)
+        return pd.DataFrame({id_col: ids, label_col: b[label_col],
+                             "__rk": key})
+
+    tagged = (ds.select_columns([id_col, label_col])
+                .map_batches(tag, batch_format="pandas"))
+
+    # bounded label inventory for the cyclic successor map
+    labels = sorted(tagged.groupby(label_col).count()
+                          .to_pandas()[label_col])
+    succ = {l: labels[(i + 1) % len(labels)]
+            for i, l in enumerate(labels)}
+    succ_ref = ray.put(succ)
+
+    def pos_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([label_col, "__rk"])
+        grp = g.groupby(label_col, sort=False, dropna=False)
+        nxt = grp[id_col].shift(-1)
+        first = grp[id_col].transform("first")
+        g["pos_id"] = nxt.fillna(first).astype(np.int64)
+        # single-member labels: successor wraps to self -> no positive
+        return g[g["pos_id"] != g[id_col]]
+
+    with_pos = shard_cogroup(tagged, label_col, pos_fold)
+
+    def emit_anchors(b: pd.DataFrame) -> pd.DataFrame:
+        sc = ray.get(succ_ref)
+        return pd.DataFrame({
+            "__g": b[label_col].map(sc),
+            "__role": np.zeros(len(b), dtype=np.int64),
+            id_col: b[id_col], label_col: b[label_col],
+            "__rk": b["__rk"],
+            "pos_id": b["pos_id"].astype(np.int64),
+        })
+
+    # candidates come from EVERY row (tagged, not with_pos): a
+    # single-member label is no anchor but still feeds the previous
+    # label's negatives
+    def emit_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__g": b[label_col],
+            "__role": np.ones(len(b), dtype=np.int64),
+            id_col: b[id_col], label_col: b[label_col],
+            "__rk": b["__rk"],
+            "pos_id": np.zeros(len(b), dtype=np.int64),
+        })
+
+    def neg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("__g", sort=False, dropna=False):
+            anch = grp[grp["__role"] == 0]
+            cand = grp[grp["__role"] == 1].sort_values("__rk")
+            if anch.empty or cand.empty:
+                continue
+            ck = cand["__rk"].to_numpy(np.uint64)
+            ci = cand[id_col].to_numpy(np.int64)
+            idx = np.searchsorted(ck, anch["__rk"].to_numpy(np.uint64),
+                                  side="right") % len(ck)
+            outs.append(pd.DataFrame({
+                id_col: anch[id_col].to_numpy(np.int64),
+                label_col: anch[label_col].to_numpy(),
+                "pos_id": anch["pos_id"].to_numpy(np.int64),
+                "neg_id": ci[idx],
+            }))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                label_col: pd.Series(dtype=g[label_col].dtype),
+                "pos_id": pd.Series(dtype=np.int64),
+                "neg_id": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    roled = (with_pos.map_batches(emit_anchors, batch_format="pandas")
+             .union(tagged.map_batches(emit_candidates,
+                                       batch_format="pandas")))
+    return shard_cogroup(roled, "__g", neg_fold)

@@ -824,3 +824,54 @@ def test_embedding_pca_matches_direct(ray_session):
     ev = np.sort(w)[::-1][:k]
     assert np.allclose(got.var(axis=0), ev, rtol=1e-3)
     assert ev[0] > ev[1] > ev[2]
+
+
+def test_contrastive_pairs_brute_force(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.similarity import contrastive_pairs
+
+    rng = np.random.default_rng(5)
+    n = 120
+    labels = np.concatenate([rng.integers(0, 3, n - 1), [7]])  # 7: single
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "label": labels.astype(np.int64)})
+    out = (contrastive_pairs(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    # brute force on the ring
+    h = df["vec_id"].map(lambda i: int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:4], "big"))
+    rk = (h.to_numpy(np.uint64) << np.uint64(32)) \
+        | df["vec_id"].to_numpy(np.uint64)
+    o = df.assign(rk=rk)
+    ls = sorted(o["label"].unique())
+    succ = {l: ls[(i + 1) % len(ls)] for i, l in enumerate(ls)}
+
+    want = []
+    for _, a in o.iterrows():
+        same = o[(o["label"] == a["label"])
+                 & (o["vec_id"] != a["vec_id"])]
+        if same.empty:
+            continue  # single-member label: no anchor
+        aft = same[same["rk"] > a["rk"]].sort_values("rk")
+        pos = int((aft if not aft.empty
+                   else same.sort_values("rk")).iloc[0]["vec_id"])
+        cand = o[o["label"] == succ[a["label"]]]
+        aft = cand[cand["rk"] > a["rk"]].sort_values("rk")
+        neg = int((aft if not aft.empty
+                   else cand.sort_values("rk")).iloc[0]["vec_id"])
+        want.append((int(a["vec_id"]), int(a["label"]), pos, neg))
+    w = pd.DataFrame(want, columns=["vec_id", "label", "pos_id",
+                                    "neg_id"])
+    assert out["vec_id"].tolist() == w["vec_id"].tolist()
+    assert out["pos_id"].tolist() == w["pos_id"].tolist()
+    assert out["neg_id"].tolist() == w["neg_id"].tolist()
+    # the single-member label appears as a negative pool, not an anchor
+    assert 7 not in set(out["label"])
+    prev = ls[ls.index(7) - 1]
+    assert (out.loc[out["label"] == prev, "neg_id"] == n - 1).all()
