@@ -2034,6 +2034,18 @@ def _q_gopher_topgram_stats(sf_dir: str):
     return gopher_topgram_stats(ds)
 
 
+def _q_knn_recall(sf_dir: str):
+    """ANN quality harness (stages/similarity.py): recall@10 of the IVF
+    index (nlist=16, nprobe=4) vs the exact brute-force top-10, per
+    query — bounded driver comparison over 2·k·|queries| candidate
+    rows. Rows-only (IVF centroids aren't SQL); the nprobe=nlist ==
+    recall-1.0 invariant is unit-tested."""
+    from credit_ocr_backend_ray.stages.similarity import knn_recall
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return knn_recall(ds, _knn_queries(sf_dir), k=10)
+
+
 def _q_contrastive_pairs(sf_dir: str):
     """Deterministic triplet mining (stages/similarity.py): for every
     labeled vector, positive = next same-label row on the md5 ring
@@ -4087,6 +4099,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bigram_nll": _q_bigram_nll,
         "label_balanced_sample": _q_label_balanced_sample,
         "contrastive_pairs": _q_contrastive_pairs,
+        "knn_recall": _q_knn_recall,
         "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
         "doc_chunks": _q_doc_chunks,

@@ -994,3 +994,34 @@ def contrastive_pairs(ds: "rd.Dataset", id_col: str = "vec_id",
              .union(tagged.map_batches(emit_candidates,
                                        batch_format="pandas")))
     return shard_cogroup(roled, "__g", neg_fold)
+
+
+def knn_recall(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """ANN quality harness: recall@k of the IVF index against the exact
+    brute-force top-k, per query — the evaluation loop every
+    ANN deployment runs before trusting an approximate index (and the
+    number that decides nprobe). Both sides reuse the existing ops
+    (``knn_bruteforce``: streaming partial top-k; ``knn_ivf``: probed
+    scan), so the harness inherits their scale shapes; the comparison
+    itself is a per-query set intersection over 2·k·|queries| rows on
+    the driver — bounded by construction.
+
+    recall_micro is exact-integer ``floor(|hit|/k * 1e6 + 0.5)`` via
+    ``(2*|hit|*1e6 + k) // (2*k)``. With ``nprobe == nlist`` the probe
+    covers every list, so recall is exactly 1.0 (the unit-test
+    invariant)."""
+    brute = knn_bruteforce(ds, queries, k=k, id_col=id_col,
+                           vec_col=vec_col)
+    approx = knn_ivf(ds, queries, k=k, id_col=id_col, vec_col=vec_col,
+                     nlist=nlist, nprobe=nprobe)
+    b = brute.groupby("query_id")[id_col].agg(set)
+    a = approx.groupby("query_id")[id_col].agg(set)
+    rows = []
+    for qi, bset in b.items():
+        hit = len(bset & a.get(qi, set()))
+        rows.append((int(qi), k, hit,
+                     (2 * hit * 1_000_000 + k) // (2 * k)))
+    return pd.DataFrame(rows, columns=["query_id", "k", "n_hit",
+                                       "recall_micro"])

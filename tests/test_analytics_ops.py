@@ -875,3 +875,31 @@ def test_contrastive_pairs_brute_force(ray_session):
     assert 7 not in set(out["label"])
     prev = ls[ls.index(7) - 1]
     assert (out.loc[out["label"] == prev, "neg_id"] == n - 1).all()
+
+
+def test_knn_recall_full_probe_is_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.similarity import knn_recall
+
+    rng = np.random.default_rng(13)
+    n, dim = 400, 16
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32)
+                      for r in rng.normal(size=(n, dim))],
+    })
+    q = rng.normal(size=(3, dim))
+    ds = rd.from_pandas(df).repartition(4)
+
+    # probing every list makes IVF exhaustive -> recall exactly 1
+    full = knn_recall(ds, q, k=10, nlist=8, nprobe=8)
+    assert full["recall_micro"].tolist() == [1_000_000] * 3
+    assert full["n_hit"].tolist() == [10] * 3
+
+    # a 1-of-8 probe must lose SOME neighbors on gaussian data
+    part = knn_recall(ds, q, k=10, nlist=8, nprobe=1)
+    assert (part["recall_micro"] < 1_000_000).any()
+    assert (part["n_hit"] <= 10).all() and (part["n_hit"] >= 0).all()
