@@ -2082,6 +2082,17 @@ def _q_label_balanced_sample(sf_dir: str):
     return label_balanced_sample(ds)
 
 
+def _q_zipf_slope(sf_dir: str):
+    """Corpus power-law diagnostic (stages/text.py): the Zipf exponent
+    over the top-100 tokens — micro-nat-quantized logs, exact-integer
+    least-squares numerator/denominator, one float64 division. One
+    combiner count pass + global_topk; the fit is 100 driver rows."""
+    from credit_ocr_backend_ray.stages.text import zipf_slope
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["text"])
+    return zipf_slope(ds, top_n=100)
+
+
 def _q_bigram_nll(sf_dir: str):
     """Bigram-LM NLL (stages/text.py): the n=2 rung of the CCNet
     perplexity ladder — Laplace-smoothed transitions over the corpus's
@@ -3957,6 +3968,7 @@ _SHOWCASE_ORDER = [
     "orders_global_rank",
     "bigram_nll",
     "contrastive_pairs",
+    "zipf_slope",
     "substring_dedup",
     "nb_quality_score",
     "winnow_fingerprints",
@@ -4097,6 +4109,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "gopher_topgram_stats": _q_gopher_topgram_stats,
         "hashed_features": _q_hashed_features,
         "bigram_nll": _q_bigram_nll,
+        "zipf_slope": _q_zipf_slope,
         "label_balanced_sample": _q_label_balanced_sample,
         "contrastive_pairs": _q_contrastive_pairs,
         "knn_recall": _q_knn_recall,
@@ -5602,6 +5615,43 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN t2 ON b.doc_id = t2.doc_id
             LEFT JOIN t3 ON b.doc_id = t3.doc_id
+        """,
+        "zipf_slope": """
+            -- micro-nat x=floor(ln(rank)*1e6), y=floor(ln(count)*1e6)
+            -- over the top-100 tokens (count DESC, token ASC); the
+            -- least-squares num/den are exact integers; slope is the
+            -- same double(num)/double(den) the kernel computes
+            WITH cnt AS (
+                SELECT token, count(*) AS c FROM (
+                    SELECT unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS token
+                    FROM documents
+                    WHERE text IS NOT NULL AND trim(text) <> '')
+                WHERE token <> ''
+                GROUP BY token
+            ), kept AS (
+                SELECT c, row_number() OVER (ORDER BY c DESC, token ASC)
+                           AS r
+                FROM cnt
+                QUALIFY r <= 100
+            ), q AS (
+                SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS x,
+                       CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS y
+                FROM kept
+            ), s AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM q
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                   CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(n * sxx - sx * sx AS BIGINT)
+                              AS DOUBLE) AS slope
+            FROM s
         """,
         "bigram_nll": """
             -- the bigram-LM NLL restated: top-20 vocab (count DESC,

@@ -1235,3 +1235,76 @@ def bigram_nll(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def zipf_slope(ds, text_col: str = "text", top_n: int = 100):
+    """Corpus power-law diagnostic: the Zipf exponent — the slope of
+    ln(frequency) against ln(rank) over the top-``top_n`` tokens — the
+    one-number sanity check that a scraped corpus still looks like
+    natural language (clean prose sits near -1; boilerplate floods and
+    template spam bend it).
+
+    Bit-exact contract (the micro-nat convention of ``unigram_nll``):
+    rank and count logs are each quantized to int64 micro-nats
+    (floor(ln(v)*1e6)) BEFORE the least-squares fold, so the slope's
+    numerator n·Σxy − Σx·Σy and denominator n·Σxx − (Σx)² are exact
+    integers (safe in int64 for top_n ≤ 1000, asserted) and the slope
+    itself is one float64 division of exact integers. Scale shape: one
+    combiner count pass + ``global_topk`` (never a full vocabulary
+    sort); the fit touches top_n rows on the driver.
+
+    Output: one row (n_terms, slope_num, slope_den, slope)."""
+    import math
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        global_topk, grouped_agg)
+
+    assert top_n <= 1000, "int64 exactness bound: top_n <= 1000"
+    from collections import Counter
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(count_partial,
+                                        batch_format="pyarrow"),
+                         ["token"], {"__pn": "c"}, count_alias=None,
+                         combine="cogroup")
+    kept = global_topk(counts, ["c", "token"], top_n,
+                       ascending=[False, True]).to_pandas()
+    n = len(kept)
+    if n < 2:
+        return rd.from_pandas(pd.DataFrame({
+            "n_terms": pd.Series([n], dtype="int64"),
+            "slope_num": pd.Series([0], dtype="int64"),
+            "slope_den": pd.Series([0], dtype="int64"),
+            "slope": pd.Series([float("nan")], dtype="float64")}))
+    x = [math.floor(math.log(r) * 1e6) for r in range(1, n + 1)]
+    y = [math.floor(math.log(int(c)) * 1e6) for c in kept["c"]]
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    # float64 BOTH operands before dividing (not python int/int, which
+    # is correctly-rounded on the exact integers): the SQL oracle can
+    # only cast-then-divide, and the operands exceed 2^53
+    return rd.from_pandas(pd.DataFrame({
+        "n_terms": pd.Series([n], dtype="int64"),
+        "slope_num": pd.Series([num], dtype="int64"),
+        "slope_den": pd.Series([den], dtype="int64"),
+        "slope": pd.Series([float(num) / float(den)],
+                           dtype="float64")}))

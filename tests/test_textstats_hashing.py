@@ -374,3 +374,31 @@ def test_bigram_nll_hand_computed(ray_session):
 
     with pytest.raises(ValueError, match="max_model_rows"):
         bigram_nll(rd.from_pandas(docs), top_vocab=3, max_model_rows=1)
+
+
+def test_zipf_slope_planted_power_law(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import zipf_slope
+
+    # plant an exact power law: token w_r repeated floor(1000/r) times
+    toks = []
+    for r in range(1, 21):
+        toks.extend([f"w{r:02d}"] * (1000 // r))
+    docs = pd.DataFrame({"text": [" ".join(toks)]})
+    out = zipf_slope(rd.from_pandas(docs).repartition(1),
+                     top_n=20).to_pandas()
+    assert out["n_terms"].tolist() == [20]
+    # direct restatement of the integer least squares
+    x = [math.floor(math.log(r) * 1e6) for r in range(1, 21)]
+    y = [math.floor(math.log(1000 // r) * 1e6) for r in range(1, 21)]
+    n, sx, sy = 20, sum(x), sum(y)
+    num = n * sum(a * b for a, b in zip(x, y)) - sx * sy
+    den = n * sum(a * a for a in x) - sx * sx
+    assert out["slope_num"].tolist() == [num]
+    assert out["slope_den"].tolist() == [den]
+    # a 1/r law fits slope ~ -1 (floor(1000/r) bends it only slightly)
+    assert abs(out["slope"][0] + 1.0) < 0.02
