@@ -2105,6 +2105,21 @@ def _q_bigram_nll(sf_dir: str):
     return bigram_nll(ds, top_vocab=20, min_count=2)
 
 
+def _q_trigram_nll(sf_dir: str):
+    """Trigram stupid-backoff NLL (stages/text.py): the n=3 rung of the
+    CCNet perplexity ladder, with the never-normalized backoff Brants
+    et al. (EMNLP 2007) designed for Google's distributed
+    2-trillion-token LM — the model is pure mergeable count tables.
+    Top-20 vocab + UNK, min_count=2 trigram prune as part of the
+    scoring contract, driver-quantized int64 micro-nats, exact integer
+    sums. Bit-exact SQL restatement including the prune and the
+    three-branch backoff cascade."""
+    from credit_ocr_backend_ray.stages.text import trigram_nll
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return trigram_nll(ds, top_vocab=20, min_count=2)
+
+
 def _q_hashed_features(sf_dir: str):
     """Feature hashing (stages/text.py): Weinberger et al. 2009 hashing
     trick — each document's bag of tokens projected into 64 signed-count
@@ -3966,6 +3981,7 @@ _SHOWCASE_ORDER = [
     "hashed_features",
     "label_balanced_sample",
     "orders_global_rank",
+    "trigram_nll",
     "bigram_nll",
     "contrastive_pairs",
     "zipf_slope",
@@ -4109,6 +4125,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "gopher_topgram_stats": _q_gopher_topgram_stats,
         "hashed_features": _q_hashed_features,
         "bigram_nll": _q_bigram_nll,
+        "trigram_nll": _q_trigram_nll,
         "zipf_slope": _q_zipf_slope,
         "label_balanced_sample": _q_label_balanced_sample,
         "contrastive_pairs": _q_contrastive_pairs,
@@ -5714,6 +5731,98 @@ def oracle_sql() -> dict[str, str]:
             FROM tr
             LEFT JOIN lp ON tr.v = lp.v AND tr.w = lp.w
             JOIN dflt d ON tr.v = d.v
+            GROUP BY tr.doc_id
+        """,
+        "trigram_nll": """
+            -- trigram stupid backoff (Brants et al. 2007) restated:
+            -- top-20 vocab (count DESC, token ASC), OOV collapsed to
+            -- chr(1); S(w|u,v) = c3/c2(u,v) when the trigram survives
+            -- the min_count=2 prune (the prune IS the contract and
+            -- applies to the bigram LUT too; denominators stay raw),
+            -- else 0.4*c2(v,w)/c1(v), else 0.4*0.4*c1(w)/N; micro-nat
+            -- floor(ln(S)*1e6) bit-equal to the kernel's math.log with
+            -- the same left-to-right float op order
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ), toks AS (
+                SELECT unnest(t) AS token FROM base
+                WHERE len(t) > 0 AND t <> ['']
+            ), nn AS (SELECT count(*) AS n FROM toks
+            ), cnt AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY token
+            ), kept AS (
+                SELECT token, c FROM cnt
+                ORDER BY c DESC, token ASC LIMIT 20
+            ), uni AS (
+                SELECT CASE WHEN token IN (SELECT token FROM kept)
+                            THEN token ELSE chr(1) END AS w,
+                       CAST(sum(c) AS BIGINT) AS c
+                FROM cnt GROUP BY 1
+            ), bg0 AS (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i])) AS rv,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i+1])) AS rw
+                FROM base WHERE len(t) > 1 AND t <> ['']
+            ), bgr AS (
+                SELECT CASE WHEN rv IN (SELECT token FROM kept)
+                            THEN rv ELSE chr(1) END AS v,
+                       CASE WHEN rw IN (SELECT token FROM kept)
+                            THEN rw ELSE chr(1) END AS w
+                FROM bg0
+            ), bgc AS (
+                SELECT v, w, count(*) AS c FROM bgr GROUP BY v, w
+            ), tg0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)-1),
+                              i -> t[i])) AS ru,
+                       unnest(list_transform(range(1, len(t)-1),
+                              i -> t[i+1])) AS rv,
+                       unnest(list_transform(range(1, len(t)-1),
+                              i -> t[i+2])) AS rw
+                FROM base WHERE len(t) > 2 AND t <> ['']
+            ), tr AS (
+                SELECT doc_id,
+                       CASE WHEN ru IN (SELECT token FROM kept)
+                            THEN ru ELSE chr(1) END AS u,
+                       CASE WHEN rv IN (SELECT token FROM kept)
+                            THEN rv ELSE chr(1) END AS v,
+                       CASE WHEN rw IN (SELECT token FROM kept)
+                            THEN rw ELSE chr(1) END AS w
+                FROM tg0
+            ), tgc AS (
+                SELECT u, v, w, count(*) AS c FROM tr GROUP BY u, v, w
+            ), lp AS (
+                SELECT tg.u, tg.v, tg.w,
+                       CAST(floor(ln(CAST(tg.c AS DOUBLE) / buv.c)
+                                  * 1e6) AS BIGINT) AS mlp
+                FROM tgc tg
+                JOIN bgc buv ON tg.u = buv.v AND tg.v = buv.w
+                WHERE tg.c >= 2
+            ), lp2 AS (
+                SELECT b.v, b.w,
+                       CAST(floor(ln(0.4 * CAST(b.c AS DOUBLE) / u1.c)
+                                  * 1e6) AS BIGINT) AS mlp
+                FROM bgc b JOIN uni u1 ON b.v = u1.w
+                WHERE b.c >= 2
+            ), lp1 AS (
+                SELECT w, CAST(floor(ln(0.4 * 0.4 * CAST(c AS DOUBLE)
+                                        / (SELECT n FROM nn)) * 1e6)
+                               AS BIGINT) AS mlp
+                FROM uni
+            )
+            SELECT tr.doc_id, count(*) AS n_transitions,
+                   CAST(-sum(COALESCE(lp.mlp, lp2.mlp, lp1.mlp))
+                        AS BIGINT) AS nll_micro,
+                   CAST(-sum(COALESCE(lp.mlp, lp2.mlp, lp1.mlp))
+                        AS DOUBLE) / (1e6 * count(*)) AS nll
+            FROM tr
+            LEFT JOIN lp ON tr.u = lp.u AND tr.v = lp.v
+                        AND tr.w = lp.w
+            LEFT JOIN lp2 ON tr.v = lp2.v AND tr.w = lp2.w
+            JOIN lp1 ON tr.w = lp1.w
             GROUP BY tr.doc_id
         """,
         "contrastive_pairs": """

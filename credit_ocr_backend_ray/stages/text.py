@@ -1237,6 +1237,192 @@ def bigram_nll(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def trigram_nll(ds, id_col: str = "doc_id", text_col: str = "text",
+                top_vocab: int = 65_536, min_count: int = 1,
+                max_model_rows: int = 5_000_000, alpha: float = 0.4):
+    """Per-document trigram stupid-backoff score — the n=3 rung of the
+    CCNet perplexity ladder, using the backoff designed FOR distributed
+    corpus-scale LMs (Brants et al., EMNLP 2007 "Large Language Models
+    in Machine Translation": Google's 2-trillion-token MapReduce LM;
+    the same count-don't-normalize trick this engine needs at 100 TB).
+    Unlike ``bigram_nll``'s Laplace smoothing, stupid backoff never
+    normalizes: S(w|u,v) = c(uvw)/c(uv) if the trigram survives the
+    ``min_count`` prune, else alpha*c(vw)/c(v), else
+    alpha^2*c(w)/N — so the model is nothing but count tables, which
+    merge associatively across any number of workers.
+
+    Exactness contract (shared with its siblings): vocabulary = the
+    corpus's top-``top_vocab`` unigrams (count DESC, token ASC) plus
+    UNK (``\\x01``); trigrams AND bigrams with ``c < min_count`` are
+    DEFINED as backed-off (Brants et al. prune every count table; the
+    prune is the contract, bounding the broadcast model — and without
+    it the unigram branch would be unreachable self-trained, since any
+    scored (v,w) is by definition an observed bigram). Denominators
+    always use the RAW context counts: c2(u,v) for surviving trigrams,
+    c1(v) for surviving bigrams. Every branch's log-score is quantized
+    ONCE on the driver to
+    int64 micro-nats (floor(ln(S)*1e6)), so per-document scoring is an
+    exact integer sum — bit-exactly SQL-oracled and order-independent.
+    If the retained trigram+bigram tables exceed ``max_model_rows`` the
+    op raises ValueError (learn_bpe's explicit-cap pattern).
+
+    Stages: (1) unigram counts (combiner + cogroup); a ``\\x03`` sentinel
+    row carries each batch's TOTAL token count through the same shuffle
+    (it always tops the count order, so ``global_topk(top_vocab+1)``
+    returns N plus the vocabulary in one pass — no second corpus scan);
+    (2) vocab broadcast, ONE collapsed-count pass emitting tagged
+    trigram AND bigram keys (the tables are keyed by (vocab+UNK)^n —
+    collapsed before they cross the wire, raw tokens never shuffle);
+    (3) driver micro-nat LUTs for all three branches; (4) broadcast,
+    vectorized cascade lookup per batch, ``np.add.reduceat`` per doc.
+
+    Output: (doc_id, n_transitions, nll_micro, nll); documents with
+    fewer than 3 tokens have no trigram transitions and are excluded."""
+    import itertools
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import (
+        global_topk, grouped_agg)
+
+    ws = re.compile(r"\s+")
+    UNK = "\x01"
+    SEP = "\x02"
+    TOTAL = "\x03"
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                c.update(tok for tok in ws.split(txt.strip()) if tok)
+        c[TOTAL] = sum(c.values())
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(count_partial,
+                                        batch_format="pyarrow"),
+                         ["token"], {"__pn": "c"}, count_alias=None,
+                         combine="cogroup")
+    # the sentinel's count is N >= every token count and \x03 sorts
+    # before any real token on ties, so it is always row #1 of the topk
+    kept = global_topk(counts, ["c", "token"], top_vocab + 1,
+                       ascending=[False, True]).to_pandas()
+    is_tot = kept["token"] == TOTAL
+    n_tok = int(kept.loc[is_tot, "c"].iloc[0])
+    kept = kept[~is_tot]
+    vocab = frozenset(kept["token"])
+    c1 = {tok: int(n) for tok, n in zip(kept["token"], kept["c"])}
+    unk_n = n_tok - sum(c1.values())
+    if unk_n > 0:
+        c1[UNK] = unk_n
+    vocab_ref = ray.put(vocab)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        vset = ray.get(vocab_ref)
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            toks = ([tok for tok in ws.split(txt.strip()) if tok]
+                    if txt else [])
+            if len(toks) < 2:
+                continue
+            m = [tok if tok in vset else UNK for tok in toks]
+            c.update("2" + SEP + v + SEP + w for v, w in zip(m, m[1:]))
+            c.update("3" + SEP + u + SEP + v + SEP + w
+                     for u, v, w in zip(m, m[1:], m[2:]))
+        return pa.table({
+            "gram": pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64()),
+        })
+
+    gc = grouped_agg(ds.map_batches(gram_partial,
+                                    batch_format="pyarrow"),
+                     ["gram"], {"__pn": "c"}, count_alias=None,
+                     combine="cogroup").to_pandas()
+    tg = gc[gc["gram"].str.startswith("3")]
+    bg = gc[gc["gram"].str.startswith("2")]
+    c2 = {g[2:]: int(n) for g, n in zip(bg["gram"], bg["c"])}
+    tg = tg[tg["c"] >= min_count]
+    if len(tg) + len(bg) > max_model_rows:
+        raise ValueError(
+            f"trigram model has {len(tg) + len(bg)} rows after the "
+            f"min_count={min_count} prune — above max_model_rows="
+            f"{max_model_rows}; raise min_count (or max_model_rows if "
+            f"the driver can hold the tables)")
+    # three micro-nat LUTs; floats follow the same left-to-right op
+    # order the SQL oracle states, so floor(ln(.)*1e6) is bit-equal
+    lut3 = {}
+    for g, c in zip(tg["gram"], tg["c"]):
+        key = g[2:]
+        uv = key.rsplit(SEP, 1)[0]
+        lut3[key] = math.floor(math.log(int(c) / c2[uv]) * 1e6)
+    lut2 = {vw: math.floor(math.log(alpha * n
+                                    / c1[vw.split(SEP, 1)[0]]) * 1e6)
+            for vw, n in c2.items() if n >= min_count}
+    lut1 = {w: math.floor(math.log(alpha * alpha * n / n_tok) * 1e6)
+            for w, n in c1.items()}
+    model_ref = ray.put((lut3, lut2, lut1))
+
+    schema = pa.schema([(id_col, pa.int64()),
+                        ("n_transitions", pa.int64()),
+                        ("nll_micro", pa.int64()), ("nll", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        vset = ray.get(vocab_ref)
+        m3, m2, m1 = ray.get(model_ref)
+        doc_ids: list[int] = []
+        doc_tgs: list[list[str]] = []
+        doc_vws: list[list[str]] = []
+        doc_wss: list[list[str]] = []
+        for i, txt in zip(t[id_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            toks = ([tok for tok in ws.split(txt.strip()) if tok]
+                    if txt else [])
+            if len(toks) < 3:
+                continue
+            m = [tok if tok in vset else UNK for tok in toks]
+            doc_ids.append(i)
+            doc_tgs.append([u + SEP + v + SEP + w
+                            for u, v, w in zip(m, m[1:], m[2:])])
+            doc_vws.append([v + SEP + w for v, w in zip(m[1:], m[2:])])
+            doc_wss.append(m[2:])
+        if not doc_ids:
+            return schema.empty_table()
+        lens = np.fromiter((len(x) for x in doc_tgs), dtype=np.int64,
+                           count=len(doc_tgs))
+        flat_tg = list(itertools.chain.from_iterable(doc_tgs))
+        mlp = pd.Series(flat_tg, dtype=object).map(m3)
+        miss = mlp.isna().to_numpy()
+        if miss.any():
+            flat_vw = np.asarray(
+                list(itertools.chain.from_iterable(doc_vws)),
+                dtype=object)[miss]
+            fall2 = pd.Series(flat_vw).map(m2)
+            m2miss = fall2.isna().to_numpy()
+            if m2miss.any():
+                flat_w = np.asarray(
+                    list(itertools.chain.from_iterable(doc_wss)),
+                    dtype=object)[miss][m2miss]
+                fall2[m2miss] = pd.Series(flat_w).map(m1).to_numpy()
+            mlp[miss] = fall2.to_numpy()
+        mlp = mlp.to_numpy(dtype=np.int64)
+        bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nll_micro = -np.add.reduceat(mlp, bounds)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_transitions": pa.array(lens),
+            "nll_micro": pa.array(nll_micro),
+            "nll": pa.array(nll_micro.astype(np.float64) / (1e6 * lens)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def zipf_slope(ds, text_col: str = "text", top_n: int = 100):
     """Corpus power-law diagnostic: the Zipf exponent — the slope of
     ln(frequency) against ln(rank) over the top-``top_n`` tokens — the

@@ -376,6 +376,43 @@ def test_bigram_nll_hand_computed(ray_session):
         bigram_nll(rd.from_pandas(docs), top_vocab=3, max_model_rows=1)
 
 
+def test_trigram_nll_hand_computed(ray_session):
+    import math
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import trigram_nll
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        # vocab (top 2): a (c=5), b (c=4); x -> UNK (c=1); N=10
+        # d3 has 2 tokens (feeds bigram counts, no trigram -> excluded)
+        "text": ["a b a b a", "a b x", "a b", None],
+    })
+    out = (trigram_nll(rd.from_pandas(docs).repartition(2),
+                       top_vocab=2, min_count=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # counts: c2(a,b)=4, c2(b,a)=2, c2(b,U)=1; c3(a,b,a)=2,
+    # c3(b,a,b)=1, c3(a,b,U)=1; c1: a=5, b=4, U=1; N=10
+    t_aba = math.floor(math.log(2 / 4) * 1e6)        # tri survives
+    m2_ab = math.floor(math.log(0.4 * 4 / 5) * 1e6)  # (b,a,b) -> bg(a,b)
+    # (a,b,U) -> bg(b,U) pruned at min_count=2 -> unigram branch on U
+    m1_u = math.floor(math.log(0.4 * 0.4 * 1 / 10) * 1e6)
+
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_transitions"].tolist() == [3, 1]
+    assert out["nll_micro"].tolist() == [
+        -(t_aba + m2_ab + t_aba), -m1_u]
+    assert out["nll"].tolist() == [
+        out["nll_micro"][0] / 3e6, out["nll_micro"][1] / 1e6]
+
+    with pytest.raises(ValueError, match="max_model_rows"):
+        trigram_nll(rd.from_pandas(docs), top_vocab=2, max_model_rows=1)
+
+
 def test_zipf_slope_planted_power_law(ray_session):
     import math
 
