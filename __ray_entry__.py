@@ -2082,6 +2082,19 @@ def _q_label_balanced_sample(sf_dir: str):
     return label_balanced_sample(ds)
 
 
+def _q_customer_k_anonymity(sf_dir: str):
+    """k-anonymity / l-diversity audit (stages/curate.py): one row per
+    (c_mktsegment, c_nationkey) quasi-identifier group with its size,
+    distinct-c_acctbal count and the k=10 / l=3 violation flags —
+    combiner-pruned partials, one shard co-group."""
+    from credit_ocr_backend_ray.stages.curate import k_anonymity
+
+    ds = _rp(_t(sf_dir, "customer"),
+             columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+    return k_anonymity(ds, ["c_mktsegment", "c_nationkey"], "c_acctbal",
+                       k=10, l=3)
+
+
 def _q_zipf_slope(sf_dir: str):
     """Corpus power-law diagnostic (stages/text.py): the Zipf exponent
     over the top-100 tokens — micro-nat-quantized logs, exact-integer
@@ -3982,6 +3995,7 @@ _SHOWCASE_ORDER = [
     "label_balanced_sample",
     "orders_global_rank",
     "trigram_nll",
+    "customer_k_anonymity",
     "bigram_nll",
     "contrastive_pairs",
     "zipf_slope",
@@ -4128,6 +4142,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "trigram_nll": _q_trigram_nll,
         "zipf_slope": _q_zipf_slope,
         "label_balanced_sample": _q_label_balanced_sample,
+        "customer_k_anonymity": _q_customer_k_anonymity,
         "contrastive_pairs": _q_contrastive_pairs,
         "knn_recall": _q_knn_recall,
         "embedding_pca": _q_embedding_pca,
@@ -5875,6 +5890,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM embeddings)
             SELECT vec_id, label FROM r, c WHERE r.rk <= c.n
+        """,
+        "customer_k_anonymity": """
+            -- one audit row per QI group; nunique excludes nulls on
+            -- the Ray side, count(DISTINCT) does here — same contract
+            SELECT c_mktsegment, c_nationkey,
+                   count(*) AS n,
+                   count(DISTINCT c_acctbal) AS n_sensitive,
+                   count(*) < 10 AS violates_k,
+                   count(DISTINCT c_acctbal) < 3 AS violates_l
+            FROM customer
+            GROUP BY c_mktsegment, c_nationkey
         """,
         "hashed_features": """
             WITH toks AS (

@@ -857,3 +857,51 @@ def label_balanced_sample(ds: "rd.Dataset", key_col: str = "label",
     n = int(counts["n"].min())
     return quota_sample_per_key(ds.select_columns([id_col, key_col]),
                                 key_col, id_col, n)
+
+
+def k_anonymity(ds: "rd.Dataset", qi_cols: list[str],
+                sensitive_col: str, k: int = 5, l: int = 2,
+                n_shards: int = 64) -> "rd.Dataset":
+    """k-anonymity / l-diversity release audit (Sweeney 2002;
+    Machanavajjhala et al. 2007) — the governance gate next to
+    ``redact_pii``: before a corpus/metadata table leaves the pipeline,
+    every quasi-identifier combination should blend among >= k rows
+    (re-identification risk) and carry >= l distinct sensitive values
+    (attribute-disclosure risk). The reference stores applicant PII
+    (`/root/reference/src/database/schema.sql` borrower fields) but has
+    no release audit; this is the §2.10a governance addition.
+
+    Emits ONE ROW PER QI GROUP with (n, n_sensitive, violates_k,
+    violates_l) — the full audit report, not just violations, so the
+    result is non-degenerate at every scale and the caller filters.
+
+    Shape: per-batch combiner pre-aggregation to distinct
+    (qi..., sensitive) partial counts — the only thing that crosses the
+    wire, bounded by the group structure rather than the row count —
+    then ONE shard co-group on the leading QI column finishes exact
+    per-group totals and distinct-sensitive counts (``nunique``
+    excludes nulls, matching SQL ``count(DISTINCT ...)``)."""
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    cols = list(qi_cols) + [sensitive_col]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(cols, dropna=False, as_index=False)
+              .size().rename(columns={"size": "__pn"}))
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # the same (qi, sensitive) combo may arrive from many batches;
+        # nunique over the partial rows is still the exact distinct
+        agg = (g.groupby(list(qi_cols), dropna=False, as_index=False)
+                .agg(n=("__pn", "sum"),
+                     n_sensitive=(sensitive_col, "nunique")))
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["n_sensitive"] = agg["n_sensitive"].astype(np.int64)
+        agg["violates_k"] = agg["n"] < k
+        agg["violates_l"] = agg["n_sensitive"] < l
+        return agg
+
+    parted = (ds.select_columns(cols)
+                .map_batches(partial, batch_format="pandas"))
+    return shard_cogroup(parted, qi_cols[0], fold, n_shards=n_shards)

@@ -319,3 +319,32 @@ def test_label_balanced_sample_planted(ray_session):
     out2 = (label_balanced_sample(rd.from_pandas(rows).repartition(7))
             .to_pandas())
     assert sorted(out["vec_id"]) == sorted(out2["vec_id"])
+
+
+def test_k_anonymity_hand_computed_with_nulls(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import k_anonymity
+
+    df = pd.DataFrame({
+        "seg": ["a", "a", "a", "b", None, None],
+        "nat": [1, 1, 2, 1, 9, 9],
+        "bal": [10.0, 20.0, 10.0, None, 5.0, 5.0],
+    })
+    out = (k_anonymity(rd.from_pandas(df).repartition(3),
+                       ["seg", "nat"], "bal", k=2, l=2)
+           .to_pandas()
+           .sort_values(["seg", "nat"], na_position="last")
+           .reset_index(drop=True))
+
+    # groups: (a,1) n=2 dist=2 | (a,2) n=1 dist=1 | (b,1) n=1 dist=0
+    # (null bal excluded, matching SQL count(DISTINCT)) |
+    # (None,9) n=2 dist=1 (null QI keys must survive the fold)
+    assert len(out) == 4
+    assert out["n"].tolist() == [2, 1, 1, 2]
+    assert out["n_sensitive"].tolist() == [2, 1, 0, 1]
+    assert out["violates_k"].tolist() == [False, True, True, False]
+    assert out["violates_l"].tolist() == [False, True, True, True]
+    assert out["seg"].isna().tolist() == [False, False, False, True]
