@@ -2095,6 +2095,26 @@ def _q_customer_k_anonymity(sf_dir: str):
                        k=10, l=3)
 
 
+def _q_lr_quality_fit(sf_dir: str):
+    """Distributed logistic-regression quality classifier
+    (stages/curate.py: lr_source_fit) — the GPT-3-recipe linear filter
+    over hashed features, trained by full-batch gradient descent with
+    broadcast weights + integer-quantized per-row gradient partials, so
+    the whole trajectory is bit-reproducible under any partitioning
+    (pinned by test). Target here: lang == 'en' (the synthetic corpus's
+    strongest linear signal; see tests for the separability ceiling).
+    Rows-only: iterative fits are not SQL-expressible — the pytest
+    asserts exact equality with a local numpy restatement."""
+    from credit_ocr_backend_ray.stages.curate import lr_source_fit
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "text", "lang"])
+    scored, _w, history = lr_source_fit(
+        ds, pos_source="en", source_col="lang", d=64, iters=30)
+    assert history[-1] < history[0], "training loss must decrease"
+    return scored
+
+
 def _q_zipf_slope(sf_dir: str):
     """Corpus power-law diagnostic (stages/text.py): the Zipf exponent
     over the top-100 tokens — micro-nat-quantized logs, exact-integer
@@ -4143,6 +4163,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": _q_zipf_slope,
         "label_balanced_sample": _q_label_balanced_sample,
         "customer_k_anonymity": _q_customer_k_anonymity,
+        "lr_quality_fit": _q_lr_quality_fit,
         "contrastive_pairs": _q_contrastive_pairs,
         "knn_recall": _q_knn_recall,
         "embedding_pca": _q_embedding_pca,

@@ -905,3 +905,129 @@ def k_anonymity(ds: "rd.Dataset", qi_cols: list[str],
     parted = (ds.select_columns(cols)
                 .map_batches(partial, batch_format="pandas"))
     return shard_cogroup(parted, qi_cols[0], fold, n_shards=n_shards)
+
+
+def lr_source_fit(ds: "rd.Dataset", pos_source: str = "src0",
+                  d: int = 64, iters: int = 20, lr: float = 2.0,
+                  momentum: float = 0.9, id_col: str = "doc_id",
+                  text_col: str = "text", source_col: str = "source"):
+    """Distributed logistic-regression quality classifier — the
+    trainable sibling of ``nb_source_score`` and the GPT-3-recipe shape
+    (Brown et al. 2020 Appendix A trains a linear classifier over
+    hashed features to score Common-Crawl quality; fastText/Vowpal
+    Wabbit are the same model): features are ``hashed_features``'s
+    signed md5 buckets (token-count-normalized, plus a bias), the label
+    is ``source == pos_source``, and the fit is full-batch gradient
+    descent where each iteration broadcasts the weights and every batch
+    returns ONE partial-gradient row (O(d·batches) driver traffic, the
+    ``kmeans_fit`` iterative pattern — no shuffle anywhere).
+
+    Bit-reproducibility across cluster sizes: float partial sums would
+    depend on block boundaries, so every per-ROW gradient component and
+    per-row loss is quantized to fixed point (scale 2**24; micro-nats
+    for the loss) BEFORE summation — integer addition is associative,
+    so the summed gradient, hence the whole training trajectory, is
+    IDENTICAL under any partitioning (pinned by a repartition test).
+    |component| <= 2 after normalization, so int64 is exact up to
+    ~2.7e11 rows per batch dimension — far past any single fit.
+
+    The feature pass runs ONCE and is materialized — (d+2)·8 bytes per
+    doc, the small product of the heavy tokenize pass; at extreme scale
+    write it to parquet once (the knn_ivf_persisted contract) and point
+    the iterations at that.
+
+    Returns (scored dataset (doc_id, label, p_pos), weights, loss
+    history in mean micro-nats)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+")
+    S = float(1 << 24)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        cache: dict[str, tuple[int, int]] = {}
+        ids: list[int] = []
+        xs: list[bytes] = []
+        ys: list[int] = []
+        for i, txt, src in zip(t[id_col].to_pylist(),
+                               t[text_col].to_pylist(),
+                               t[source_col].to_pylist()):
+            toks = [w for w in ws.split((txt or "").strip()) if w]
+            x = np.zeros(d + 1, dtype=np.float64)
+            x[d] = 1.0
+            if toks:
+                for w, c in Counter(toks).items():
+                    bs = cache.get(w)
+                    if bs is None:
+                        u = int.from_bytes(
+                            hashlib.md5(w.encode()).digest()[:4], "big")
+                        bs = (u % d, 1 if (u >> 16) & 1 == 0 else -1)
+                        cache[w] = bs
+                    x[bs[0]] += bs[1] * c
+                x[:d] /= len(toks)
+            ids.append(i)
+            xs.append(x.tobytes())
+            ys.append(1 if src == pos_source else 0)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "__x": pa.array(xs, pa.binary()),
+            "__y": pa.array(ys, pa.int8()),
+        })
+
+    feats = (ds.select_columns([id_col, text_col, source_col])
+               .map_batches(featurize, batch_format="pyarrow")
+               .materialize())
+    n_docs = feats.count()
+
+    w = np.zeros(d + 1, dtype=np.float64)
+    vel = np.zeros(d + 1, dtype=np.float64)
+    history: list[float] = []
+    for _ in range(iters):
+        wref = ray.put(w)
+
+        def grad_partial(t: pa.Table) -> pa.Table:
+            wv = ray.get(wref)
+            X = np.frombuffer(b"".join(t["__x"].to_pylist()),
+                              dtype=np.float64).reshape(-1, d + 1)
+            y = t["__y"].to_numpy().astype(np.float64)
+            z = X @ wv
+            p = 1.0 / (1.0 + np.exp(-z))
+            # per-ROW fixed-point quantization -> partition-independent
+            gq = np.floor((p - y)[:, None] * X * S + 0.5).astype(np.int64)
+            loss = -(y * np.log(np.maximum(p, 1e-300))
+                     + (1 - y) * np.log(np.maximum(1 - p, 1e-300)))
+            lq = np.floor(loss * 1e6 + 0.5).astype(np.int64)
+            return pa.table({
+                "g": pa.array([gq.sum(axis=0).tobytes()], pa.binary()),
+                "l": pa.array([int(lq.sum())], pa.int64()),
+            })
+
+        parts = feats.map_batches(grad_partial,
+                                  batch_format="pyarrow").to_pandas()
+        g = np.zeros(d + 1, dtype=np.int64)
+        for b in parts["g"]:
+            g += np.frombuffer(b, dtype=np.int64)
+        history.append(float(parts["l"].sum()) / max(n_docs, 1))
+        # heavy-ball momentum runs entirely on the driver over the
+        # partition-independent integer gradient, so the trajectory
+        # stays bit-reproducible under any blocking
+        vel = momentum * vel + (g.astype(np.float64) / S) / max(n_docs, 1)
+        w = w - lr * vel
+
+    wref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wv = ray.get(wref)
+        X = np.frombuffer(b"".join(t["__x"].to_pylist()),
+                          dtype=np.float64).reshape(-1, d + 1)
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        return pa.table({
+            id_col: t[id_col],
+            "label": pa.array(t["__y"].to_numpy().astype(np.int64),
+                              pa.int64()),
+            "p_pos": pa.array(p, pa.float64()),
+        })
+
+    scored = feats.map_batches(score, batch_format="pyarrow")
+    return scored, w, history

@@ -348,3 +348,70 @@ def test_k_anonymity_hand_computed_with_nulls(ray_session):
     assert out["violates_k"].tolist() == [False, True, True, False]
     assert out["violates_l"].tolist() == [False, True, True, True]
     assert out["seg"].isna().tolist() == [False, False, False, True]
+
+
+def test_lr_source_fit_restatement_and_partition_invariance(ray_session):
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import lr_source_fit
+
+    rng = np.random.RandomState(7)
+    good = ["good fine clean solid"] * 30
+    bad = ["bad junk spam noise"] * 30
+    texts = [f"{g} {w}" for g, w in zip(good, rng.choice(
+        ["alpha", "beta", "gamma"], 30))] + [
+        f"{b} {w}" for b, w in zip(bad, rng.choice(
+            ["alpha", "beta", "gamma"], 30))]
+    df = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": texts,
+        "source": ["keep"] * 30 + ["drop"] * 30,
+    })
+
+    d, iters, lr, mu = 32, 25, 2.0, 0.9
+    s1, w1, h1 = lr_source_fit(rd.from_pandas(df).repartition(2),
+                               pos_source="keep", d=d, iters=iters,
+                               lr=lr, momentum=mu)
+    s2, w2, h2 = lr_source_fit(rd.from_pandas(df).repartition(9),
+                               pos_source="keep", d=d, iters=iters,
+                               lr=lr, momentum=mu)
+    # the integer-quantized gradient makes the whole trajectory
+    # partition-independent — bitwise, not approximately
+    assert np.array_equal(w1, w2)
+    assert h1 == h2
+    assert h1[-1] < h1[0]
+
+    # exact local numpy restatement of the same quantized algorithm
+    ws = re.compile(r"\s+")
+    S = float(1 << 24)
+    X = np.zeros((60, d + 1))
+    y = np.zeros(60)
+    for r, (txt, src) in enumerate(zip(df.text, df.source)):
+        toks = [w for w in ws.split(txt.strip()) if w]
+        X[r, d] = 1.0
+        for w, c in Counter(toks).items():
+            u = int.from_bytes(hashlib.md5(w.encode()).digest()[:4],
+                               "big")
+            X[r, u % d] += (1 if (u >> 16) & 1 == 0 else -1) * c
+        X[r, :d] /= len(toks)
+        y[r] = 1.0 if src == "keep" else 0.0
+    wv = np.zeros(d + 1)
+    vel = np.zeros(d + 1)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        gq = np.floor((p - y)[:, None] * X * S + 0.5).astype(
+            np.int64).sum(axis=0)
+        vel = mu * vel + (gq.astype(np.float64) / S) / 60
+        wv = wv - lr * vel
+    assert np.array_equal(w1, wv)
+
+    # a separable problem must actually separate
+    out = s1.to_pandas()
+    assert (out[out.label == 1].p_pos > 0.5).all()
+    assert (out[out.label == 0].p_pos < 0.5).all()
