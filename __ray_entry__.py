@@ -2095,6 +2095,43 @@ def _q_customer_k_anonymity(sf_dir: str):
                        k=10, l=3)
 
 
+def _q_doc_budget_select(sf_dir: str):
+    """Token-budget corpus selection (stages/curate.py: budget_select):
+    the best 10,000-token subset of the corpus by lexical-diversity
+    score (distinct/total tokens in integer micro-units), exactly
+    SUM(cost) OVER (ORDER BY score DESC, id) <= budget — computed with
+    the range-bucket prefix-SUM scheme, no global sort, sub-boundary
+    buckets dropped before the shuffle."""
+    from credit_ocr_backend_ray.stages.curate import budget_select
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def prep(t):
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+")
+        ids, sc, nt = [], [], []
+        for i, txt in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = [w for w in ws.split((txt or "").strip()) if w]
+            if not toks:
+                continue
+            ids.append(i)
+            sc.append(len(set(toks)) * 1_000_000 // len(toks))
+            nt.append(len(toks))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score_micro": pa.array(sc, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+        })
+
+    scored = ds.map_batches(prep, batch_format="pyarrow")
+    return budget_select(scored, "score_micro", "n_tokens", "doc_id",
+                         budget=10_000)
+
+
 def _q_lr_quality_fit(sf_dir: str):
     """Distributed logistic-regression quality classifier
     (stages/curate.py: lr_source_fit) — the GPT-3-recipe linear filter
@@ -4016,6 +4053,7 @@ _SHOWCASE_ORDER = [
     "orders_global_rank",
     "trigram_nll",
     "customer_k_anonymity",
+    "doc_budget_select",
     "bigram_nll",
     "contrastive_pairs",
     "zipf_slope",
@@ -4164,6 +4202,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "label_balanced_sample": _q_label_balanced_sample,
         "customer_k_anonymity": _q_customer_k_anonymity,
         "lr_quality_fit": _q_lr_quality_fit,
+        "doc_budget_select": _q_doc_budget_select,
         "contrastive_pairs": _q_contrastive_pairs,
         "knn_recall": _q_knn_recall,
         "embedding_pca": _q_embedding_pca,
@@ -5911,6 +5950,33 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM embeddings)
             SELECT vec_id, label FROM r, c WHERE r.rk <= c.n
+        """,
+        "doc_budget_select": """
+            -- greedy budget selection restated as a window cumsum:
+            -- score = distinct/total tokens in exact integer micro
+            -- units (BIGINT // BIGINT both sides)
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), d AS (
+                SELECT doc_id,
+                       len(list_distinct(toks)) * 1000000
+                           // len(toks) AS score_micro,
+                       CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM s WHERE len(toks) > 0
+            )
+            SELECT doc_id, score_micro, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_cost
+            FROM (
+                SELECT *, SUM(n_tokens) OVER (
+                           ORDER BY score_micro DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+                FROM d)
+            WHERE cum <= 10000
         """,
         "customer_k_anonymity": """
             -- one audit row per QI group; nunique excludes nulls on

@@ -1031,3 +1031,89 @@ def lr_source_fit(ds: "rd.Dataset", pos_source: str = "src0",
 
     scored = feats.map_batches(score, batch_format="pyarrow")
     return scored, w, history
+
+
+def budget_select(ds: "rd.Dataset", score_col: str, cost_col: str,
+                  id_col: str, budget: int, n_buckets: int = 1024,
+                  n_shards: int = 64) -> "rd.Dataset":
+    """Token-budget-constrained corpus selection: keep the
+    highest-``score_col`` rows whose cumulative ``cost_col`` (in
+    ``score DESC, id ASC`` order) stays within ``budget`` — the
+    data-selection step of every budgeted pretraining run ("take the
+    best N-token subset"), exactly equal to
+    ``SUM(cost) OVER (ORDER BY score DESC, id) <= budget``.
+
+    No global sort: the ``global_row_number`` range-bucket prefix
+    scheme with cost-SUM in place of count — one min/max aggregate
+    fixes the score domain, fixed-width DESC-ordered value buckets get
+    a bounded per-bucket cost-sum pass, the driver computes the
+    O(n_buckets) exclusive prefix, and ONLY buckets whose prefix has
+    not yet exhausted the budget are shuffled into the per-bucket exact
+    sort+cumsum fold (everything below the boundary bucket is dropped
+    before the shuffle, so the co-group moves ~budget worth of rows,
+    not the corpus). Equal scores share a bucket, so tie-breaks stay
+    local. Skew note: one bucket must fit a worker (grouped_quantile's
+    holistic limit).
+
+    Output: (id, score, cost, cum_cost) for the selected rows."""
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    lo = ds.min(score_col)
+    hi = ds.max(score_col)
+    span = float(hi) - float(lo)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[score_col].to_numpy()
+        if span > 0:
+            bkt = np.minimum(
+                ((float(hi) - v.astype(np.float64)) / span
+                 * n_buckets).astype(np.int64), n_buckets - 1)
+        else:
+            bkt = np.zeros(len(b), dtype=np.int64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             score_col: v,
+                             cost_col: b[cost_col].to_numpy(),
+                             "__bkt": bkt})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def bucket_costs(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("__bkt", dropna=False)[cost_col].sum()
+        return pd.DataFrame({"__bkt": g.index.to_numpy(),
+                             "__pc": g.to_numpy(np.int64)})
+
+    parts = (tagged.map_batches(bucket_costs, batch_format="pandas")
+                   .to_pandas())
+    costs = np.zeros(n_buckets, dtype=np.int64)
+    np.add.at(costs, parts["__bkt"].to_numpy(np.int64),
+              parts["__pc"].to_numpy(np.int64))
+    excl = np.zeros(n_buckets, dtype=np.int64)
+    np.cumsum(costs[:-1], out=excl[1:])
+    excl_ref = ray.put(excl)
+
+    def live(b: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(excl_ref)
+        return b[pre[b["__bkt"].to_numpy(np.int64)] <= budget]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(excl_ref)
+        outs = []
+        for bkt, grp in g.groupby("__bkt", sort=False):
+            grp = grp.sort_values([score_col, id_col],
+                                  ascending=[False, True])
+            cum = pre[int(bkt)] + np.cumsum(
+                grp[cost_col].to_numpy(np.int64))
+            keep = cum <= budget
+            sel = grp[keep].drop(columns="__bkt").copy()
+            sel["cum_cost"] = cum[keep]
+            outs.append(sel)
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=g[id_col].dtype),
+                score_col: pd.Series(dtype=g[score_col].dtype),
+                cost_col: pd.Series(dtype=g[cost_col].dtype),
+                "cum_cost": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    pruned = tagged.map_batches(live, batch_format="pandas")
+    return shard_cogroup(pruned, "__bkt", fold, n_shards=n_shards)

@@ -415,3 +415,36 @@ def test_lr_source_fit_restatement_and_partition_invariance(ray_session):
     out = s1.to_pandas()
     assert (out[out.label == 1].p_pos > 0.5).all()
     assert (out[out.label == 0].p_pos < 0.5).all()
+
+
+def test_budget_select_prefix_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import budget_select
+
+    df = pd.DataFrame({
+        "id": np.arange(1, 6, dtype=np.int64),
+        "score": np.array([9, 9, 5, 5, 1], dtype=np.int64),
+        "cost": np.array([4, 3, 5, 2, 10], dtype=np.int64),
+    })
+    out = (budget_select(rd.from_pandas(df).repartition(3),
+                         "score", "cost", "id", budget=9)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # strict window-cumsum prefix (NOT knapsack): order by (score desc,
+    # id) is 1(cum 4), 2(cum 7), 3(cum 12 > 9 stops the prefix)
+    assert out["id"].tolist() == [1, 2]
+    assert out["cum_cost"].tolist() == [4, 7]
+
+    # span == 0 (all scores equal): pure id-order prefix
+    df2 = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "score": np.full(4, 7, dtype=np.int64),
+        "cost": np.full(4, 3, dtype=np.int64),
+    })
+    out2 = (budget_select(rd.from_pandas(df2).repartition(2),
+                          "score", "cost", "id", budget=7)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out2["id"].tolist() == [0, 1]
+    assert out2["cum_cost"].tolist() == [3, 6]
