@@ -1797,6 +1797,18 @@ def _planted_docs(sf_dir: str):
                                     ignore_index=True)).repartition(32)
 
 
+def _q_doc_jaccard_join(sf_dir: str):
+    """Exact prefix-filtered Jaccard self-join (stages/dedup.py:
+    prefix_jaccard_join) — AllPairs/PPJoin blocking over character
+    8-gram sets at J >= 0.8, guaranteed-complete (no false negatives),
+    integer-micro scores so the SQL unnest-join oracle is hash-exact."""
+    from credit_ocr_backend_ray.stages.dedup import prefix_jaccard_join
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return prefix_jaccard_join(ds, text_col="text", id_col="doc_id",
+                               threshold_micro=800_000, gram_n=8)
+
+
 def _q_dedup_ngram_jaccard(sf_dir: str):
     from credit_ocr_backend_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -2210,6 +2222,34 @@ def _q_bm25_search(sf_dir: str):
 
     ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return bm25_topk(ds, ["spark", "window", "agg"], k=20)
+
+
+def _q_rrf_search(sf_dir: str):
+    """Reciprocal-rank fusion (stages/curate.py: rrf_fuse) of the two
+    retrievers this engine already ships: BM25 top-50 for the fixed
+    3-term query (lexical) + embedding-cosine top-50 against the
+    vec_id=0 query vector (dense, round(cos,5)-then-rank like
+    knn_cosine), fused as Σ 10^6 // (60 + rank) — hash-exact vs the
+    SQL full-outer-join restatement."""
+    from credit_ocr_backend_ray.stages.curate import bm25_topk, rrf_fuse
+    from credit_ocr_backend_ray.stages.similarity import knn_bruteforce
+
+    docs = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bm = (bm25_topk(docs, ["spark", "window", "agg"], k=50)
+          .to_pandas()
+          .sort_values(["score_micro", "doc_id"], ascending=[False, True])
+          .reset_index(drop=True))
+    bm["rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    emb = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    co = knn_bruteforce(emb, _knn_queries(sf_dir)[:1], k=50)
+    co = (co.sort_values(["cos", "vec_id"], ascending=[False, True])
+            .reset_index(drop=True)
+            .rename(columns={"vec_id": "doc_id"}))
+    co["rank"] = np.arange(1, len(co) + 1, dtype=np.int64)
+
+    return rrf_fuse([bm[["doc_id", "rank"]], co[["doc_id", "rank"]]],
+                    k_const=60, topn=20)
 
 
 def _q_doc_chunks(sf_dir: str):
@@ -4046,6 +4086,8 @@ _SHOWCASE_ORDER = [
     # bit-exact micro-nat oracle) are NEW this session; unigram_nll is
     # NEW this round (CCNet perplexity filter) and the next three were
     # upgraded rows-only -> SQL this round.
+    "doc_jaccard_join",
+    "rrf_search",
     "gopher_topgram_stats",
     "events_watermarked",
     "hashed_features",
@@ -4207,6 +4249,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall": _q_knn_recall,
         "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
+        "rrf_search": _q_rrf_search,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "packed_sequences": _q_packed_sequences,
@@ -4334,6 +4377,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "doc_jaccard_join": _q_doc_jaccard_join,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "knn_ivf": _q_knn_ivf,
@@ -5284,6 +5328,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_grams
             FROM g JOIN tot ON g.gram = tot.gram GROUP BY g.doc_id
         """,
+        "doc_jaccard_join": """
+            -- exact Jaccard-threshold self-join over char 8-gram sets;
+            -- integer micro units, floor-division both engines, and the
+            -- keep predicate i*1e6 >= t*u == (i*1e6 // u) >= t exactly
+            WITH g AS (
+                SELECT doc_id AS id,
+                       unnest([substr(text, CAST(i AS INT), 8)
+                               for i in range(1, len(text) - 6)]) AS gram
+                FROM documents
+                WHERE text IS NOT NULL AND len(text) >= 8
+            ), toks AS (
+                SELECT DISTINCT id, gram FROM g
+            ), sz AS (
+                SELECT id, count(*) AS n FROM toks GROUP BY id
+            ), inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM toks a JOIN toks b
+                  ON a.gram = b.gram AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   i * 1000000 // (sa.n + sb.n - i) AS jaccard_micro
+            FROM inter
+            JOIN sz sa ON sa.id = id_a
+            JOIN sz sb ON sb.id = id_b
+            WHERE i * 1000000 >= 800000 * (sa.n + sb.n - i)
+        """,
         "substring_dedup": """
             -- Lee et al. span-cut restated: duplicated 5-gram starts,
             -- interval union via DISTINCT covered positions, text
@@ -6041,6 +6112,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "rrf_search": """
+            -- RRF of BM25 top-50 and cosine top-50: integer micro
+            -- contributions 10^6 // (60 + rank), full outer join, top-20
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                           AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), stats AS (
+                SELECT count(*) AS n, sum(len(t)) AS s FROM toks
+            ), expl AS (
+                SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+                FROM expl WHERE tok IN ('spark', 'window', 'agg')
+                GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM expl WHERE tok IN ('spark', 'window', 'agg')
+                GROUP BY tok
+            ), scored AS (
+                SELECT tf.doc_id,
+                       CAST(floor(
+                           ln((stats.n - df.df + 0.5) / (df.df + 0.5)
+                              + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                  / (CAST(stats.s AS DOUBLE) / stats.n)))
+                           * 1000000 + 0.5) AS BIGINT) AS sm
+                FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+            ), bmr AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY sum(sm) DESC, doc_id ASC) AS rk
+                FROM scored GROUP BY doc_id
+                QUALIFY rk <= 50
+            ), q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), cor AS (
+                SELECT e.vec_id AS doc_id,
+                       row_number() OVER (
+                           ORDER BY round(list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5)
+                               DESC, e.vec_id ASC) AS rk
+                FROM embeddings e CROSS JOIN q
+                QUALIFY rk <= 50
+            )
+            SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                   coalesce(1000000 // (60 + b.rk), 0)
+                       + coalesce(1000000 // (60 + c.rk), 0) AS rrf_micro
+            FROM bmr b FULL OUTER JOIN cor c ON b.doc_id = c.doc_id
+            ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20
         """,
         "doc_chunks": """
             WITH toks AS (

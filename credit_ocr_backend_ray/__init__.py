@@ -53,12 +53,16 @@ def _install_compat_patches() -> None:
     whose internals moved just logs and skips."""
     from credit_ocr_backend_ray.compat import (
         install_hash_shuffle_schema_patch, install_pandas_size_bytes_patch,
+        install_schema_dedupe_warning_patch,
         install_worker_patch_propagation)
 
     install_hash_shuffle_schema_patch()
     # empty pandas blocks with string columns otherwise log a bogus
     # "Error calculating size for column ..." per block (see compat.py)
     install_pandas_size_bytes_patch()
+    # zero-row bundles otherwise log a bogus schema-divergence warning
+    # per empty block ("new schema: ." — see compat.py)
+    install_schema_dedupe_warning_patch()
     # ship the installs to every Ray Data worker via the DataContext —
     # closures pickled by value never import this package (see compat.py)
     install_worker_patch_propagation()

@@ -148,6 +148,51 @@ def install_pandas_size_bytes_patch() -> bool:
     return True
 
 
+_DEDUPE_PATCH_FLAG = "_cob_ray_empty_schema_dedupe_patch"
+
+
+def install_schema_dedupe_warning_patch() -> bool:
+    """Silence the spurious per-bundle "Operator produced a RefBundle with
+    a different schema ... new schema: ." warning (ray 2.49.2,
+    ``streaming_executor_state.dedupe_schemas_with_validation``): the check
+    already returns silently when the OLD schema is empty, but warns when
+    the NEW bundle's schema is empty — and a zero-row bundle carries no
+    schema information at all, so that case is not a divergence either
+    (upstream asymmetry). Map/groupby pipelines whose UDFs legitimately
+    emit empty blocks (e.g. a blocking stage whose shard produced no
+    pairs) otherwise spray one warning per empty bundle, race-dependent.
+    Fixes the origin: pass ``warn=False`` for empty new schemas only —
+    real divergences (two NON-empty mismatched schemas) still warn.
+    Driver-side only (the streaming executor runs on the driver)."""
+    try:
+        from ray.data._internal.execution import streaming_executor_state
+        from ray.data.block import _is_empty_schema
+    except ImportError:
+        logger.warning("streaming_executor_state internals not found; "
+                       "empty-schema dedupe warning patch skipped")
+        return False
+    if getattr(streaming_executor_state, _DEDUPE_PATCH_FLAG, False):
+        return True
+    orig = getattr(streaming_executor_state,
+                   "dedupe_schemas_with_validation", None)
+    if orig is None:
+        logger.warning("dedupe_schemas_with_validation moved; "
+                       "empty-schema dedupe warning patch skipped")
+        return False
+
+    def dedupe_schemas_with_validation(old_schema, bundle, warn=True,
+                                       enforce_schemas=False):
+        if warn and _is_empty_schema(bundle.schema):
+            warn = False
+        return orig(old_schema, bundle, warn=warn,
+                    enforce_schemas=enforce_schemas)
+
+    streaming_executor_state.dedupe_schemas_with_validation = (
+        dedupe_schemas_with_validation)
+    setattr(streaming_executor_state, _DEDUPE_PATCH_FLAG, True)
+    return True
+
+
 def install_hash_shuffle_schema_patch() -> bool:
     """Idempotently install the re-arm patch. Returns True when the patch
     is active (installed now or previously), False when this Ray version's

@@ -310,6 +310,31 @@ def bm25_topk(ds: "rd.Dataset", query_terms: list[str], k: int = 20,
                        ascending=[False, True])
 
 
+def rrf_fuse(rank_lists: list[pd.DataFrame], id_col: str = "doc_id",
+             k_const: int = 60, topn: int = 20) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of top-K
+    ranked lists: ``rrf(d) = Σ_r 1/(k + rank_r(d))`` over the rankers
+    that returned d, in exact integer micro-units
+    (``10^6 // (k + rank)``, floor-division both engines) so the fused
+    scores and the topn cut are engine-independent — the standard way to
+    combine a lexical (BM25) and a dense (embedding-cosine) retriever
+    without score calibration.
+
+    Each input frame is an already-TRUNCATED top-K list carrying
+    ``(id_col, rank)`` with rank starting at 1; the fusion itself is
+    O(Σ K) driver-side — bounded by the rankers' K, never corpus-sized
+    (the distributed work lives in the rankers: ``bm25_topk``'s bounded
+    partial pass + ``knn_bruteforce``'s per-batch top-k combine)."""
+    scores: dict[int, int] = {}
+    for rl in rank_lists:
+        for i, r in zip(rl[id_col].tolist(), rl["rank"].tolist()):
+            scores[i] = scores.get(i, 0) + 1_000_000 // (k_const + int(r))
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    return pd.DataFrame({
+        id_col: pd.Series([i for i, _ in top], dtype="int64"),
+        "rrf_micro": pd.Series([s for _, s in top], dtype="int64")})
+
+
 def temperature_mix_sample(ds: "rd.Dataset", group_col: str = "source",
                            id_col: str = "doc_id",
                            target_frac_denom: int = 2) -> "rd.Dataset":

@@ -316,7 +316,10 @@ _BROADCAST_VERIFY_BYTES = 256 << 20   # small-side cutoff for the verify
 def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
                           id_col: str, text_col: str, threshold: float,
                           n: int = 3,
-                          num_partitions: int | None = None) -> pd.DataFrame:
+                          num_partitions: int | None = None,
+                          scorer=None, score_col: str = "jaccard",
+                          score_type: "pa.DataType | None" = None,
+                          min_keep=None) -> pd.DataFrame:
     """Resolve candidate pairs back to their texts BY ID, verify exact
     Jaccard, and return the verified pairs driver-side. The corpus is never
     collected or broadcast: one streaming semi-join pass prunes the texts
@@ -325,7 +328,19 @@ def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
     ``_BROADCAST_VERIFY_BYTES``; its size is bounded by the candidate set,
     not the corpus) or hash-shuffle-joined back to the pairs in two
     distributed joins. Also sums the ``n_trunc`` truncation counters and
-    logs a warning when any LSH bucket overflowed ``_BUCKET_CAP``."""
+    logs a warning when any LSH bucket overflowed ``_BUCKET_CAP``.
+
+    ``scorer(text_a, text_b) -> value`` overrides the default word-shingle
+    ``jaccard(a, b, n)`` (with ``score_col``/``score_type`` naming the
+    output column and ``min_keep`` the keep bound) so exact-verify joins
+    with integer-micro scores (``prefix_jaccard_join``) reuse this
+    scaffolding unchanged."""
+    if scorer is None:
+        scorer = lambda a, b: jaccard(a or "", b or "", n)  # noqa: E731
+    if score_type is None:
+        score_type = pa.float64()
+    if min_keep is None:
+        min_keep = threshold
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, min(cpus, 32))
@@ -352,7 +367,8 @@ def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
     if n_cands == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+                             score_col: pd.Series(
+                                 dtype=score_type.to_pandas_dtype())})
     cands = cands.repartition(max(1, min(num_partitions,
                                          -(-n_cands // 64))))
 
@@ -381,14 +397,14 @@ def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
 
     def verify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        ja = [jaccard(a or "", b or "", n)
+        ja = [scorer(a, b)
               for a, b in zip(batch["__text_a"].to_pylist(),
                               batch["__text_b"].to_pylist())]
         drop = [c for c in ("__text_a", "__text_b", "__rid_a", "__rid_b")
                 if c in batch.column_names]
         out = batch.drop_columns(drop)
-        out = out.append_column("jaccard", pa.array(ja, pa.float64()))
-        keep = pc.greater_equal(out["jaccard"], threshold)
+        out = out.append_column(score_col, pa.array(ja, score_type))
+        keep = pc.greater_equal(out[score_col], min_keep)
         out = out.append_column("__verified", keep)
         # truncation counters must survive even when their carrier pair
         # fails verification — keep those rows flagged unverified so the
@@ -444,7 +460,8 @@ def _verify_pairs_by_join(cands: "rd.Dataset", ds: "rd.Dataset",
     if out.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+                             score_col: pd.Series(
+                                 dtype=score_type.to_pandas_dtype())})
     total_trunc = int(out["n_trunc"].sum())
     if total_trunc:
         logger.warning(
@@ -537,6 +554,166 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", text_col: str = "text",
                   .map_groups(dedup_pairs, batch_format="pandas"))
 
     return _verify_pairs_by_join(cands, ds, id_col, text_col, threshold, n)
+
+
+# ------------------------------------------------- exact prefix-filter join
+
+def _char_gram_set(text: str | None, gram_n: int) -> set[str]:
+    t = text or ""
+    if len(t) < gram_n:
+        return set()
+    return {t[i:i + gram_n] for i in range(len(t) - gram_n + 1)}
+
+
+def prefix_jaccard_join(ds: "rd.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold_micro: int = 800_000, gram_n: int = 8,
+                        common_k: int = 65536,
+                        bucket_cap: int = 4 * _BUCKET_CAP) -> pd.DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join over character
+    ``gram_n``-gram sets, via prefix filtering (Bayardo et al.'s AllPairs /
+    PPJoin blocking) — the guaranteed-complete sibling of the sketch-blocked
+    approximate joins (``ngram_jaccard_pairs`` bottom-k, MinHash bands):
+    *no false negatives by construction*, every J >= t pair is emitted.
+
+    Prefix theorem: sort both gram sets by ONE global total order; if
+    J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A's first
+    ``|A| - ceil(t·|A|) + 1`` grams and B's prefix must share an element.
+    Correctness needs only a CONSISTENT order — so the order used here is
+    (common-gram rank, stable 64-bit hash): a bounded ``common_k``-entry
+    frequent-gram table (combiner-pruned per-batch top lists; approximate,
+    which affects only *selectivity*, never completeness) pushes frequent
+    grams to the BACK of the order so prefixes hold each document's rarest
+    grams and posting lists stay short. No global rank table, no global
+    sort — the 100 TB path broadcasts one bounded dict.
+
+    Shape: postings are (prefix-gram key, id, set-size) only — never text;
+    in-bucket pairing applies the classic LENGTH filter
+    (t·|A| <= |B| <= |A|/t) before emitting; candidate pairs are deduped
+    by one coarse shuffle and exact-verified by the shared
+    join-back-by-id scaffolding with an integer-micro scorer
+    (``jaccard_micro = |A∩B|·10^6 // |A∪B|``, floor-division both engines,
+    so ``score >= threshold_micro`` is exactly the SQL predicate
+    ``i·10^6 >= t_micro·u``). Unlike the approximate family, hot buckets
+    are NOT truncated — truncation would break completeness — a posting
+    list over ``bucket_cap`` raises with remediation guidance instead."""
+    from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+
+    # bounded frequent-gram table: per-batch LOCAL top-(2·common_k) gram
+    # counts (combiner prune — approximate heavy hitters; misranking only
+    # costs posting-list length), summed driver-side, top common_k kept
+    def gram_count_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t[text_col].to_pylist():
+            for g in _char_gram_set(txt, gram_n):
+                counts[g] = counts.get(g, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:2 * common_k]
+        return pa.table({
+            "gram": pa.array([g for g, _ in top], pa.string()),
+            "n": pa.array([c for _, c in top], pa.int64())})
+
+    parts = (ds.map_batches(gram_count_partial, batch_format="pyarrow")
+               .to_pandas())
+    folded = (parts.groupby("gram", sort=False)["n"].sum()
+                   .sort_values(ascending=False, kind="stable"))
+    common = folded.index.to_numpy()[:common_k]
+    # common grams sort AFTER all rare grams (top bit set) and the
+    # MOST frequent gram gets the LARGEST key, so prefixes always hold
+    # each document's rarest grams and posting lists stay short
+    common_rank = {g: (1 << 63) + (common_k - i) for i, g in
+                   enumerate(common)}
+    rank_ref = ray.put(common_rank)
+
+    def postings(t: pa.Table) -> pa.Table:
+        ranks = ray.get(rank_ref)
+        out_key: list[int] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            grams = sorted(_char_gram_set(txt, gram_n))
+            m = len(grams)
+            if m == 0:
+                continue
+            keys = hash_strings_u64(grams) & np.uint64((1 << 63) - 1)
+            for j, g in enumerate(grams):
+                r = ranks.get(g)
+                if r is not None:
+                    keys[j] = r
+            keys = np.sort(keys)
+            # prefix length p = m - ceil(t*m) + 1, exact integer ceil
+            p = m - (threshold_micro * m + 999_999) // 1_000_000 + 1
+            for k in keys[:p]:
+                out_key.append(int(k))
+                out_id.append(i)
+                out_n.append(m)
+        key_arr = np.array(out_key, dtype=np.uint64)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "__n": pa.array(out_n, pa.int64()),
+            "band_key": pa.array(key_arr, pa.uint64()),
+            "shard": pa.array((key_arr % _BAND_SHARDS).astype(np.int32)),
+        })
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def sized_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for key, bucket in g.groupby("band_key", sort=False):
+            rows = sorted(set(zip(bucket[id_col].tolist(),
+                                  bucket["__n"].tolist())))
+            if len(rows) > bucket_cap:
+                # completeness is this op's contract: never truncate —
+                # fail loudly (interval_self_join's cap-error pattern)
+                raise ValueError(
+                    f"prefix_jaccard_join: posting list for gram key "
+                    f"{key} holds {len(rows)} ids (> bucket_cap="
+                    f"{bucket_cap}). Raise bucket_cap, raise common_k "
+                    f"(a frequent gram escaped the rank table), or "
+                    f"raise threshold_micro to shrink prefixes.")
+            for x in range(len(rows)):
+                ia, na = rows[x]
+                for y in range(x + 1, len(rows)):
+                    ib, nb = rows[y]
+                    lo, hi = (na, nb) if na <= nb else (nb, na)
+                    # length filter: J >= t impossible unless t*hi <= lo
+                    if threshold_micro * hi > 1_000_000 * lo:
+                        continue
+                    a_out.append(ia)
+                    b_out.append(ib)
+        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                             "id_b": pd.Series(b_out, dtype="int64"),
+                             "n_trunc": pd.Series(
+                                 np.zeros(len(a_out), dtype=np.int64))})
+
+    pairs = posts.groupby("shard").map_groups(sized_pairs,
+                                              batch_format="pandas")
+
+    def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b["pair_shard"] = ((b["id_a"] * 31 + b["id_b"]) % 256).astype("int32")
+        return b
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["id_a", "id_b"], as_index=False, sort=False)
+                 .agg(n_trunc=("n_trunc", "max")))
+
+    cands = (pairs.map_batches(add_pair_shard, batch_format="pandas")
+                  .groupby("pair_shard")
+                  .map_groups(dedup_pairs, batch_format="pandas"))
+
+    def micro_scorer(a: str | None, b: str | None) -> int:
+        sa = _char_gram_set(a, gram_n)
+        sb = _char_gram_set(b, gram_n)
+        u = len(sa | sb)
+        if u == 0:
+            return 0
+        return len(sa & sb) * 1_000_000 // u
+
+    return _verify_pairs_by_join(
+        cands, ds, id_col, text_col, threshold=0.0,
+        scorer=micro_scorer, score_col="jaccard_micro",
+        score_type=pa.int64(), min_keep=threshold_micro)
 
 
 # ---------------------------------------------------------------- simhash

@@ -448,3 +448,23 @@ def test_budget_select_prefix_semantics(ray_session):
             .to_pandas().sort_values("id").reset_index(drop=True))
     assert out2["id"].tolist() == [0, 1]
     assert out2["cum_cost"].tolist() == [3, 6]
+
+
+def test_rrf_fuse_exact_micro_and_bounds():
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.curate import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [3, 4], "rank": [1, 2]})
+    out = rrf_fuse([a, b], k_const=60, topn=3)
+    # exact integer micro contributions: floor(1e6/(60+rank))
+    c = {r: 1_000_000 // (60 + r) for r in range(1, 4)}
+    want = {3: c[3] + c[1], 1: c[1], 2: c[2], 4: c[2]}
+    got = dict(zip(out["doc_id"], out["rrf_micro"]))
+    assert got[3] == want[3]
+    # doc 3 fused from both rankers ranks first; topn=3 cuts the tail,
+    # ties (1 vs nothing) broken by doc_id ascending
+    assert out["doc_id"].tolist()[0] == 3
+    assert len(out) == 3
+    assert out["rrf_micro"].is_monotonic_decreasing

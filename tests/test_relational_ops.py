@@ -1823,3 +1823,115 @@ def test_global_row_number_constant_column(ray_session):
     out = (global_row_number(rd.from_pandas(df).repartition(3), "v", "id")
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert out["row_num"].tolist() == list(range(1, 51))
+
+
+def test_prefix_jaccard_join_complete_vs_bruteforce(ray_session):
+    from credit_ocr_backend_ray.stages.dedup import (
+        _char_gram_set, prefix_jaccard_join)
+
+    # deterministic corpus with planted near-dups AND heavy shared
+    # vocabulary (every doc shares the same stem, so frequent grams
+    # exercise the common-rank table ordering)
+    rng = np.random.default_rng(11)
+    stem = "the quick brown fox jumps over the lazy dog again and again "
+    docs = []
+    for i in range(40):
+        tail = "".join(chr(97 + c) for c in rng.integers(0, 26, size=30))
+        docs.append((i, stem + tail))
+    docs.append((100, docs[0][1] + "x"))          # near-dup of 0
+    docs.append((101, docs[1][1][:-2]))           # near-dup of 1
+    docs.append((102, None))                      # null text
+    docs.append((103, "short"))                   # < gram_n chars
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    tau = 700_000
+    out = prefix_jaccard_join(_ds(df).repartition(4), threshold_micro=tau,
+                              gram_n=8, common_k=16)
+    got = {(a, b): m for a, b, m in
+           zip(out["id_a"], out["id_b"], out["jaccard_micro"])}
+
+    # brute-force ground truth: EVERY pair, exact integer micro score
+    sets = {i: _char_gram_set(t, 8) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            u = len(sets[a] | sets[b])
+            if u == 0:
+                continue
+            m = len(sets[a] & sets[b]) * 1_000_000 // u
+            if m >= tau:
+                want[(a, b)] = m
+    assert got == want           # complete (no false negatives) AND exact
+    assert (0, 100) in got and (1, 101) in got
+
+
+def test_prefix_jaccard_join_bucket_cap_raises(ray_session):
+    from credit_ocr_backend_ray.stages.dedup import prefix_jaccard_join
+
+    # every doc identical -> one posting list holds all ids -> with a
+    # tiny cap the op must FAIL LOUDLY, never silently truncate
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                       "text": ["abcdefghij klmnopqrst"] * 30})
+    with pytest.raises(Exception, match="bucket_cap"):
+        prefix_jaccard_join(_ds(df), threshold_micro=900_000, gram_n=8,
+                            bucket_cap=8)
+
+
+def test_empty_schema_dedupe_warning_suppressed(ray_session):
+    """Regression for the "new schema: ." log spam: ray 2.49.2's
+    dedupe_schemas_with_validation returns silently when the OLD schema
+    is empty but warns when the NEW bundle's schema is empty — a
+    zero-row bundle carries no schema information, so that is not a
+    divergence either. compat.install_schema_dedupe_warning_patch
+    (installed at package import) passes warn=False for that case only;
+    real divergences (two non-empty mismatched schemas) still warn."""
+    import logging
+
+    import pyarrow as pa
+    from ray.data._internal.execution import streaming_executor_state as ses
+
+    from credit_ocr_backend_ray.compat import (
+        install_schema_dedupe_warning_patch)
+
+    assert install_schema_dedupe_warning_patch()  # idempotent: already on
+
+    class _Bundle:
+        # duck-typed RefBundle: the divergence path rebuilds the bundle
+        # from these attributes after (maybe) warning
+        def __init__(self, schema):
+            self.schema = schema
+            self.blocks = ()
+            self.owns_blocks = False
+            self.output_split_idx = None
+            self._cached_object_meta = None
+            self._cached_preferred_locations = None
+
+    records: list[logging.LogRecord] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    lg = ses.logger
+    h = _Capture()
+    lg.addHandler(h)
+    prev_level = lg.level
+    lg.setLevel(logging.WARNING)  # the test session raises it to ERROR
+    old = pa.schema([("a", pa.int64())])
+    try:
+        # empty new schema: silent
+        ses.dedupe_schemas_with_validation(old, _Bundle(None), warn=True)
+        n_after_empty = len([r for r in records
+                             if "different schema" in r.getMessage()])
+        # genuinely divergent non-empty schema: still warns
+        ses.dedupe_schemas_with_validation(
+            old, _Bundle(pa.schema([("b", pa.string())])), warn=True)
+        n_after_diverged = len([r for r in records
+                                if "different schema" in r.getMessage()])
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(prev_level)
+    assert n_after_empty == 0
+    assert n_after_diverged == 1
