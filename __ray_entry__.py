@@ -2224,6 +2224,19 @@ def _q_bm25_search(sf_dir: str):
     return bm25_topk(ds, ["spark", "window", "agg"], k=20)
 
 
+def _q_term_label_chi2(sf_dir: str):
+    """Chi-squared term-label feature selection (stages/text.py:
+    term_label_chi2) — top-10 terms per lang by the 2x2 presence-table
+    chi2 in exact integer micro-units (Python big-int // both sides, so
+    the DuckDB HUGEINT restatement is hash-exact); min_df=5 prune and
+    degenerate-margin drop are part of the contract."""
+    from credit_ocr_backend_ray.stages.text import term_label_chi2
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "text", "lang"])
+    return term_label_chi2(ds, label_col="lang", min_df=5, k=10)
+
+
 def _q_rrf_search(sf_dir: str):
     """Reciprocal-rank fusion (stages/curate.py: rrf_fuse) of the two
     retrievers this engine already ships: BM25 top-50 for the fixed
@@ -4250,6 +4263,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
         "rrf_search": _q_rrf_search,
+        "term_label_chi2": _q_term_label_chi2,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "packed_sequences": _q_packed_sequences,
@@ -6112,6 +6126,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "term_label_chi2": """
+            -- 2x2 presence-table chi2 per (term, label) in exact
+            -- integer micro-units: HUGEINT arithmetic mirrors the
+            -- kernel's Python big-int floor division bit for bit
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS toks
+                FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL
+                  AND trim(text) <> ''
+            ), n AS (SELECT count(*) AS n FROM d),
+            nl AS (SELECT lang, count(*) AS nl FROM d GROUP BY lang),
+            tl AS (SELECT lang, unnest(toks) AS token FROM d),
+            ct AS (SELECT token, lang, count(*) AS n11
+                   FROM tl GROUP BY token, lang),
+            dfacross AS (SELECT token, CAST(sum(n11) AS BIGINT) AS df
+                         FROM ct GROUP BY token),
+            cells AS (
+                SELECT ct.lang, ct.token,
+                       CAST(ct.n11 AS HUGEINT) AS n11,
+                       CAST(dfa.df AS HUGEINT) AS df,
+                       CAST(nl.nl AS HUGEINT) AS nlab,
+                       CAST(n.n AS HUGEINT) AS nn
+                FROM ct JOIN dfacross dfa USING (token)
+                        JOIN nl USING (lang) CROSS JOIN n
+                WHERE dfa.df >= 5 AND dfa.df < n.n AND nl.nl < n.n
+            ), chi AS (
+                SELECT lang, token,
+                       CAST(nn * (n11 * (nn - df - nlab + n11)
+                                  - (df - n11) * (nlab - n11))
+                               * (n11 * (nn - df - nlab + n11)
+                                  - (df - n11) * (nlab - n11))
+                               * 1000000
+                            // (df * (nn - df) * nlab * (nn - nlab))
+                            AS BIGINT) AS chi2_micro
+                FROM cells
+            )
+            SELECT lang, token, chi2_micro FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY chi2_micro DESC, token ASC) AS rk
+                FROM chi)
+            WHERE rk <= 10
         """,
         "rrf_search": """
             -- RRF of BM25 top-50 and cosine top-50: integer micro

@@ -82,6 +82,120 @@ def top_terms(ds, k: int = 50, text_col: str = "text"):
                   .sort(["n", "token"], descending=[True, False]).limit(k))
 
 
+def term_label_chi2(ds, label_col: str = "lang", text_col: str = "text",
+                    min_df: int = 5, k: int = 10, n_shards: int = 64):
+    """Chi-squared term–label association (the classic feature-selection
+    statistic — Yang & Pedersen 1997): for every (term, label) the 2×2
+    presence table chi², top-``k`` terms per label. Exact integer
+    micro-units: ``chi2_micro = N·(n11·n00 − n10·n01)²·10^6 //
+    (df·(N−df)·Nl·(N−Nl))`` computed with arbitrary-precision Python
+    ints (the numerator overflows int64 at any real corpus size) so the
+    SQL HUGEINT restatement is hash-exact. Degenerate margins
+    (``df == N`` or a label covering every document) are dropped — the
+    statistic is undefined there — as part of the contract.
+
+    Shape: doc counts per label come from one bounded partial pass
+    (labels are enum-small); per-batch partials emit one
+    (term, label, n) row per distinct term-per-doc per batch (the
+    combiner word-count shape); ONE coarse token-hash co-group then
+    folds each term's full label vector locally — df is a per-term sum
+    inside the fold, nothing term-level crosses a second shuffle — and
+    only each shard's local top-k per label (bounded, k·labels rows)
+    reaches the driver. ``min_df`` prunes the tail before any Python
+    big-int math."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    ws = re.compile(r"\s+")
+
+    # bounded pass: N docs and per-label doc counts
+    def label_counts(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lab, txt in zip(t[label_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if lab is not None and txt and txt.strip():
+                c[lab] += 1
+        return pa.table({
+            label_col: pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64())})
+
+    lc = (ds.map_batches(label_counts, batch_format="pyarrow")
+            .to_pandas().groupby(label_col)["__pn"].sum())
+    n_label = {str(lab): int(n) for lab, n in lc.items()}
+    n_total = int(lc.sum())
+    nl_ref = ray.put(n_label)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lab, txt in zip(t[label_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if lab is None or not txt or not txt.strip():
+                continue
+            for tok in set(ws.split(txt.strip())):
+                if tok:
+                    c[(tok, lab)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "token": pa.array([t_ for t_, _ in keys], pa.string()),
+            label_col: pa.array([l_ for _, l_ in keys], pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        nl = ray.get(nl_ref)
+        cnt = (g.groupby(["token", label_col], as_index=False,
+                         sort=False)["__pn"].sum())
+        df_tok = cnt.groupby("token", sort=False)["__pn"].transform("sum")
+        cnt = cnt[(df_tok >= min_df) & (df_tok < n_total)]
+        df_tok = df_tok[cnt.index]
+        rows = []
+        for tok, lab, n11, df in zip(cnt["token"], cnt[label_col],
+                                     cnt["__pn"], df_tok):
+            nlab = nl[lab]
+            if nlab >= n_total:
+                continue  # label covers every doc: chi2 undefined
+            n11 = int(n11)
+            df = int(df)
+            n10 = df - n11
+            n01 = nlab - n11
+            n00 = n_total - df - nlab + n11
+            diff = n11 * n00 - n10 * n01
+            den = df * (n_total - df) * nlab * (n_total - nlab)
+            chi = n_total * diff * diff * 1_000_000 // den
+            rows.append((lab, tok, chi))
+        out = pd.DataFrame(rows, columns=[label_col, "token",
+                                          "chi2_micro"])
+        if out.empty:
+            return pd.DataFrame({label_col: pd.Series(dtype=object),
+                                 "token": pd.Series(dtype=object),
+                                 "chi2_micro": pd.Series(dtype="int64")})
+        out["chi2_micro"] = out["chi2_micro"].astype("int64")
+        # local top-k per label: only k·labels rows leave the shard
+        out = (out.sort_values(["chi2_micro", "token"],
+                               ascending=[False, True], kind="stable")
+                  .groupby(label_col, sort=False).head(k))
+        return out
+
+    local = shard_cogroup(partials, "token", fold,
+                          n_shards=n_shards).to_pandas()
+    if local.empty:  # e.g. one label covering every doc: all undefined
+        return pd.DataFrame({label_col: pd.Series(dtype=object),
+                             "token": pd.Series(dtype=object),
+                             "chi2_micro": pd.Series(dtype="int64")})
+    return (local.sort_values(["chi2_micro", "token"],
+                              ascending=[False, True], kind="stable")
+                 .groupby(label_col, sort=False).head(k)
+                 .sort_values([label_col, "chi2_micro", "token"],
+                              ascending=[True, False, True])
+                 .reset_index(drop=True))
+
+
 def token_frequency_spectrum(ds, text_col: str = "text"):
     """Vocabulary frequency spectrum (the count-of-counts curve a Zipf
     fit or a BPE-vocabulary budget reads): for every occurrence count

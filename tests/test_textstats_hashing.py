@@ -439,3 +439,60 @@ def test_zipf_slope_planted_power_law(ray_session):
     assert out["slope_den"].tolist() == [den]
     # a 1/r law fits slope ~ -1 (floor(1000/r) bends it only slightly)
     assert abs(out["slope"][0] + 1.0) < 0.02
+
+
+def test_term_label_chi2_exact_and_contracts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import term_label_chi2
+
+    # 6 docs: 3 en / 3 de. "both" appears in every doc (df == N ->
+    # dropped); "hallo" only in de; "hello" in 2 en docs + 1 de doc;
+    # "rare" once (pruned at min_df=2). A null-label and an empty-text
+    # row must not count toward N.
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["hello both x1", "hello both x2", "both x3",
+                 "hallo both hello y1", "hallo both y2", "hallo both y3",
+                 "ignored", "   "],
+        "lang": ["en", "en", "en", "de", "de", "de", None, "en"],
+    })
+
+    out = term_label_chi2(rd.from_pandas(docs).repartition(3),
+                          min_df=2, k=10, n_shards=4)
+
+    def chi(n11, df, nlab, n=6):
+        n10, n01 = df - n11, nlab - n11
+        n00 = n - df - nlab + n11
+        diff = n11 * n00 - n10 * n01
+        return (n * diff * diff * 1_000_000
+                // (df * (n - df) * nlab * (n - nlab)))
+
+    got = {(r.lang, r.token): r.chi2_micro
+           for r in out.itertuples(index=False)}
+    # "both" (df=6=N) dropped; "rare"/x*/y* singletons pruned (min_df=2);
+    # only OBSERVED (term, label) cells score (n11=0 anti-association
+    # cells never emit a row — matches the SQL oracle's GROUP BY)
+    assert set(got) == {("de", "hallo"),
+                        ("de", "hello"), ("en", "hello")}
+    assert got[("de", "hallo")] == chi(3, 3, 3) == 6_000_000
+    assert got[("de", "hello")] == chi(1, 3, 3)
+    assert got[("en", "hello")] == chi(2, 3, 3)
+    # ordering contract: per label desc chi2 then token asc
+    assert out["lang"].is_monotonic_increasing
+    de = out[out["lang"] == "de"]
+    assert de["token"].tolist() == ["hallo", "hello"]
+
+    # single-label corpus: label covers every doc -> chi2 undefined,
+    # everything dropped
+    mono = docs.head(3).assign(lang="en")
+    out2 = term_label_chi2(rd.from_pandas(mono), min_df=1, k=5,
+                           n_shards=2)
+    assert len(out2) == 0
+
+    # k truncation: k=1 keeps exactly one row per label
+    out3 = term_label_chi2(rd.from_pandas(docs).repartition(2),
+                           min_df=2, k=1, n_shards=4)
+    assert len(out3) == 2
+    assert out3.groupby("lang").size().tolist() == [1, 1]
