@@ -2237,6 +2237,29 @@ def _q_term_label_chi2(sf_dir: str):
     return term_label_chi2(ds, label_col="lang", min_df=5, k=10)
 
 
+def _q_doc_length_auc(sf_dir: str):
+    """Exact grouped ROC-AUC (stages/curate.py: roc_auc) — per-source
+    Mann-Whitney AUC of doc length (n_chars) as a predictor of
+    lang=='en', tie-averaged ranks in exact integer micro-units
+    (big-int // both sides, HUGEINT in the oracle). Degenerate sources
+    (single class) are dropped by contract."""
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.curate import roc_auc
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["source", "lang", "n_chars"])
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["lang"])
+        return pd.DataFrame({"source": b["source"],
+                             "n_chars": b["n_chars"],
+                             "pos": (b["lang"] == "en").astype("int64")})
+
+    return roc_auc(ds.map_batches(label, batch_format="pandas"),
+                   "n_chars", "pos", keys=["source"])
+
+
 def _q_rrf_search(sf_dir: str):
     """Reciprocal-rank fusion (stages/curate.py: rrf_fuse) of the two
     retrievers this engine already ships: BM25 top-50 for the fixed
@@ -4264,6 +4287,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "rrf_search": _q_rrf_search,
         "term_label_chi2": _q_term_label_chi2,
+        "doc_length_auc": _q_doc_length_auc,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "packed_sequences": _q_packed_sequences,
@@ -6126,6 +6150,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "doc_length_auc": """
+            -- grouped Mann-Whitney AUC with tie-averaged ranks:
+            -- 2*avg_rank = 2*(rank()-1) + tie_count + 1 stays integral;
+            -- HUGEINT mirrors the kernel's big-int floor division
+            WITH s AS (
+                SELECT source, n_chars AS score,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ), r AS (
+                SELECT source, pos,
+                       rank() OVER (PARTITION BY source
+                                    ORDER BY score) AS rk,
+                       count(*) OVER (PARTITION BY source, score) AS c
+                FROM s
+            ), agg AS (
+                SELECT source,
+                       SUM(CASE WHEN pos = 1
+                                THEN 2 * (rk - 1) + c + 1
+                                ELSE 0 END) AS r2,
+                       SUM(pos) AS np, COUNT(*) - SUM(pos) AS nn
+                FROM r GROUP BY source
+            )
+            SELECT source,
+                   CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg,
+                   CAST((CAST(r2 AS HUGEINT)
+                         - CAST(np AS HUGEINT) * (np + 1)) * 1000000
+                        // (2 * CAST(np AS HUGEINT) * nn)
+                        AS BIGINT) AS auc_micro
+            FROM agg WHERE np > 0 AND nn > 0
         """,
         "term_label_chi2": """
             -- 2x2 presence-table chi2 per (term, label) in exact

@@ -1142,3 +1142,151 @@ def budget_select(ds: "rd.Dataset", score_col: str, cost_col: str,
 
     pruned = tagged.map_batches(live, batch_format="pandas")
     return shard_cogroup(pruned, "__bkt", fold, n_shards=n_shards)
+
+
+def roc_auc(ds: "rd.Dataset", score_col: str, pos_col: str,
+            keys: list[str] | None = None, n_buckets: int = 1024,
+            n_shards: int = 64) -> pd.DataFrame | "rd.Dataset":
+    """Exact ROC-AUC (Mann-Whitney rank-sum form) of an integer score
+    against a binary label — the evaluation step for every trained
+    filter this engine ships (lr_source_fit, nb_source_score, the
+    quality heuristics): AUC = (2*sum(avg-rank of positives)
+    - n_pos*(n_pos+1)) / (2*n_pos*n_neg) with tie-AVERAGED ranks, in
+    exact integer micro-units (arbitrary-precision // — 2*sum(rank)
+    reaches ~2*n^2 and overflows int64 long before 10^12 rows, so every
+    rank-sum is carried as a Python big int and crosses workers as a
+    decimal string). Rows with a null score or label are dropped by
+    contract; a class-degenerate population (no positives or no
+    negatives) is dropped (grouped) / returns an empty frame (global)
+    — the statistic is undefined there.
+
+    Never ranks rows individually: a per-batch combiner collapses to
+    (score, n, n_pos) distinct-score partials first, so only the
+    distinct-score table ever shuffles.
+
+    - ``keys=None`` (global): the ``global_row_number`` range-bucket
+      prefix scheme over the score domain — one min/max aggregate, a
+      bounded O(n_buckets x blocks) count pass, driver exclusive
+      prefix, ONE shard co-group where each bucket folds its
+      distinct-score partials locally (equal scores share a bucket, so
+      tie groups never split). Each shard emits ONE partial rank-sum
+      row; the driver adds up O(n_shards) big ints. Returns a one-row
+      pandas frame (n_pos, n_neg, auc_micro).
+    - ``keys=[...]`` (grouped, e.g. per-source eval): shard co-group on
+      the first key; the fold sorts each key's distinct-score rows and
+      computes the rank-sum per key (grouped_quantile's holistic limit,
+      but on the DISTINCT-SCORE table, not the rows). Returns a Dataset
+      of (keys..., n_pos, n_neg, auc_micro)."""
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    gkeys = list(keys or [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[*gkeys, score_col, pos_col]].dropna(
+            subset=[score_col, pos_col])
+        g = (b.assign(__pp=b[pos_col].astype(np.int64))
+              .groupby([*gkeys, score_col], sort=False, dropna=False))
+        out = g["__pp"].agg(__pn="size", __pp="sum").reset_index()
+        out["__pn"] = out["__pn"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def _rank_sum(sub: pd.DataFrame, base: int) -> int:
+        """2*sum(avg rank of positives) for one ordered distinct-score
+        frame, ranks offset by ``base`` rows before it. Big-int exact:
+        object dtype keeps every product arbitrary-precision."""
+        n_ = sub["__pn"].astype(object)
+        cum = n_.cumsum() - n_ + base
+        return int((sub["__pp"].astype(object) * (2 * cum + n_ + 1)).sum())
+
+    if gkeys:
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = (g.groupby([*gkeys, score_col], as_index=False,
+                             sort=False, dropna=False)[["__pn", "__pp"]]
+                    .sum()
+                    .sort_values([*gkeys, score_col], kind="stable"))
+            rows = []
+            # dropna=False: a null KEY is a real group (null scores were
+            # already dropped by contract in the combiner)
+            for kv, sub in cnt.groupby(gkeys, sort=False, dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                n = int(sub["__pn"].sum())
+                npos = int(sub["__pp"].sum())
+                nneg = n - npos
+                if npos == 0 or nneg == 0:
+                    continue
+                r2 = _rank_sum(sub, 0)
+                auc = ((r2 - npos * (npos + 1)) * 1_000_000
+                       // (2 * npos * nneg))
+                rows.append((*kv, npos, nneg, auc))
+            out = pd.DataFrame(rows, columns=[*gkeys, "n_pos", "n_neg",
+                                              "auc_micro"])
+            if out.empty:
+                return pd.DataFrame({
+                    **{k: pd.Series(dtype=g[k].dtype) for k in gkeys},
+                    "n_pos": pd.Series(dtype="int64"),
+                    "n_neg": pd.Series(dtype="int64"),
+                    "auc_micro": pd.Series(dtype="int64")})
+            out[["n_pos", "n_neg", "auc_micro"]] = out[
+                ["n_pos", "n_neg", "auc_micro"]].astype("int64")
+            return out
+
+        return shard_cogroup(partials, gkeys[0], fold, n_shards=n_shards)
+
+    # global path: range buckets over the score domain
+    lo = ds.min(score_col)
+    hi = ds.max(score_col)
+    span = float(hi) - float(lo)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[score_col].to_numpy()
+        if span > 0:
+            bkt = np.minimum(
+                ((v.astype(np.float64) - float(lo)) / span
+                 * n_buckets).astype(np.int64), n_buckets - 1)
+        else:
+            bkt = np.zeros(len(b), dtype=np.int64)
+        return b.assign(__bkt=bkt)
+
+    tagged = partials.map_batches(tag, batch_format="pandas")
+
+    def bucket_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("__bkt", dropna=False)["__pn"].sum()
+        return pd.DataFrame({"__bkt": g.index.to_numpy(),
+                             "__pc": g.to_numpy(np.int64)})
+
+    parts = (tagged.map_batches(bucket_counts, batch_format="pandas")
+                   .to_pandas())
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    np.add.at(counts, parts["__bkt"].to_numpy(np.int64),
+              parts["__pc"].to_numpy(np.int64))
+    excl = np.zeros(n_buckets, dtype=np.int64)
+    np.cumsum(counts[:-1], out=excl[1:])
+    excl_ref = ray.put(excl)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(excl_ref)
+        cnt = (g.groupby(["__bkt", score_col], as_index=False,
+                         sort=False)[["__pn", "__pp"]].sum()
+                .sort_values(["__bkt", score_col], kind="stable"))
+        r2 = npos = n = 0
+        for bkt, sub in cnt.groupby("__bkt", sort=False):
+            r2 += _rank_sum(sub, int(pre[int(bkt)]))
+            npos += int(sub["__pp"].sum())
+            n += int(sub["__pn"].sum())
+        return pd.DataFrame({"__r2": [str(r2)], "__np": [npos],
+                             "__n": [n]})
+
+    shard = shard_cogroup(tagged, "__bkt", fold,
+                          n_shards=n_shards).to_pandas()
+    r2 = sum(int(s) for s in shard["__r2"])
+    npos = int(shard["__np"].sum())
+    nneg = int(shard["__n"].sum()) - npos
+    if npos == 0 or nneg == 0:
+        return pd.DataFrame({"n_pos": pd.Series(dtype="int64"),
+                             "n_neg": pd.Series(dtype="int64"),
+                             "auc_micro": pd.Series(dtype="int64")})
+    auc = (r2 - npos * (npos + 1)) * 1_000_000 // (2 * npos * nneg)
+    return pd.DataFrame({"n_pos": [npos], "n_neg": [nneg],
+                         "auc_micro": [np.int64(auc)]})

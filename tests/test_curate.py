@@ -468,3 +468,64 @@ def test_rrf_fuse_exact_micro_and_bounds():
     assert out["doc_id"].tolist()[0] == 3
     assert len(out) == 3
     assert out["rrf_micro"].is_monotonic_decreasing
+
+
+def test_roc_auc_exact_global_and_grouped(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import roc_auc
+
+    # hand case: scores [1,2,2,3], pos [0,1,0,1] -> avg ranks
+    # 1, 2.5, 2.5, 4; 2*sum(r_pos) = 2*(2.5+4) = 13; np=nn=2
+    # auc = (13 - 2*3) / (2*2*2) = 7/8
+    df = pd.DataFrame({"s": [1, 2, 2, 3], "p": [0, 1, 0, 1]})
+    out = roc_auc(rd.from_pandas(df).repartition(3), "s", "p",
+                  n_buckets=4, n_shards=2)
+    assert out[["n_pos", "n_neg", "auc_micro"]].values.tolist() == [
+        [2, 2, 875_000]]
+
+    # all-tied scores -> auc exactly 1/2; perfect separation -> 1.0;
+    # null score and null label rows dropped by contract
+    tied = pd.DataFrame({"s": [7, 7, 7, 7, None],
+                         "p": [0, 1, 0, 1, 1]})
+    out = roc_auc(rd.from_pandas(tied), "s", "p")
+    assert out["auc_micro"].tolist() == [500_000]
+    sep = pd.DataFrame({"s": [1, 2, 3, 4], "p": [0, 0, 1, 1]})
+    out = roc_auc(rd.from_pandas(sep).repartition(2), "s", "p")
+    assert out["auc_micro"].tolist() == [1_000_000]
+
+    # degenerate: one class only -> empty frame
+    mono = pd.DataFrame({"s": [1, 2], "p": [1, 1]})
+    assert len(roc_auc(rd.from_pandas(mono), "s", "p")) == 0
+
+    # grouped: group a = the hand case, group b = perfect separation,
+    # group c = degenerate (dropped), null key = a real group
+    g = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b", "b", "b", "c", None, None],
+        "s": [1, 2, 2, 3, 1, 2, 3, 4, 9, 5, 6],
+        "p": [0, 1, 0, 1, 0, 0, 1, 1, 1, 1, 0]})
+    out = (roc_auc(rd.from_pandas(g).repartition(4), "s", "p",
+                   keys=["k"], n_shards=4)
+           .to_pandas().sort_values("k", na_position="last")
+           .reset_index(drop=True))
+    assert out["k"].tolist()[:2] == ["a", "b"]
+    assert pd.isna(out["k"][2])
+    assert out["auc_micro"].tolist() == [875_000, 1_000_000, 0]
+    assert out["n_pos"].tolist() == [2, 2, 1]
+
+    # big-int exactness: ranks large enough that 2*sum(rank) would be
+    # fine in int64 but products in the fold hit object math anyway —
+    # cross-check vs a direct tie-averaged restatement
+    import numpy as np
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame({"s": rng.integers(0, 50, 5000),
+                        "p": rng.integers(0, 2, 5000)})
+    out = roc_auc(rd.from_pandas(big).repartition(8), "s", "p",
+                  n_buckets=16, n_shards=4)
+    r = pd.Series(big["s"]).rank(method="average")
+    npos = int(big["p"].sum())
+    nneg = len(big) - npos
+    r2 = int(round(2 * r[big["p"] == 1].sum()))
+    want = (r2 - npos * (npos + 1)) * 1_000_000 // (2 * npos * nneg)
+    assert out["auc_micro"].tolist() == [want]
