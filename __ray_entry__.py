@@ -2260,6 +2260,46 @@ def _q_doc_length_auc(sf_dir: str):
                    "n_chars", "pos", keys=["source"])
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Distributed confusion matrix (stages/curate.py:
+    confusion_matrix) of the lang_id heuristic against the gold `lang`
+    column — pure combiner shape, one bounded (gold, pred, n) partial
+    per batch, no shuffle."""
+    from credit_ocr_backend_ray.stages.curate import confusion_matrix
+    from credit_ocr_backend_ray.stages.text import lang_id_batch
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(lang_id_batch, batch_format="pyarrow")
+    return confusion_matrix(pred, "lang", "pred_lang")
+
+
+def _q_lang_id_report(sf_dir: str):
+    """Per-class precision/recall/F1 of lang_id vs gold in exact
+    integer micro-units (stages/curate.py: classification_report);
+    classes on both margins only, by contract."""
+    from credit_ocr_backend_ray.stages.curate import classification_report
+    from credit_ocr_backend_ray.stages.text import lang_id_batch
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(lang_id_batch, batch_format="pyarrow")
+    return classification_report(pred, "lang", "pred_lang")
+
+
+def _q_lang_kappa(sf_dir: str):
+    """Cohen's kappa + accuracy of lang_id vs gold (stages/curate.py:
+    cohen_kappa), one exact integer fraction each — division truncates
+    toward zero to mirror DuckDB `//`."""
+    from credit_ocr_backend_ray.stages.curate import cohen_kappa
+    from credit_ocr_backend_ray.stages.text import lang_id_batch
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(lang_id_batch, batch_format="pyarrow")
+    out = cohen_kappa(pred, "lang", "pred_lang")
+    # this corpus is never margin-degenerate: drop the nullable wrapper
+    # so the dtype matches the oracle's BIGINT
+    return out.astype({"kappa_micro": "int64"})
+
+
 def _q_rrf_search(sf_dir: str):
     """Reciprocal-rank fusion (stages/curate.py: rrf_fuse) of the two
     retrievers this engine already ships: BM25 top-50 for the fixed
@@ -4288,6 +4328,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rrf_search": _q_rrf_search,
         "term_label_chi2": _q_term_label_chi2,
         "doc_length_auc": _q_doc_length_auc,
+        "lang_confusion": _q_lang_confusion,
+        "lang_id_report": _q_lang_id_report,
+        "lang_kappa": _q_lang_kappa,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "packed_sequences": _q_packed_sequences,
@@ -4477,6 +4520,56 @@ def _kcore_oracle_sql(k: int = 8, levels: int = 6) -> str:
             ) CROSS JOIN rnds
             ORDER BY node
         """)
+
+
+_LANG_PRED_SQL = """
+            -- the stopword-bank heuristic restated: earliest-max argmax
+            -- over the fixed (en, de, fr, es) order == chained >= cases;
+            -- 'und' when no bank scores or no tokens; zh short-circuits
+            -- on the CJK block
+            WITH c AS (
+                SELECT doc_id, COALESCE(text, '') AS tx FROM documents
+            ), t AS (
+                SELECT doc_id, tx,
+                       CASE WHEN len(trim(tx)) = 0 THEN []
+                            ELSE list_transform(
+                                regexp_split_to_array(trim(tx), '\\s+'),
+                                x -> lower(x))
+                       END AS toks
+                FROM c
+            ), h AS (
+                SELECT doc_id, tx, len(toks) AS nt,
+                       len(list_filter(toks, x -> x IN ('the','a','of',
+                           'and','to','in','is','it','that','for','on',
+                           'with','as','was','at','by','this','are','be',
+                           'or'))) AS e,
+                       len(list_filter(toks, x -> x IN ('der','die','das',
+                           'und','ist','nicht','mit','ein','eine','zu',
+                           'den','von','für','auf','im','des','sich',
+                           'dem'))) AS d,
+                       len(list_filter(toks, x -> x IN ('le','la','les',
+                           'de','des','et','est','un','une','du','en',
+                           'que','qui','dans','pour','sur','pas','au')))
+                           AS f,
+                       len(list_filter(toks, x -> x IN ('el','la','los',
+                           'las','de','y','es','un','una','del','en',
+                           'que','por','para','con','no','se','su')))
+                           AS s
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(tx, '[一-鿿]') THEN 'zh'
+                        WHEN nt = 0 THEN 'und'
+                        WHEN greatest(e, d, f, s) = 0 THEN 'und'
+                        WHEN e >= d AND e >= f AND e >= s THEN 'en'
+                        WHEN d >= f AND d >= s THEN 'de'
+                        WHEN f >= s THEN 'fr'
+                        ELSE 'es'
+                   END AS pred_lang
+            FROM h
+        """
+"""The lang_id oracle body (doc_id, pred_lang) — shared as a
+CTE by the classifier-evaluation oracles below."""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6151,6 +6244,57 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
         """,
+        "lang_confusion": f"""
+            WITH pred AS ({_LANG_PRED_SQL})
+            SELECT d.lang, p.pred_lang, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.pred_lang
+        """,
+        "lang_id_report": f"""
+            -- per-class P/R/F1 in integer micro-units; micro-F1
+            -- collapses exactly to 2*tp // (n_pred + n_gold)
+            WITH pred AS ({_LANG_PRED_SQL}),
+            j AS (
+                SELECT d.lang AS gold, p.pred_lang AS pred
+                FROM documents d JOIN pred p USING (doc_id)
+            ),
+            g AS (SELECT gold AS class, count(*) AS n_gold FROM j
+                  WHERE gold IS NOT NULL GROUP BY gold),
+            p2 AS (SELECT pred AS class, count(*) AS n_pred FROM j
+                   WHERE pred IS NOT NULL GROUP BY pred),
+            t AS (SELECT gold AS class, count(*) AS tp FROM j
+                  WHERE gold = pred GROUP BY gold)
+            SELECT g.class, n_gold, n_pred,
+                   COALESCE(tp, 0) AS tp,
+                   COALESCE(tp, 0) * 1000000 // n_pred AS precision_micro,
+                   COALESCE(tp, 0) * 1000000 // n_gold AS recall_micro,
+                   2 * COALESCE(tp, 0) * 1000000 // (n_pred + n_gold)
+                       AS f1_micro
+            FROM g JOIN p2 USING (class) LEFT JOIN t USING (class)
+        """,
+        "lang_kappa": f"""
+            -- kappa = (N*diag - S) / (N^2 - S), S = sum(rowtot*coltot);
+            -- HUGEINT, one truncating division each side
+            WITH pred AS ({_LANG_PRED_SQL}),
+            j AS (
+                SELECT d.lang AS gold, p.pred_lang AS pred
+                FROM documents d JOIN pred p USING (doc_id)
+            ),
+            nn AS (SELECT count(*) AS n FROM j),
+            dg AS (SELECT count(*) AS d FROM j WHERE gold = pred),
+            g AS (SELECT COALESCE(gold, chr(1)) AS class,
+                         count(*) AS ng FROM j GROUP BY 1),
+            p2 AS (SELECT COALESCE(pred, chr(1)) AS class,
+                          count(*) AS np FROM j GROUP BY 1),
+            s AS (SELECT COALESCE(SUM(CAST(ng AS HUGEINT) * np), 0) AS s
+                  FROM g JOIN p2 USING (class))
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(d * 1000000 // n AS BIGINT) AS accuracy_micro,
+                   CAST((CAST(n AS HUGEINT) * d - s) * 1000000
+                        // (CAST(n AS HUGEINT) * n - s)
+                        AS BIGINT) AS kappa_micro
+            FROM nn, dg, s
+        """,
         "doc_length_auc": """
             -- grouped Mann-Whitney AUC with tie-averaged ranks:
             -- 2*avg_rank = 2*(rank()-1) + tie_count + 1 stays integral;
@@ -6797,52 +6941,7 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM documents
         """,
-        "lang_id": """
-            -- the stopword-bank heuristic restated: earliest-max argmax
-            -- over the fixed (en, de, fr, es) order == chained >= cases;
-            -- 'und' when no bank scores or no tokens; zh short-circuits
-            -- on the CJK block
-            WITH c AS (
-                SELECT doc_id, COALESCE(text, '') AS tx FROM documents
-            ), t AS (
-                SELECT doc_id, tx,
-                       CASE WHEN len(trim(tx)) = 0 THEN []
-                            ELSE list_transform(
-                                regexp_split_to_array(trim(tx), '\\s+'),
-                                x -> lower(x))
-                       END AS toks
-                FROM c
-            ), h AS (
-                SELECT doc_id, tx, len(toks) AS nt,
-                       len(list_filter(toks, x -> x IN ('the','a','of',
-                           'and','to','in','is','it','that','for','on',
-                           'with','as','was','at','by','this','are','be',
-                           'or'))) AS e,
-                       len(list_filter(toks, x -> x IN ('der','die','das',
-                           'und','ist','nicht','mit','ein','eine','zu',
-                           'den','von','für','auf','im','des','sich',
-                           'dem'))) AS d,
-                       len(list_filter(toks, x -> x IN ('le','la','les',
-                           'de','des','et','est','un','une','du','en',
-                           'que','qui','dans','pour','sur','pas','au')))
-                           AS f,
-                       len(list_filter(toks, x -> x IN ('el','la','los',
-                           'las','de','y','es','un','una','del','en',
-                           'que','por','para','con','no','se','su')))
-                           AS s
-                FROM t
-            )
-            SELECT doc_id,
-                   CASE WHEN regexp_matches(tx, '[一-鿿]') THEN 'zh'
-                        WHEN nt = 0 THEN 'und'
-                        WHEN greatest(e, d, f, s) = 0 THEN 'und'
-                        WHEN e >= d AND e >= f AND e >= s THEN 'en'
-                        WHEN d >= f AND d >= s THEN 'de'
-                        WHEN f >= s THEN 'fr'
-                        ELSE 'es'
-                   END AS pred_lang
-            FROM h
-        """,
+        "lang_id": _LANG_PRED_SQL,
         "quality_scores": """
             -- quality_score restated with INTEGER threshold compares
             -- (nd/n > 0.3 <=> 10*nd > 3*n etc. — exact for rationals,

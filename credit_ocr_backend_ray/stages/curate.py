@@ -1290,3 +1290,102 @@ def roc_auc(ds: "rd.Dataset", score_col: str, pos_col: str,
     auc = (r2 - npos * (npos + 1)) * 1_000_000 // (2 * npos * nneg)
     return pd.DataFrame({"n_pos": [npos], "n_neg": [nneg],
                          "auc_micro": [np.int64(auc)]})
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors, which differs on negatives; a
+    negative kappa must match the oracle bit for bit)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def confusion_matrix(ds: "rd.Dataset", gold_col: str,
+                     pred_col: str) -> pd.DataFrame:
+    """Distributed confusion matrix: one row per observed
+    ``(gold, pred)`` pair with its count — the base table of every
+    classifier evaluation. Pure combiner shape: each batch emits its
+    own bounded (gold, pred, n) partial (classes^2 rows at most), the
+    driver folds O(classes^2 x blocks) partial rows — no shuffle, rows
+    never leave the worker. Null golds/preds are REAL groups
+    (dropna=False) so coverage holes stay visible."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby([gold_col, pred_col], sort=False, dropna=False)
+              .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.groupby([gold_col, pred_col], as_index=False,
+                          dropna=False)["n"].sum()
+                 .sort_values([gold_col, pred_col])
+                 .reset_index(drop=True))
+
+
+def classification_report(ds: "rd.Dataset", gold_col: str,
+                          pred_col: str) -> pd.DataFrame:
+    """Per-class precision / recall / F1 in exact integer micro-units
+    over the distributed confusion matrix: ``precision = tp // n_pred``,
+    ``recall = tp // n_gold``, ``f1 = 2*tp // (n_pred + n_gold)`` (the
+    harmonic mean collapses to that exactly). Classes must appear on
+    BOTH margins (n_gold > 0 and n_pred > 0) — one-sided classes have an
+    undefined precision or recall and are dropped by contract. All math
+    on the bounded classes^2 driver table; the distributed work is the
+    confusion combiner."""
+    cm = confusion_matrix(ds, gold_col, pred_col)
+    gold = cm.groupby(gold_col, dropna=False)["n"].sum()
+    pred = cm.groupby(pred_col, dropna=False)["n"].sum()
+    diag = {g: int(n) for g, p, n in cm.itertuples(index=False)
+            if g == p}
+    rows = []
+    both = [c for c in set(gold.index) & set(pred.index)
+            if not pd.isna(c)]
+    for cls in sorted(both):
+        ng, npd = int(gold[cls]), int(pred[cls])
+        tp = diag.get(cls, 0)
+        rows.append((cls, ng, npd, tp,
+                     tp * 1_000_000 // npd,
+                     tp * 1_000_000 // ng,
+                     2 * tp * 1_000_000 // (npd + ng)))
+    return pd.DataFrame(rows, columns=[
+        "class", "n_gold", "n_pred", "tp",
+        "precision_micro", "recall_micro", "f1_micro"]).astype(
+            {c: "int64" for c in ["n_gold", "n_pred", "tp",
+                                  "precision_micro", "recall_micro",
+                                  "f1_micro"]})
+
+
+def cohen_kappa(ds: "rd.Dataset", gold_col: str,
+                pred_col: str) -> pd.DataFrame:
+    """Cohen's kappa + accuracy of a predicted label column against
+    gold, exact integer micro-units: ``kappa = (N*sum_diag - S) /
+    (N^2 - S)`` with ``S = sum_k rowtotal_k * coltotal_k`` — one
+    fraction, no intermediate float. Division TRUNCATES toward zero
+    (kappa can be negative; DuckDB ``//`` truncates while Python
+    floors, so the kernel mirrors DuckDB). Null labels count toward N
+    and the margins as their own class, never toward the diagonal.
+    Degenerate ``N^2 == S`` (a constant margin — chance agreement is
+    total) returns a null kappa. Same combiner shape as
+    confusion_matrix; the fold is O(classes^2) on the driver."""
+    cm = confusion_matrix(ds, gold_col, pred_col)
+    n = int(cm["n"].sum())
+    # NaN == NaN is False: null-vs-null never lands on the diagonal
+    # (SQL's NULL = NULL), but nulls DO margin as their own class below
+    # (sentinel fill keeps the set intersection deterministic)
+    diag = int(cm.loc[(cm[gold_col] == cm[pred_col]), "n"].sum())
+    sent = "\x00null"
+    g_m = cm[gold_col].astype(object).where(cm[gold_col].notna(), sent)
+    p_m = cm[pred_col].astype(object).where(cm[pred_col].notna(), sent)
+    gold = cm.groupby(g_m)["n"].sum()
+    pred = cm.groupby(p_m)["n"].sum()
+    s = sum(int(gold[c]) * int(pred[c])
+            for c in set(gold.index) & set(pred.index))
+    acc = diag * 1_000_000 // n
+    den = n * n - s
+    kappa = (_trunc_div((n * diag - s) * 1_000_000, den)
+             if den != 0 else None)
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                         "accuracy_micro": pd.array([acc], dtype="int64"),
+                         "kappa_micro": pd.array([kappa],
+                                                 dtype="Int64")})

@@ -529,3 +529,46 @@ def test_roc_auc_exact_global_and_grouped(ray_session):
     r2 = int(round(2 * r[big["p"] == 1].sum()))
     want = (r2 - npos * (npos + 1)) * 1_000_000 // (2 * npos * nneg)
     assert out["auc_micro"].tolist() == [want]
+
+
+def test_confusion_report_kappa_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import (
+        classification_report, cohen_kappa, confusion_matrix)
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b", "c"],
+                       "p": ["a", "b", "b", "b", "a"]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    cm = confusion_matrix(ds, "g", "p")
+    assert cm.values.tolist() == [["a", "a", 1], ["a", "b", 1],
+                                  ["b", "b", 2], ["c", "a", 1]]
+
+    # c is gold-only -> dropped by the both-margins contract
+    rep = classification_report(ds, "g", "p")
+    assert rep["class"].tolist() == ["a", "b"]
+    assert rep[["n_gold", "n_pred", "tp"]].values.tolist() == [
+        [2, 2, 1], [2, 3, 2]]
+    assert rep["precision_micro"].tolist() == [500_000, 666_666]
+    assert rep["recall_micro"].tolist() == [500_000, 1_000_000]
+    assert rep["f1_micro"].tolist() == [500_000, 800_000]
+
+    # kappa: gold [a,a,b,b] pred [a,b,b,b] -> S=8, kappa=4e6//8
+    k = cohen_kappa(rd.from_pandas(df.head(4)).repartition(2), "g", "p")
+    assert k.values.tolist() == [[4, 750_000, 500_000]]
+
+    # negative kappa must TRUNCATE toward zero (DuckDB //), not floor:
+    # gold [a,b] pred [a,c] with disjoint-ish margins -> den=3,
+    # num=-1e6 -> -333333 (floor would give -333334)
+    neg = pd.DataFrame({"g": ["a", "b"], "p": ["c", "a"]})
+    k = cohen_kappa(rd.from_pandas(neg), "g", "p")
+    assert k["kappa_micro"].tolist() == [-333_333]
+
+    # nulls: never diagonal, but DO margin as their own class
+    nl = pd.DataFrame({"g": ["a", "a", None], "p": ["a", None, None]})
+    k = cohen_kappa(rd.from_pandas(nl), "g", "p")
+    assert k.values.tolist() == [[3, 333_333, -200_000]]
+    cm = confusion_matrix(rd.from_pandas(nl), "g", "p")
+    assert int(cm["n"].sum()) == 3 and len(cm) == 3
