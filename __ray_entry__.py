@@ -2260,6 +2260,20 @@ def _q_doc_length_auc(sf_dir: str):
                    "n_chars", "pos", keys=["source"])
 
 
+def _q_order_price_rank_features(sf_dir: str):
+    """Per-priority rank / exact-integer percent_rank / ntile(10) of
+    order totalprice (stages/relational.py: grouped_rank_features) —
+    SQL window semantics bit for bit, one shard co-group, no global
+    sort."""
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_rank_features)
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_rank_features(ds, ["o_orderpriority"], "o_totalprice",
+                                 "o_orderkey", n_tiles=10)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Distributed confusion matrix (stages/curate.py:
     confusion_matrix) of the lang_id heuristic against the gold `lang`
@@ -4328,6 +4342,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rrf_search": _q_rrf_search,
         "term_label_chi2": _q_term_label_chi2,
         "doc_length_auc": _q_doc_length_auc,
+        "order_price_rank_features": _q_order_price_rank_features,
         "lang_confusion": _q_lang_confusion,
         "lang_id_report": _q_lang_id_report,
         "lang_kappa": _q_lang_kappa,
@@ -6243,6 +6258,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
             FROM scored GROUP BY doc_id
             ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "order_price_rank_features": """
+            -- rank / integer percent_rank / ntile with the id
+            -- tie-break that makes ntile deterministic
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(rank() OVER w1 AS BIGINT) AS rnk,
+                   CAST(CASE WHEN n > 1
+                        THEN (rank() OVER w1 - 1) * 1000000 // (n - 1)
+                        ELSE 0 END AS BIGINT) AS pct_rank_micro,
+                   CAST(ntile(10) OVER w2 AS BIGINT) AS tile
+            FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                         count(*) OVER (PARTITION BY o_orderpriority)
+                             AS n
+                  FROM orders WHERE o_totalprice IS NOT NULL)
+            WINDOW w1 AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice),
+                   w2 AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey)
         """,
         "lang_confusion": f"""
             WITH pred AS ({_LANG_PRED_SQL})

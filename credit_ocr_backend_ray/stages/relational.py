@@ -2785,3 +2785,63 @@ def winsorize_per_key(ds: "rd.Dataset", keys: Sequence[str], col: str,
         return g
 
     return shard_cogroup(ds, keys[0], fold)
+
+
+def grouped_rank_features(ds: "rd.Dataset", keys: Sequence[str],
+                          val_col: str, id_col: str, n_tiles: int = 10,
+                          n_shards: int = 64) -> "rd.Dataset":
+    """Per-row rank features within a group — ``rank()`` (min-rank,
+    gaps), exact-integer ``percent_rank`` micro-units and ``ntile``:
+    the per-group normalization step of feature engineering (score
+    percentiles, decile binning) as ONE shard co-group + vectorized
+    fold, never a per-key shuffle or a global sort.
+
+    Semantics match SQL exactly: rank over ``(PARTITION BY keys ORDER
+    BY val)``; ``pct_rank_micro = (rank - 1) * 10^6 // (n - 1)`` (0 for
+    single-row groups — percent_rank's own convention, restated in
+    integers so the oracle hashes exactly); ``tile`` = ``ntile(n_tiles)
+    OVER (... ORDER BY val, id)`` — the id tie-break makes ntile's
+    row-order-dependent assignment deterministic (ties in ``val`` may
+    straddle a tile boundary; rank/pct never depend on id). Rows with a
+    null value are dropped by contract. Holistic per shard like
+    grouped_quantile: a shard's rows must fit a worker.
+
+    Output: (id, keys..., rnk, pct_rank_micro, tile)."""
+    keys = list(keys)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.dropna(subset=[val_col])
+              .sort_values([*keys, val_col, id_col], kind="stable"))
+        starts, sizes = _segments(g, keys)
+        n_rows = len(g)
+        rn = np.arange(n_rows, dtype=np.int64) - np.repeat(
+            starts, sizes)                      # 0-based row_number
+        nn = np.repeat(sizes, sizes)
+        # min-rank: first row index of each tie run within the segment
+        v = g[val_col].to_numpy()
+        seg = np.repeat(np.arange(len(sizes)), sizes)
+        new = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            new[1:] = (seg[1:] != seg[:-1]) | (v[1:] != v[:-1])
+        # accumulate over GLOBAL indices (monotone across segments —
+        # per-segment rn would leak a longer previous segment's max
+        # past a boundary), then rebase to the segment start
+        gidx = np.arange(n_rows, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, gidx, -1))
+        rnk = run_start - np.repeat(starts, sizes) + 1
+        pct = np.where(nn > 1,
+                       (rnk - 1) * 1_000_000 // np.maximum(nn - 1, 1), 0)
+        # ntile: first (n % t) tiles get size q+1, the rest q
+        q, r = nn // n_tiles, nn % n_tiles
+        big = r * (q + 1)
+        in_big = rn < big
+        tile = np.where(
+            in_big, rn // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (rn - big) // np.maximum(q, 1), 0)) + 1
+        out = g[[id_col, *keys]].reset_index(drop=True)
+        out["rnk"] = rnk
+        out["pct_rank_micro"] = pct.astype(np.int64)
+        out["tile"] = tile.astype(np.int64)
+        return out
+
+    return shard_cogroup(ds, keys[0], fold, n_shards=n_shards)

@@ -1935,3 +1935,58 @@ def test_empty_schema_dedupe_warning_suppressed(ray_session):
         lg.setLevel(prev_level)
     assert n_after_empty == 0
     assert n_after_diverged == 1
+
+
+def test_grouped_rank_features_sql_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_rank_features)
+
+    # group a: values [5, 7, 7, 9] -> rank 1,2,2,4 (min-rank, gaps);
+    # n=4 -> pct = 0, 333333, 333333, 1000000; ntile(3) over
+    # (val, id): sizes 2,1,1 -> tiles 1,1,2,3
+    # group b: single row -> rank 1, pct 0 (percent_rank convention),
+    # tile 1; a null value row is dropped by contract
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "v": [7.0, 5.0, 9.0, 7.0, 3.0, None],
+        "id": [2, 1, 4, 3, 9, 10]})
+    out = (grouped_rank_features(rd.from_pandas(df).repartition(3),
+                                 ["k"], "v", "id", n_tiles=3,
+                                 n_shards=4)
+           .to_pandas().sort_values(["k", "rnk", "id"])
+           .reset_index(drop=True))
+    assert out["id"].tolist() == [1, 2, 3, 4, 9]
+    assert out["rnk"].tolist() == [1, 2, 2, 4, 1]
+    assert out["pct_rank_micro"].tolist() == [
+        0, 333_333, 333_333, 1_000_000, 0]
+    assert out["tile"].tolist() == [1, 1, 2, 3, 1]
+
+    # randomized differential vs DuckDB window functions
+    import duckdb
+    rng = np.random.default_rng(11)
+    big = pd.DataFrame({
+        "k": rng.choice(list("pqrs"), 400),
+        "v": rng.integers(0, 25, 400).astype(float),
+        "id": np.arange(400)})
+    out = (grouped_rank_features(rd.from_pandas(big).repartition(5),
+                                 ["k"], "v", "id", n_tiles=7)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT id, k,
+               CAST(rank() OVER w1 AS BIGINT) AS rnk,
+               CAST(CASE WHEN n > 1
+                    THEN (rank() OVER w1 - 1) * 1000000 // (n - 1)
+                    ELSE 0 END AS BIGINT) AS pct_rank_micro,
+               CAST(ntile(7) OVER w2 AS BIGINT) AS tile
+        FROM (SELECT *, count(*) OVER (PARTITION BY k) AS n FROM big)
+        WINDOW w1 AS (PARTITION BY k ORDER BY v),
+               w2 AS (PARTITION BY k ORDER BY v, id)
+        ORDER BY id
+    """).df()
+    pd.testing.assert_frame_equal(
+        out[["id", "k", "rnk", "pct_rank_micro", "tile"]],
+        want, check_dtype=False)
