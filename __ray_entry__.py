@@ -2274,6 +2274,18 @@ def _q_order_price_rank_features(sf_dir: str):
                                  "o_orderkey", n_tiles=10)
 
 
+def _q_user_state_history(sf_dir: str):
+    """SCD2 dimension history (stages/relational.py: scd2_intervals):
+    per-user event_type change intervals over (ts, event_id) order —
+    no-op updates collapse, valid_to = next change (NULL while
+    current)."""
+    from credit_ocr_backend_ray.stages.relational import scd2_intervals
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["event_id", "ts", "user_id", "event_type"])
+    return scd2_intervals(ds, "user_id", "ts", "event_type", "event_id")
+
+
 def _q_lang_confusion(sf_dir: str):
     """Distributed confusion matrix (stages/curate.py:
     confusion_matrix) of the lang_id heuristic against the gold `lang`
@@ -4343,6 +4355,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "term_label_chi2": _q_term_label_chi2,
         "doc_length_auc": _q_doc_length_auc,
         "order_price_rank_features": _q_order_price_rank_features,
+        "user_state_history": _q_user_state_history,
         "lang_confusion": _q_lang_confusion,
         "lang_id_report": _q_lang_id_report,
         "lang_kappa": _q_lang_kappa,
@@ -6276,6 +6289,23 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice),
                    w2 AS (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice, o_orderkey)
+        """,
+        "user_state_history": """
+            -- lag to find changes, lead over the CHANGES for valid_to
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events WHERE event_type IS NOT NULL
+            ), c AS (
+                SELECT * FROM o
+                WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM c
         """,
         "lang_confusion": f"""
             WITH pred AS ({_LANG_PRED_SQL})

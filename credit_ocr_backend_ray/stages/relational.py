@@ -2845,3 +2845,39 @@ def grouped_rank_features(ds: "rd.Dataset", keys: Sequence[str],
         return out
 
     return shard_cogroup(ds, keys[0], fold, n_shards=n_shards)
+
+
+def scd2_intervals(ds: "rd.Dataset", key: str, ts_col: str,
+                   attr_col: str, id_col: str,
+                   n_shards: int = 64) -> "rd.Dataset":
+    """SCD-type-2 history build: turn an event stream into one validity
+    interval per attribute CHANGE — the warehouse dimension-history op
+    (and the state-timeline builder behind session replay / feature
+    backfills). Per key, events order by ``(ts, id)``; an event whose
+    attribute equals the immediately-previous event's is a no-op update
+    and collapses into the open interval (runs collapse transitively,
+    so "equal to previous event" == "equal to previous change");
+    ``valid_from`` = the change's ts, ``valid_to`` = the next change's
+    ts (NULL while current). Rows with a null attribute are dropped by
+    contract (a null is an absent update, not a state).
+
+    One shard co-group on the key; the fold is vectorized shift
+    compares — never a per-key shuffle. Output:
+    (key, attr, valid_from, valid_to)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.dropna(subset=[attr_col])
+              .sort_values([key, ts_col, id_col], kind="stable"))
+        same_key = g[key].eq(g[key].shift())
+        no_op = same_key & g[attr_col].eq(g[attr_col].shift())
+        c = g[~no_op.to_numpy()]
+        nxt = c[ts_col].shift(-1)
+        valid_to = nxt.where(c[key].eq(c[key].shift(-1)))
+        out = pd.DataFrame({
+            key: c[key].to_numpy(),
+            attr_col: c[attr_col].to_numpy(),
+            "valid_from": c[ts_col].to_numpy(),
+            "valid_to": valid_to.to_numpy()})
+        return out
+
+    return shard_cogroup(ds, key, fold, n_shards=n_shards)

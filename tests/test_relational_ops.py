@@ -1990,3 +1990,40 @@ def test_grouped_rank_features_sql_semantics(ray_session):
     pd.testing.assert_frame_equal(
         out[["id", "k", "rnk", "pct_rank_micro", "tile"]],
         want, check_dtype=False)
+
+
+def test_scd2_intervals_collapse_and_current(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import scd2_intervals
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+         "2024-01-05", "2024-01-01", "2024-01-02"])
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 1, 2, 2],
+        "ts": ts,
+        "st": ["A", "A", "B", None, "A", "X", "X"],
+        "id": [10, 11, 12, 13, 14, 20, 21]})
+    out = (scd2_intervals(rd.from_pandas(df).repartition(3),
+                          "u", "ts", "st", "id", n_shards=4)
+           .to_pandas().sort_values(["u", "valid_from"])
+           .reset_index(drop=True))
+    # u1: A (01-01, run of 2 collapses; null row dropped) -> B (01-03)
+    # -> A again (01-05, re-entry is a NEW interval); u2: one X run
+    assert out["u"].tolist() == [1, 1, 1, 2]
+    assert out["st"].tolist() == ["A", "B", "A", "X"]
+    assert [str(v)[:10] for v in out["valid_from"]] == [
+        "2024-01-01", "2024-01-03", "2024-01-05", "2024-01-01"]
+    assert [str(v)[:10] for v in out["valid_to"][:2]] == [
+        "2024-01-03", "2024-01-05"]
+    assert pd.isna(out["valid_to"][2]) and pd.isna(out["valid_to"][3])
+
+    # same-ts tie breaks by id: (ts, id) order is the contract
+    tie = pd.DataFrame({
+        "u": [5, 5], "ts": pd.to_datetime(["2024-02-01", "2024-02-01"]),
+        "st": ["P", "Q"], "id": [2, 1]})
+    out = (scd2_intervals(rd.from_pandas(tie), "u", "ts", "st", "id")
+           .to_pandas().sort_values("valid_from").reset_index(drop=True))
+    assert out["st"].tolist() == ["Q", "P"]
