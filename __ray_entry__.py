@@ -2274,6 +2274,46 @@ def _q_order_price_rank_features(sf_dir: str):
                                  "o_orderkey", n_tiles=10)
 
 
+def _q_image_phash_dups(sf_dir: str):
+    """Perceptual image near-dup pairs (stages/multimodal.py:
+    image_near_dups): dHash via the real PNG codec in an actor pool,
+    then the generic 64-bit chunk-key banding. Per doc a deterministic
+    noise page plus its +8-brightness twin (an exact-luma-shift
+    re-encode — dHash distance 0 by construction); the in-line assert
+    pins 100% planted recall and zero cross-doc pairs. Rows-only:
+    pixel decode is not SQL-expressible."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.functions.png import encode_png
+    from credit_ocr_backend_ray.stages.multimodal import image_near_dups
+
+    ids = pq.read_table(_t(sf_dir, "documents"),
+                        columns=["doc_id"])["doc_id"].to_pylist()[:40]
+
+    def synth(t: pa.Table) -> pa.Table:
+        mids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            rng = np.random.default_rng(int(d))
+            img = rng.integers(0, 200, (32, 36, 3)).astype(np.uint8)
+            mids.extend([2 * int(d), 2 * int(d) + 1])
+            payloads.extend([encode_png(img), encode_png(img + 8)])
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    media = (rd.from_items([{"doc_id": int(i)} for i in ids])
+               .repartition(4)
+               .map_batches(synth, batch_format="pyarrow", batch_size=10))
+    pairs = image_near_dups(media, max_hamming=6, concurrency=2)
+    planted = {(2 * int(d), 2 * int(d) + 1) for d in ids}
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert planted <= got, f"missed {len(planted - got)} planted twins"
+    assert got == planted, f"{len(got - planted)} cross-doc false pairs"
+    return pairs
+
+
 def _q_user_state_history(sf_dir: str):
     """SCD2 dimension history (stages/relational.py: scd2_intervals):
     per-user event_type change intervals over (ts, event_id) order —
@@ -4356,6 +4396,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_auc": _q_doc_length_auc,
         "order_price_rank_features": _q_order_price_rank_features,
         "user_state_history": _q_user_state_history,
+        "image_phash_dups": _q_image_phash_dups,
         "lang_confusion": _q_lang_confusion,
         "lang_id_report": _q_lang_id_report,
         "lang_kappa": _q_lang_kappa,

@@ -726,23 +726,37 @@ def add_simhash(batch: pa.Table, text_col: str = "text",
     return pa.table({id_col: ids, "simhash": pa.array(arr, pa.uint64())})
 
 
-def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs within ``max_hamming`` bits: explode each signature
-    into its 4 16-bit chunk keys (two signatures within distance 3 share at
-    least one chunk), ONE coarse shuffle over (chunk_id, shard), vectorized
-    in-bucket verification. Hot chunk buckets are capped at ``_BUCKET_CAP``
-    rows; the dropped count is reported via logging.warning."""
-    sigs = ds.map_batches(
-        lambda b: add_simhash(b, text_col=text_col, id_col=id_col),
-        batch_format="pyarrow")
+def signature_hamming_pairs(sigs: "rd.Dataset", id_col: str,
+                            sig_col: str, max_hamming: int = 3,
+                            n_chunks: int | None = None) -> pd.DataFrame:
+    """Near-dup pairs among 64-bit signatures within ``max_hamming``
+    bits — the generic banding engine behind simhash (text) and dhash
+    (image) near-dup: split the 64 bits into ``n_chunks`` contiguous
+    ranges (default ``max_hamming + 1`` — the pigeonhole guarantee:
+    two signatures within distance d differ in at most d chunks, so
+    they SHARE at least one of d+1), explode each signature to its
+    chunk keys, ONE coarse shuffle over (chunk_id, shard), exact
+    full-signature verification in-bucket. Hot chunk buckets cap at
+    ``_BUCKET_CAP`` rows; the dropped count is reported via
+    logging.warning."""
+    n_chunks = n_chunks or max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"signature_hamming_pairs: n_chunks={n_chunks} < "
+            f"max_hamming+1={max_hamming + 1} breaks the pigeonhole "
+            f"completeness guarantee")
+    # contiguous bit ranges, widths differing by at most 1
+    widths = [64 // n_chunks + (1 if c < 64 % n_chunks else 0)
+              for c in range(n_chunks)]
+    offs = np.concatenate(([0], np.cumsum(widths[:-1])))
 
     def explode_chunks(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        sh = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        sh = np.asarray(t[sig_col].to_pylist(), dtype=np.uint64)
         out_id, out_sh, out_chunk, out_key = [], [], [], []
-        for c in range(4):
-            key = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        for c in range(n_chunks):
+            mask = np.uint64((1 << widths[c]) - 1)
+            key = ((sh >> np.uint64(offs[c])) & mask).astype(np.int64)
             out_id.append(ids)
             out_sh.append(sh)
             out_chunk.append(np.full(len(ids), c, dtype=np.int32))
@@ -792,6 +806,20 @@ def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
     allp = allp[allp["id_a"] >= 0].drop(columns=["n_trunc"])
     return (allp.sort_values(["id_a", "id_b"])
                 .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def simhash_candidates(ds: "rd.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> pd.DataFrame:
+    """Text near-dup pairs within ``max_hamming`` simhash bits: compute
+    per-doc simhash64, then the generic chunk-key banding
+    (``signature_hamming_pairs`` with 4 16-bit chunks — two signatures
+    within distance 3 share at least one)."""
+    sigs = ds.map_batches(
+        lambda b: add_simhash(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+    return signature_hamming_pairs(sigs, id_col, "simhash",
+                                   max_hamming=max_hamming, n_chunks=4)
 
 
 # ------------------------------------------------------- corpus overlap

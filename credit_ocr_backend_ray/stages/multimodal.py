@@ -552,3 +552,92 @@ class SceneCutDetector:
             "n_cuts": pa.array(nc, pa.int64()),
             "cut_indexes": pa.array(cuts, pa.string()),
         })
+
+
+def dhash64(arr) -> int:
+    """Difference hash (dHash, Krawetz) of an (h, w, 3) uint8 image in
+    EXACT integer math: luma = (299r + 587g + 114b) // 1000, area-mean
+    downsample onto an 8x9 grid via a 2-D cumulative sum (cell mean =
+    block sum // block area — no float resize, so the hash is
+    bit-reproducible across platforms), bit[i][j] = cell[i][j] >
+    cell[i][j+1], packed row-major MSB-first into 64 bits. Robust to
+    uniform brightness shifts and re-encodes (the near-dup signal);
+    sensitive to crops/flips. Requires at least a 9x8 image."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash64: image {w}x{h} smaller than the 9x8 grid")
+    a = arr.astype(np.int64)
+    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    # exclusive 2-D prefix sum -> any block sum in O(1)
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(luma, axis=0), axis=1, out=cs[1:, 1:])
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(10) * w) // 9
+    blk = (cs[ys[1:, None], xs[None, 1:]] - cs[ys[:-1, None], xs[None, 1:]]
+           - cs[ys[1:, None], xs[None, :-1]]
+           + cs[ys[:-1, None], xs[None, :-1]])
+    area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+    cell = blk // area
+    bits = (cell[:, :-1] > cell[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImagePHasher:
+    """Actor-pool stage: perceptual dHash over an image binary column
+    (PNG/PPM via the real codecs). Per-row poison isolation (the
+    ThumbnailMaker policy): a row that fails to decode gets a null
+    ``phash`` and the error string instead of killing the task. Output
+    adds (phash: uint64, error: string)."""
+
+    def __init__(self, col: str = "payload"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hashes: list[int | None] = []
+        errs: list[str | None] = []
+        for b in batch[self.col].to_pylist():
+            try:
+                arr, _ = _image_to_array(b)
+                hashes.append(dhash64(arr))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — per-row capture
+                hashes.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        out = batch.drop_columns([self.col])
+        out = out.append_column(
+            "phash", pa.array(hashes, pa.uint64()))
+        return out.append_column("error", pa.array(errs, pa.string()))
+
+
+def image_near_dups(ds, id_col: str = "media_id", col: str = "payload",
+                    max_hamming: int = 6, concurrency: int = 4,
+                    batch_size: int = 32) -> "pd.DataFrame":
+    """Perceptual image near-duplicate pairs: dHash each image once in
+    an actor pool (decode + hash, per-row poison isolation), then the
+    generic 64-bit chunk-key banding (``dedup.signature_hamming_pairs``
+    with ``max_hamming + 1`` chunks — pigeonhole-complete, exact
+    full-hash verification in-bucket, never all-pairs). The image
+    sibling of simhash text dedup; only (id, phash) rows ever shuffle —
+    pixels stay on the worker that decoded them."""
+    from credit_ocr_backend_ray.stages.dedup import signature_hamming_pairs
+
+    # batch-level Arrow filter, NOT ds.filter(row_fn): the row path
+    # rebuilds blocks from python ints and re-infers the uint64 hash
+    # column as int64, overflowing on hashes >= 2^63
+    def drop_failed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return (t.filter(pc.is_valid(t["phash"]))
+                 .select([id_col, "phash"]))
+
+    hashed = (ds.map_batches(ImagePHasher,
+                             fn_constructor_kwargs={"col": col},
+                             batch_format="pyarrow",
+                             batch_size=batch_size,
+                             concurrency=concurrency)
+                .map_batches(drop_failed, batch_format="pyarrow"))
+    return signature_hamming_pairs(hashed, id_col, "phash",
+                                   max_hamming=max_hamming)
