@@ -2058,6 +2058,18 @@ def _q_knn_recall(sf_dir: str):
     return knn_recall(ds, _knn_queries(sf_dir), k=10)
 
 
+def _q_knn_rank_eval(sf_dir: str):
+    """Rank-aware ANN evaluation (stages/similarity.py: knn_rank_eval):
+    NDCG@10 + MRR of the IVF ranking vs exact brute-force relevance,
+    integer-exact with pinned position weights floor(1e6/log2(i+1)).
+    Rows-only (IVF centroids aren't SQL); the nprobe=nlist ==
+    both-metrics-1.0 invariant is unit-tested."""
+    from credit_ocr_backend_ray.stages.similarity import knn_rank_eval
+
+    ds = _rp(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return knn_rank_eval(ds, _knn_queries(sf_dir), k=10)
+
+
 def _q_contrastive_pairs(sf_dir: str):
     """Deterministic triplet mining (stages/similarity.py): for every
     labeled vector, positive = next same-label row on the md5 ring
@@ -4389,6 +4401,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_budget_select": _q_doc_budget_select,
         "contrastive_pairs": _q_contrastive_pairs,
         "knn_recall": _q_knn_recall,
+        "knn_rank_eval": _q_knn_rank_eval,
         "embedding_pca": _q_embedding_pca,
         "bm25_search": _q_bm25_search,
         "rrf_search": _q_rrf_search,

@@ -1025,3 +1025,42 @@ def knn_recall(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
                      (2 * hit * 1_000_000 + k) // (2 * k)))
     return pd.DataFrame(rows, columns=["query_id", "k", "n_hit",
                                        "recall_micro"])
+
+
+def knn_rank_eval(ds: "rd.Dataset", queries: np.ndarray, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """Rank-AWARE ANN evaluation — NDCG@k and MRR of the IVF ranking
+    against the exact brute-force top-k as binary relevance (the
+    harness knn_recall lacks: recall counts hits, NDCG/MRR weigh WHERE
+    they land). Integer-exact given the pinned position weights
+    ``w_i = floor(1e6 / log2(i+1))``: ``ndcg_micro = sum(w at hit
+    positions) * 1e6 // sum(w_1..w_|gold|)``; ``mrr_micro = 1e6 //
+    first-hit rank`` (0 when nothing relevant surfaces). Both rankers
+    reuse the existing scale-shaped ops; the comparison is a bounded
+    2*k*|queries| driver fold. With ``nprobe == nlist`` the probe is
+    exhaustive, every retrieved position is relevant, and both metrics
+    are exactly 1e6 — the unit-test invariant."""
+    import math
+
+    w = [int(1_000_000 // math.log2(i + 1)) for i in range(1, k + 1)]
+    brute = knn_bruteforce(ds, queries, k=k, id_col=id_col,
+                           vec_col=vec_col)
+    approx = knn_ivf(ds, queries, k=k, id_col=id_col, vec_col=vec_col,
+                     nlist=nlist, nprobe=nprobe)
+    gold = brute.groupby("query_id")[id_col].agg(set)
+    ranked = dict(list(approx.groupby("query_id")))
+    rows = []
+    # iterate the GOLD index: a query whose probed lists held no
+    # candidates still scores (0 hits), it must not vanish
+    for qi, gset in gold.items():
+        grp = ranked.get(qi)
+        ids = [] if grp is None else list(grp[id_col])
+        hits = [i for i, v in enumerate(ids) if i < k and v in gset]
+        dcg = sum(w[i] for i in hits)
+        idcg = sum(w[:min(k, len(gset))])
+        rows.append((int(qi), k, len(hits),
+                     dcg * 1_000_000 // idcg if idcg else 0,
+                     1_000_000 // (hits[0] + 1) if hits else 0))
+    return pd.DataFrame(rows, columns=[
+        "query_id", "k", "n_hit", "ndcg_micro", "mrr_micro"])

@@ -903,3 +903,47 @@ def test_knn_recall_full_probe_is_exact(ray_session):
     part = knn_recall(ds, q, k=10, nlist=8, nprobe=1)
     assert (part["recall_micro"] < 1_000_000).any()
     assert (part["n_hit"] <= 10).all() and (part["n_hit"] >= 0).all()
+
+
+def test_knn_rank_eval_invariants(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.similarity import knn_rank_eval
+
+    rng = np.random.default_rng(13)
+    n, dim = 400, 16
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32)
+                      for r in rng.normal(size=(n, dim))],
+    })
+    q = rng.normal(size=(3, dim))
+    ds = rd.from_pandas(df).repartition(4)
+
+    # exhaustive probe: every position relevant -> NDCG = MRR = 1.0
+    full = knn_rank_eval(ds, q, k=10, nlist=8, nprobe=8)
+    assert full["ndcg_micro"].tolist() == [1_000_000] * 3
+    assert full["mrr_micro"].tolist() == [1_000_000] * 3
+    assert full["n_hit"].tolist() == [10] * 3
+
+    # 1-of-8 probe loses neighbors; metrics stay in [0, 1e6] and NDCG
+    # must dominate plain hit-fraction only via position weighting —
+    # cross-check one query against a direct restatement
+    part = knn_rank_eval(ds, q, k=10, nlist=8, nprobe=1)
+    assert (part["ndcg_micro"] <= 1_000_000).all()
+    assert (part["ndcg_micro"] >= 0).all()
+    assert (part["n_hit"] < 10).any()
+    w = [int(1_000_000 // math.log2(i + 1)) for i in range(1, 11)]
+    # a query with h hits all in the TOP h positions would hit the
+    # max possible ndcg for that h; verify the bound holds
+    for r in part.itertuples(index=False):
+        best = sum(w[:r.n_hit]) * 1_000_000 // sum(w[:10])
+        assert r.ndcg_micro <= best
+        if r.n_hit:
+            assert r.mrr_micro >= 1_000_000 // 10
+        else:
+            assert r.mrr_micro == 0
