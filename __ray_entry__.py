@@ -2326,6 +2326,20 @@ def _q_image_phash_dups(sf_dir: str):
     return pairs
 
 
+def _q_order_price_equidepth(sf_dir: str):
+    """Global equi-depth histogram (stages/relational.py:
+    equidepth_histogram): ntile(16) of o_totalprice over (val, key)
+    order WITHOUT a global sort — range-bucket row enumeration + the
+    exact ntile split formula; per-bin count and typed extrema."""
+    from credit_ocr_backend_ray.stages.relational import (
+        equidepth_histogram)
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_totalprice"])
+    return equidepth_histogram(ds, "o_totalprice", "o_orderkey",
+                               n_bins=16)
+
+
 def _q_user_state_history(sf_dir: str):
     """SCD2 dimension history (stages/relational.py: scd2_intervals):
     per-user event_type change intervals over (ts, event_id) order —
@@ -4410,6 +4424,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "order_price_rank_features": _q_order_price_rank_features,
         "user_state_history": _q_user_state_history,
         "image_phash_dups": _q_image_phash_dups,
+        "order_price_equidepth": _q_order_price_equidepth,
         "lang_confusion": _q_lang_confusion,
         "lang_id_report": _q_lang_id_report,
         "lang_kappa": _q_lang_kappa,
@@ -6343,6 +6358,17 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice),
                    w2 AS (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice, o_orderkey)
+        """,
+        "order_price_equidepth": """
+            SELECT bin, count(*) AS n,
+                   min(o_totalprice) AS min_v,
+                   max(o_totalprice) AS max_v
+            FROM (SELECT o_totalprice,
+                         CAST(ntile(16) OVER (
+                             ORDER BY o_totalprice, o_orderkey)
+                              AS BIGINT) AS bin
+                  FROM orders WHERE o_totalprice IS NOT NULL)
+            GROUP BY bin
         """,
         "user_state_history": """
             -- lag to find changes, lead over the CHANGES for valid_to

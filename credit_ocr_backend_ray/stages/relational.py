@@ -2881,3 +2881,50 @@ def scd2_intervals(ds: "rd.Dataset", key: str, ts_col: str,
         return out
 
     return shard_cogroup(ds, key, fold, n_shards=n_shards)
+
+
+def equidepth_histogram(ds: "rd.Dataset", val_col: str, id_col: str,
+                        n_bins: int = 16,
+                        n_buckets: int = 1024) -> pd.DataFrame:
+    """Global equi-DEPTH histogram — ``ntile(n_bins)`` over the whole
+    table in ``(val, id)`` order, rolled up to one row per bin with
+    (bin, n, min_v, max_v): the optimizer/drift-monitor statistic an
+    equi-width histogram can't give on skewed data (every bin holds the
+    same row count; bin BOUNDARIES move with the distribution).
+
+    No global sort: ``global_row_number``'s range-bucket prefix scheme
+    enumerates rows, the exact ntile split formula (first ``n % bins``
+    bins take one extra row) assigns bins arithmetically from the
+    global row number, and a bounded per-bin combiner (n_bins rows per
+    block) folds counts and typed extrema. Null values are dropped by
+    contract (SQL window NULLS would sort last and poison min/max)."""
+
+    filtered = ds.map_batches(
+        lambda b: b.dropna(subset=[val_col])[[id_col, val_col]],
+        batch_format="pandas")
+    numbered = global_row_number(filtered, val_col, id_col,
+                                 alias="__rn", n_buckets=n_buckets)
+    total = numbered.count()
+    q, r = total // n_bins, total % n_bins
+    big = r * (q + 1)
+
+    def to_bins(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["__rn"].to_numpy(np.int64) - 1  # 0-based
+        in_big = rn < big
+        tile = np.where(
+            in_big, rn // max(q + 1, 1),
+            r + np.where(q > 0, (rn - big) // max(q, 1), 0)) + 1
+        g = (b.assign(bin=tile).groupby("bin")[val_col]
+              .agg(n="size", min_v="min", max_v="max").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = numbered.map_batches(to_bins,
+                                 batch_format="pandas").to_pandas()
+    out = (parts.groupby("bin", as_index=False)
+                .agg(n=("n", "sum"), min_v=("min_v", "min"),
+                     max_v=("max_v", "max"))
+                .sort_values("bin").reset_index(drop=True))
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -2027,3 +2027,30 @@ def test_scd2_intervals_collapse_and_current(ray_session):
     out = (scd2_intervals(rd.from_pandas(tie), "u", "ts", "st", "id")
            .to_pandas().sort_values("valid_from").reset_index(drop=True))
     assert out["st"].tolist() == ["Q", "P"]
+
+
+def test_equidepth_histogram_exact_split(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        equidepth_histogram)
+
+    # 10 rows, 3 bins -> sizes 4, 3, 3 (first n%bins bins get +1);
+    # a null value drops
+    df = pd.DataFrame({"id": range(11),
+                       "v": [5.0, 1, 9, 3, 7, 2, 8, 4, 6, 0, None]})
+    out = equidepth_histogram(rd.from_pandas(df).repartition(3),
+                              "v", "id", n_bins=3, n_buckets=8)
+    assert out["bin"].tolist() == [1, 2, 3]
+    assert out["n"].tolist() == [4, 3, 3]
+    assert out["min_v"].tolist() == [0.0, 4.0, 7.0]
+    assert out["max_v"].tolist() == [3.0, 6.0, 9.0]
+
+    # heavy ties: equal values share buckets, counts still exact
+    tied = pd.DataFrame({"id": range(9), "v": [1.0] * 6 + [2.0] * 3})
+    out = equidepth_histogram(rd.from_pandas(tied).repartition(2),
+                              "v", "id", n_bins=3, n_buckets=4)
+    assert out["n"].tolist() == [3, 3, 3]
+    assert out["min_v"].tolist() == [1.0, 1.0, 2.0]
