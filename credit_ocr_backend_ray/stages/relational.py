@@ -2902,8 +2902,12 @@ def equidepth_histogram(ds: "rd.Dataset", val_col: str, id_col: str,
     filtered = ds.map_batches(
         lambda b: b.dropna(subset=[val_col])[[id_col, val_col]],
         batch_format="pandas")
+    # materialize once: both the total count and the bin partials
+    # consume the numbered rows (two executions of the enumeration
+    # co-group otherwise); the block set is only (id, val, rn)
     numbered = global_row_number(filtered, val_col, id_col,
-                                 alias="__rn", n_buckets=n_buckets)
+                                 alias="__rn",
+                                 n_buckets=n_buckets).materialize()
     total = numbered.count()
     q, r = total // n_bins, total % n_bins
     big = r * (q + 1)

@@ -1,0 +1,180 @@
+"""1M-row scale probes for the r5 session-3 operators: exact ROC-AUC
+(global range-bucket rank sums + grouped distinct-score fold), grouped
+rank features, the equi-depth histogram, and SCD2 interval builds —
+each at ~10x the sf0.1 width the driver benches, warm best-of-2, peak
+host memory from /proc/meminfo, results pinned by local restatements
+(pandas rank / window formulas on the same synthetic frame).
+
+Inputs synthesize deterministically in memory (no /root/testdata
+writes). Usage: python tools/stress_eval_ops.py [--append-baseline]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from tools.stress_shuffle_ops import MemSampler, timed  # noqa: E402
+
+
+def _frame(n: int = 1_000_000) -> pd.DataFrame:
+    rng = np.random.default_rng(23)
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": pd.Series(rng.integers(0, 20, n)).map(lambda i: f"g{i:02d}"),
+        "score": rng.integers(0, 10_000, n),
+        "pos": rng.integers(0, 2, n)})
+
+
+def stress_roc_auc_global(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.curate import roc_auc
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = roc_auc(ds, "score", "pos")
+    wall = time.perf_counter() - t0
+    # exact restatement: tie-averaged ranks via pandas
+    r = df["score"].rank(method="average")
+    npos = int(df["pos"].sum()); nneg = n - npos
+    r2 = int(round(2 * r[df["pos"] == 1].sum()))
+    want = (r2 - npos * (npos + 1)) * 1_000_000 // (2 * npos * nneg)
+    got = int(out["auc_micro"].iloc[0])
+    return {"n": n, "wall_s_inner": round(wall, 2), "auc_micro": got,
+            "match": got == want}
+
+
+def stress_roc_auc_grouped(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.curate import roc_auc
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = roc_auc(ds, "score", "pos", keys=["k"]).to_pandas()
+    wall = time.perf_counter() - t0
+    # spot-pin one group exactly
+    g = df[df["k"] == "g07"]
+    r = g["score"].rank(method="average")
+    npos = int(g["pos"].sum()); nneg = len(g) - npos
+    r2 = int(round(2 * r[g["pos"] == 1].sum()))
+    want = (r2 - npos * (npos + 1)) * 1_000_000 // (2 * npos * nneg)
+    got = int(out.loc[out["k"] == "g07", "auc_micro"].iloc[0])
+    return {"n": n, "groups": int(out.shape[0]),
+            "wall_s_inner": round(wall, 2), "g07_match": got == want}
+
+
+def stress_rank_features(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_rank_features)
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = (grouped_rank_features(ds, ["k"], "score", "id", n_tiles=10)
+           .to_pandas())
+    wall = time.perf_counter() - t0
+    # pin: per-key tile sizes differ by <= 1 and ranks cover 1..n_k
+    sizes = out.groupby(["k", "tile"]).size()
+    per_k = sizes.groupby("k")
+    bal = bool(((per_k.max() - per_k.min()) <= 1).all())
+    mx = out.groupby("k")["rnk"].max()
+    cnt = out.groupby("k").size()
+    return {"n": n, "rows_out": len(out),
+            "wall_s_inner": round(wall, 2), "tiles_balanced": bal,
+            "rank_max_le_n": bool((mx <= cnt).all())}
+
+
+def stress_equidepth(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import (
+        equidepth_histogram)
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = equidepth_histogram(ds, "score", "id", n_bins=32)
+    wall = time.perf_counter() - t0
+    return {"n": n, "bins": len(out),
+            "wall_s_inner": round(wall, 2),
+            "depth_exact": bool((out["n"].max() - out["n"].min()) <= 1),
+            "mono": bool(out["min_v"].is_monotonic_increasing)}
+
+
+def stress_scd2(n: int = 1_000_000, users: int = 10_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import scd2_intervals
+
+    rng = np.random.default_rng(29)
+    t0v = pd.Timestamp("2025-01-01").value // 1000
+    offs = np.sort(rng.integers(0, 30 * 24 * 3600 * 1_000_000, n))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime((t0v + offs) * 1000),
+        "u": rng.integers(0, users, n),
+        "st": pd.Series(rng.integers(0, 5, n)).map("s{}".format)})
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = scd2_intervals(ds, "u", "ts", "st", "event_id").to_pandas()
+    wall = time.perf_counter() - t0
+    # local restatement on one user
+    g = df[df["u"] == 7].sort_values(["ts", "event_id"])
+    changes = int((g["st"] != g["st"].shift()).sum())
+    got = int((out["u"] == 7).sum())
+    cur = int(out["valid_to"].isna().sum())
+    return {"n": n, "rows_out": len(out),
+            "wall_s_inner": round(wall, 2),
+            "u7_match": got == changes, "open_intervals": cur,
+            "one_current_per_user": cur == out["u"].nunique()}
+
+
+def main() -> int:
+    import ray
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    recs = [
+        timed("roc_auc_global_1M", stress_roc_auc_global),
+        timed("roc_auc_grouped_1M", stress_roc_auc_grouped),
+        timed("rank_features_1M", stress_rank_features),
+        timed("equidepth_1M", stress_equidepth),
+        timed("scd2_1M", stress_scd2),
+    ]
+    ok = all(all(bool(v) for kk, v in r["result"].items()
+                 if kk.endswith(("match", "balanced", "exact", "mono",
+                                 "rank_max_le_n", "one_current_per_user")))
+             for r in recs)
+    print(json.dumps({"ok": ok}))
+    if "--append-baseline" in sys.argv:
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "BASELINE.md"), "a") as f:
+            f.write(f"\n## Eval-op 1M stress {stamp} "
+                    f"(tools/stress_eval_ops.py, warm best-of-2)\n\n")
+            f.write("| op | wall s (best) | runs s | peak host GB |"
+                    " detail |\n|---|---|---|---|---|\n")
+            for r in recs:
+                f.write(f"| {r['op']} | {r['wall_s']} | {r['runs_s']} |"
+                        f" {r['peak_host_gb']} |"
+                        f" `{json.dumps(r['result'])}` |\n")
+    import ray
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
