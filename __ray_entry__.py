@@ -2326,6 +2326,20 @@ def _q_image_phash_dups(sf_dir: str):
     return pairs
 
 
+def _q_flag_weighted_median_price(sf_dir: str):
+    """Exact quantity-weighted lower median of l_extendedprice per
+    l_returnflag (stages/relational.py: grouped_weighted_median) —
+    combiner pre-agg to distinct (flag, price) weight sums, one shard
+    co-group, integer half-total compare."""
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_weighted_median)
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_median(ds, ["l_returnflag"],
+                                   "l_extendedprice", "l_quantity")
+
+
 def _q_order_price_equidepth(sf_dir: str):
     """Global equi-depth histogram (stages/relational.py:
     equidepth_histogram): ntile(16) of o_totalprice over (val, key)
@@ -4425,6 +4439,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_state_history": _q_user_state_history,
         "image_phash_dups": _q_image_phash_dups,
         "order_price_equidepth": _q_order_price_equidepth,
+        "flag_weighted_median_price": _q_flag_weighted_median_price,
         "lang_confusion": _q_lang_confusion,
         "lang_id_report": _q_lang_id_report,
         "lang_kappa": _q_lang_kappa,
@@ -6358,6 +6373,26 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice),
                    w2 AS (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice, o_orderkey)
+        """,
+        "flag_weighted_median_price": """
+            -- lower weighted median: smallest price whose cumulative
+            -- quantity reaches half the flag total (exact integers)
+            WITH agg AS (
+                SELECT l_returnflag AS k, l_extendedprice AS v,
+                       SUM(CAST(l_quantity AS BIGINT)) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                GROUP BY k, v
+            ), c AS (
+                SELECT k, v, w,
+                       SUM(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+                       SUM(w) OVER (PARTITION BY k) AS tw
+                FROM agg
+            )
+            SELECT k AS l_returnflag, min(v) AS wmedian,
+                   CAST(min(tw) AS BIGINT) AS total_w
+            FROM c WHERE 2 * cw >= tw GROUP BY k
         """,
         "order_price_equidepth": """
             SELECT bin, count(*) AS n,

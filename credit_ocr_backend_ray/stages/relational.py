@@ -2932,3 +2932,47 @@ def equidepth_histogram(ds: "rd.Dataset", val_col: str, id_col: str,
     out["bin"] = out["bin"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def grouped_weighted_median(ds: "rd.Dataset", keys: Sequence[str],
+                            val_col: str, weight_col: str,
+                            n_shards: int = 64) -> "rd.Dataset":
+    """Exact per-group WEIGHTED (lower) median: the smallest value v
+    whose cumulative weight reaches half the group total
+    (``2*cumw(v) >= W``) — the robust center under duplication weights
+    (revenue-weighted price, token-weighted quality). Weights must be
+    integral-valued (cast to int64; the half-total compare is exact
+    integer, no float boundary).
+
+    Combiner-shaped BEFORE the holistic step: each batch pre-aggregates
+    to (keys, value, weight-sum) rows, ONE shard co-group folds each
+    key's distinct-VALUE table (cumsum over value order), never the raw
+    rows — the same distinct-table trick as roc_auc. Nulls in value or
+    weight drop by contract. Output: (keys..., wmedian, total_w)."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[val_col, weight_col])
+        g = (b.assign(__w=b[weight_col].astype(np.int64))
+              .groupby([*keys, val_col], sort=False, dropna=False)
+              ["__w"].sum().reset_index())
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby([*keys, val_col], as_index=False, sort=False,
+                         dropna=False)["__w"].sum()
+                .sort_values([*keys, val_col], kind="stable"))
+        grp = cnt.groupby(keys, sort=False, dropna=False)
+        cum = grp["__w"].cumsum()
+        tot = grp["__w"].transform("sum")
+        hit = (cnt[2 * cum >= tot]
+               .groupby(keys, as_index=False, sort=False).first()
+               .rename(columns={val_col: "wmedian"})
+               .drop(columns="__w"))
+        full = (cnt.groupby(keys, as_index=False, sort=False)["__w"]
+                .sum().rename(columns={"__w": "total_w"}))
+        return hit.merge(full, on=keys)
+
+    return shard_cogroup(partials, keys[0], fold, n_shards=n_shards)

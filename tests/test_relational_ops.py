@@ -2054,3 +2054,38 @@ def test_equidepth_histogram_exact_split(ray_session):
                               "v", "id", n_bins=3, n_buckets=4)
     assert out["n"].tolist() == [3, 3, 3]
     assert out["min_v"].tolist() == [1.0, 1.0, 2.0]
+
+
+def test_grouped_weighted_median_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        grouped_weighted_median)
+
+    # group a: values 1(w3), 2(w1), 5(w2); W=6, half=3 -> cum at v=1 is
+    # 3, 2*3 >= 6 -> wmedian = 1 (lower weighted median). group b:
+    # 10(w1), 20(w1) -> cum at 10 is 1, 2 >= 2 -> 10. null value and
+    # null weight rows drop
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b", "b", "b"],
+        "v": [1.0, 1.0, 2.0, 5.0, 10.0, 20.0, None, 30.0],
+        "w": [2, 1, 1, 2, 1, 1, 5, None]})
+    out = (grouped_weighted_median(rd.from_pandas(df).repartition(3),
+                                   ["k"], "v", "w", n_shards=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["wmedian"].tolist() == [1.0, 10.0]
+    assert out["total_w"].tolist() == [6, 2]
+
+    # duplicated rows across partitions combine exactly (the combiner
+    # pre-agg must sum weights per (k, v), not keep per-batch rows)
+    big = pd.DataFrame({"k": ["x"] * 1000,
+                        "v": [float(i % 10) for i in range(1000)],
+                        "w": [1] * 1000})
+    out = (grouped_weighted_median(rd.from_pandas(big).repartition(8),
+                                   ["k"], "v", "w")
+           .to_pandas())
+    # uniform weights over 0..9 -> cum at v=4 is 500, 2*500 >= 1000
+    assert out["wmedian"].tolist() == [4.0]
+    assert out["total_w"].tolist() == [1000]
