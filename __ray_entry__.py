@@ -4254,20 +4254,34 @@ def _q_temperature_mix(sf_dir: str):
 # tools/check_correctness.py at sf0.001/0.01/0.1 either way.
 # Round-5 showcase window (the driver's CORRECTNESS cap records the
 # first 50 entries). After the fully-green r04 window, EVERY oracled
-# query has at least one driver certification, so r5 leads with the two
-# queries oracle-UPGRADED this round (their first possible cert), then
-# this round's changed code paths, then a maximal rotation: 45 oracled
-# queries whose last driver cert predates r04 (none of them were in the
-# r04 window). The r04-window queries stay verified by the local sweep.
+# query has at least one driver certification, so r5 leads with the
+# queries NEW (or oracle-upgraded) this round — their first possible
+# cert — then this round's changed code paths, then a maximal rotation
+# of oracled queries whose last driver cert predates r04. Entries past
+# the 50-cap and the r04-window queries stay verified by the local
+# sweep (tools/check_correctness.py, run green at sf0.001 and sf0.1).
 _SHOWCASE_ORDER = [
-    # first-ever certification opportunity (rows-only -> SQL in r5, plus
-    # the two operators NEW in r5: DSIR importance weights with a full
-    # SQL oracle, SemDeDup rows-only). Final-session additions lead:
+    # first-ever certification opportunity. The r5 evaluation-layer
+    # batch leads (all NEW this round, all SQL-oracled, none has ever
+    # been in a driver window): chi-squared feature selection, exact
+    # Mann-Whitney ROC-AUC, grouped rank/ntile features, SCD2 history,
+    # equi-depth histogram, grouped weighted median, and the
+    # classifier-evaluation trio over lang_id.
+    "term_label_chi2",
+    "doc_length_auc",
+    "order_price_rank_features",
+    "user_state_history",
+    "order_price_equidepth",
+    "flag_weighted_median_price",
+    "lang_confusion",
+    "lang_id_report",
+    "lang_kappa",
+    # earlier-in-r5 first-cert batch (rows-only -> SQL upgrades plus
+    # operators new in r5: DSIR importance weights, SemDeDup,
     # substring_dedup (Lee et al. span-cut, full SQL oracle incl. the
-    # rewritten text) and nb_quality_score (GPT-3-style quality filter,
-    # bit-exact micro-nat oracle) are NEW this session; unigram_nll is
-    # NEW this round (CCNet perplexity filter) and the next three were
-    # upgraded rows-only -> SQL this round.
+    # rewritten text), nb_quality_score (GPT-3-style quality filter,
+    # bit-exact micro-nat oracle), unigram_nll (CCNet perplexity
+    # filter).
     "doc_jaccard_join",
     "rrf_search",
     "gopher_topgram_stats",
