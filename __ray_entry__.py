@@ -2340,6 +2340,34 @@ def _q_flag_weighted_median_price(sf_dir: str):
                                    "l_extendedprice", "l_quantity")
 
 
+def _q_price_benford(sf_dir: str):
+    """Benford first-significant-digit audit of o_totalprice
+    (stages/curate.py: benford_digits) — nine exact-integer rows
+    (digit, n, observed_micro, expected_micro, delta_micro); digit from
+    the integer part via repeated //10 (bit-identical to the oracle's
+    first decimal character), expected = floor(log10((d+1)/d)*1e6+0.5),
+    one libm log10 shared with DuckDB."""
+    from credit_ocr_backend_ray.stages.curate import benford_digits
+
+    ds = _rp(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    return benford_digits(ds, "o_totalprice")
+
+
+def _q_term_label_ig(sf_dir: str):
+    """Information-gain term-label feature selection (stages/text.py:
+    term_label_ig) — Yang & Pedersen's other top statistic next to
+    term_label_chi2: top-10 terms per lang by 2x2 mutual information in
+    integer micro-nats, every intermediate mirroring the SQL operation
+    for operation (products cast to double BEFORE dividing) so the
+    oracle is hash-exact; min_df=5 prune and degenerate-margin drop are
+    part of the contract."""
+    from credit_ocr_backend_ray.stages.text import term_label_ig
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "text", "lang"])
+    return term_label_ig(ds, label_col="lang", min_df=5, k=10)
+
+
 def _q_order_price_equidepth(sf_dir: str):
     """Global equi-depth histogram (stages/relational.py:
     equidepth_histogram): ntile(16) of o_totalprice over (val, key)
@@ -4267,6 +4295,8 @@ _SHOWCASE_ORDER = [
     # Mann-Whitney ROC-AUC, grouped rank/ntile features, SCD2 history,
     # equi-depth histogram, grouped weighted median, and the
     # classifier-evaluation trio over lang_id.
+    "price_benford",
+    "term_label_ig",
     "term_label_chi2",
     "doc_length_auc",
     "order_price_rank_features",
@@ -4454,6 +4484,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dups": _q_image_phash_dups,
         "order_price_equidepth": _q_order_price_equidepth,
         "flag_weighted_median_price": _q_flag_weighted_median_price,
+        "price_benford": _q_price_benford,
+        "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
         "lang_id_report": _q_lang_id_report,
         "lang_kappa": _q_lang_kappa,
@@ -6563,6 +6595,103 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang
                     ORDER BY chi2_micro DESC, token ASC) AS rk
                 FROM chi)
+            WHERE rk <= 10
+        """,
+        "price_benford": """
+            -- Benford first-digit audit: digit = first decimal char of
+            -- the integer part (== the kernel's repeated //10); exact
+            -- integer observed share, expected = one libm log10
+            WITH v AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+            ), n AS (SELECT count(*) AS n FROM v),
+            c AS (SELECT digit, count(*) AS cnt FROM v GROUP BY digit),
+            d AS (SELECT CAST(range AS BIGINT) AS digit
+                  FROM range(1, 10)),
+            j AS (SELECT d.digit, CAST(coalesce(c.cnt, 0) AS BIGINT)
+                             AS cnt
+                  FROM d LEFT JOIN c USING (digit))
+            SELECT j.digit, cnt AS n,
+                   cnt * 1000000 // n.n AS observed_micro,
+                   CAST(floor(log10((j.digit + 1.0) / j.digit)
+                              * 1000000 + 0.5) AS BIGINT)
+                       AS expected_micro,
+                   cnt * 1000000 // n.n
+                       - CAST(floor(log10((j.digit + 1.0) / j.digit)
+                                    * 1000000 + 0.5) AS BIGINT)
+                       AS delta_micro
+            FROM j CROSS JOIN n
+            ORDER BY j.digit
+        """,
+        "term_label_ig": """
+            -- 2x2 presence-table information gain per (term, label) in
+            -- integer micro-nats: four fixed-order double terms, each
+            -- product cast to double BEFORE the division, mirroring
+            -- the kernel operation for operation
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS toks
+                FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL
+                  AND trim(text) <> ''
+            ), n AS (SELECT count(*) AS n FROM d),
+            nl AS (SELECT lang, count(*) AS nl FROM d GROUP BY lang),
+            tl AS (SELECT lang, unnest(toks) AS token FROM d),
+            ct AS (SELECT token, lang, count(*) AS n11
+                   FROM tl GROUP BY token, lang),
+            dfacross AS (SELECT token, CAST(sum(n11) AS BIGINT) AS df
+                         FROM ct GROUP BY token),
+            cells AS (
+                SELECT ct.lang, ct.token,
+                       CAST(ct.n11 AS BIGINT) AS n11,
+                       CAST(dfa.df AS BIGINT) AS df,
+                       CAST(nl.nl AS BIGINT) AS nlab,
+                       CAST(n.n AS BIGINT) AS nn
+                FROM ct JOIN dfacross dfa USING (token)
+                        JOIN nl USING (lang) CROSS JOIN n
+                WHERE dfa.df >= 5 AND dfa.df < n.n AND nl.nl < n.n
+            ), ig AS (
+                SELECT lang, token,
+                       CAST(floor((
+                           (CASE WHEN n11 > 0 THEN
+                               (CAST(n11 AS DOUBLE) / nn)
+                               * ln(CAST(n11 AS DOUBLE) * nn
+                                    / (CAST(df AS DOUBLE)
+                                       * CAST(nlab AS DOUBLE)))
+                            ELSE 0 END)
+                         + (CASE WHEN df - n11 > 0 THEN
+                               (CAST(df - n11 AS DOUBLE) / nn)
+                               * ln(CAST(df - n11 AS DOUBLE) * nn
+                                    / (CAST(df AS DOUBLE)
+                                       * CAST(nn - nlab AS DOUBLE)))
+                            ELSE 0 END)
+                         + (CASE WHEN nlab - n11 > 0 THEN
+                               (CAST(nlab - n11 AS DOUBLE) / nn)
+                               * ln(CAST(nlab - n11 AS DOUBLE) * nn
+                                    / (CAST(nn - df AS DOUBLE)
+                                       * CAST(nlab AS DOUBLE)))
+                            ELSE 0 END)
+                         + (CASE WHEN nn - df - nlab + n11 > 0 THEN
+                               (CAST(nn - df - nlab + n11 AS DOUBLE)
+                                / nn)
+                               * ln(CAST(nn - df - nlab + n11
+                                         AS DOUBLE) * nn
+                                    / (CAST(nn - df AS DOUBLE)
+                                       * CAST(nn - nlab AS DOUBLE)))
+                            ELSE 0 END)
+                       ) * 1000000 + 0.5) AS BIGINT) AS ig_micro
+                FROM cells
+            )
+            SELECT lang, token, ig_micro FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY ig_micro DESC, token ASC) AS rk
+                FROM ig)
             WHERE rk <= 10
         """,
         "rrf_search": """

@@ -196,6 +196,127 @@ def term_label_chi2(ds, label_col: str = "lang", text_col: str = "text",
                  .reset_index(drop=True))
 
 
+def term_label_ig(ds, label_col: str = "lang", text_col: str = "text",
+                  min_df: int = 5, k: int = 10, n_shards: int = 64):
+    """Information-gain term–label feature selection — the OTHER of the
+    two statistics Yang & Pedersen 1997 rank as top-tier (next to
+    ``term_label_chi2``, whose distributed scaffold this reuses): for
+    every (term, label) the 2×2 presence-table mutual information
+    IG = Σ_cells (n_ij/N)·ln(n_ij·N / (r_i·c_j)), zero cells
+    contributing zero, top-``k`` terms per label.
+
+    Determinism contract: the statistic is reported in integer
+    micro-NATS with ``floor(x·10^6 + 0.5)`` applied once after a
+    FIXED-ORDER four-term float sum (n11, n10, n01, n00), and every
+    intermediate mirrors the SQL restatement operation for operation —
+    each integer product is cast to double BEFORE the division
+    (``float(nij)·N / (float(ri)·float(cj))``), never divided as exact
+    rationals, so CPython and DuckDB produce the same IEEE doubles and
+    the oracle is hash-exact. Same contract edges as chi2: ``min_df``
+    prune, and degenerate margins (``df == N`` or a label covering
+    every document) dropped — IG is zero-information there.
+
+    Shape (inherited from chi2): one bounded label-count pass, per-batch
+    (term, label, n) combiner partials, ONE coarse token-hash co-group
+    folding each term's full label vector locally; only each shard's
+    top-k per label (k·labels rows) reaches the driver."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    ws = re.compile(r"\s+")
+
+    def label_counts(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lab, txt in zip(t[label_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if lab is not None and txt and txt.strip():
+                c[lab] += 1
+        return pa.table({
+            label_col: pa.array(list(c.keys()), pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64())})
+
+    lc = (ds.map_batches(label_counts, batch_format="pyarrow")
+            .to_pandas().groupby(label_col)["__pn"].sum())
+    n_label = {str(lab): int(n) for lab, n in lc.items()}
+    n_total = int(lc.sum())
+    nl_ref = ray.put(n_label)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lab, txt in zip(t[label_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if lab is None or not txt or not txt.strip():
+                continue
+            for tok in set(ws.split(txt.strip())):
+                if tok:
+                    c[(tok, lab)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "token": pa.array([t_ for t_, _ in keys], pa.string()),
+            label_col: pa.array([l_ for _, l_ in keys], pa.string()),
+            "__pn": pa.array(list(c.values()), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    nn_f = float(n_total)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        nl = ray.get(nl_ref)
+        cnt = (g.groupby(["token", label_col], as_index=False,
+                         sort=False)["__pn"].sum())
+        df_tok = cnt.groupby("token", sort=False)["__pn"].transform("sum")
+        cnt = cnt[(df_tok >= min_df) & (df_tok < n_total)]
+        df_tok = df_tok[cnt.index]
+        rows = []
+        for tok, lab, n11, df in zip(cnt["token"], cnt[label_col],
+                                     cnt["__pn"], df_tok):
+            nlab = nl[lab]
+            if nlab >= n_total:
+                continue  # label covers every doc: IG degenerate
+            n11 = int(n11)
+            df = int(df)
+            cells = ((n11, df, nlab),
+                     (df - n11, df, n_total - nlab),
+                     (nlab - n11, n_total - df, nlab),
+                     (n_total - df - nlab + n11, n_total - df,
+                      n_total - nlab))
+            t_ = 0.0
+            for nij, ri, cj in cells:
+                if nij > 0:
+                    t_ += ((nij / nn_f)
+                           * math.log(float(nij) * nn_f
+                                      / (float(ri) * float(cj))))
+            rows.append((lab, tok, math.floor(t_ * 1_000_000 + 0.5)))
+        out = pd.DataFrame(rows, columns=[label_col, "token", "ig_micro"])
+        if out.empty:
+            return pd.DataFrame({label_col: pd.Series(dtype=object),
+                                 "token": pd.Series(dtype=object),
+                                 "ig_micro": pd.Series(dtype="int64")})
+        out["ig_micro"] = out["ig_micro"].astype("int64")
+        out = (out.sort_values(["ig_micro", "token"],
+                               ascending=[False, True], kind="stable")
+                  .groupby(label_col, sort=False).head(k))
+        return out
+
+    local = shard_cogroup(partials, "token", fold,
+                          n_shards=n_shards).to_pandas()
+    if local.empty:
+        return pd.DataFrame({label_col: pd.Series(dtype=object),
+                             "token": pd.Series(dtype=object),
+                             "ig_micro": pd.Series(dtype="int64")})
+    return (local.sort_values(["ig_micro", "token"],
+                              ascending=[False, True], kind="stable")
+                 .groupby(label_col, sort=False).head(k)
+                 .sort_values([label_col, "ig_micro", "token"],
+                              ascending=[True, False, True])
+                 .reset_index(drop=True))
+
+
 def token_frequency_spectrum(ds, text_col: str = "text"):
     """Vocabulary frequency spectrum (the count-of-counts curve a Zipf
     fit or a BPE-vocabulary budget reads): for every occurrence count

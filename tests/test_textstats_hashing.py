@@ -496,3 +496,80 @@ def test_term_label_chi2_exact_and_contracts(ray_session):
                            min_df=2, k=1, n_shards=4)
     assert len(out3) == 2
     assert out3.groupby("lang").size().tolist() == [1, 1]
+
+
+def test_term_label_ig_exact_and_contracts(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import term_label_ig
+
+    # same fixture/contracts as the chi2 test: "both" df==N dropped,
+    # singletons pruned at min_df=2, null-label/empty-text excluded
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["hello both x1", "hello both x2", "both x3",
+                 "hallo both hello y1", "hallo both y2", "hallo both y3",
+                 "ignored", "   "],
+        "lang": ["en", "en", "en", "de", "de", "de", None, "en"],
+    })
+
+    out = term_label_ig(rd.from_pandas(docs).repartition(3),
+                        min_df=2, k=10, n_shards=4)
+
+    def ig(n11, df, nlab, n=6):
+        cells = ((n11, df, nlab), (df - n11, df, n - nlab),
+                 (nlab - n11, n - df, nlab),
+                 (n - df - nlab + n11, n - df, n - nlab))
+        t = 0.0
+        for nij, ri, cj in cells:
+            if nij > 0:
+                t += (nij / float(n)) * math.log(
+                    float(nij) * float(n) / (float(ri) * float(cj)))
+        return math.floor(t * 1_000_000 + 0.5)
+
+    got = {(r.lang, r.token): r.ig_micro
+           for r in out.itertuples(index=False)}
+    assert set(got) == {("de", "hallo"),
+                        ("de", "hello"), ("en", "hello")}
+    # perfect association: IG == H(label) == ln(2) nats
+    assert got[("de", "hallo")] == ig(3, 3, 3) == 693_147
+    assert got[("de", "hello")] == ig(1, 3, 3)
+    assert got[("en", "hello")] == ig(2, 3, 3)
+    de = out[out["lang"] == "de"]
+    assert de["token"].tolist() == ["hallo", "hello"]
+
+    # single-label corpus -> degenerate margins, everything dropped
+    mono = docs.head(3).assign(lang="en")
+    assert len(term_label_ig(rd.from_pandas(mono), min_df=1, k=5,
+                             n_shards=2)) == 0
+
+
+def test_benford_digits_exact(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import benford_digits
+
+    # 10 usable values with known leading digits; null and x<1 dropped
+    vals = [1.5, 19.0, 123.4, 2.0, 25.0, 3.99, 31.0, 4.0, 900.0, 9999.0,
+            0.5, None]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    out = benford_digits(ds, "v")
+
+    assert out["digit"].tolist() == list(range(1, 10))
+    assert out["n"].tolist() == [3, 2, 2, 1, 0, 0, 0, 0, 2]
+    assert int(out["n"].sum()) == 10
+    exp = [math.floor(math.log10((d + 1.0) / d) * 1e6 + 0.5)
+           for d in range(1, 10)]
+    assert out["expected_micro"].tolist() == exp
+    assert exp[0] == 301_030  # log10(2) in micro-units, round-half-up
+    obs = [n * 1_000_000 // 10 for n in out["n"]]
+    assert out["observed_micro"].tolist() == obs
+    assert out["delta_micro"].tolist() == [o - e for o, e in
+                                           zip(obs, exp)]
+    assert all(out[c].dtype == "int64" for c in out.columns)
