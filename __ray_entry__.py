@@ -2340,6 +2340,21 @@ def _q_flag_weighted_median_price(sf_dir: str):
                                    "l_extendedprice", "l_quantity")
 
 
+def _q_order_gini(sf_dir: str):
+    """Exact Gini concentration of o_totalprice (stages/relational.py:
+    gini_concentration) — the corpus-balance inequality audit in
+    integer micro-units: fixed-point cents, global ranks from the
+    range-bucket enumeration (no global sort), rank-weighted sums
+    carried as exact big ints (decimal strings across workers),
+    HUGEINT ``//`` in the oracle mirrors the driver's big-int floor
+    division bit for bit."""
+    from credit_ocr_backend_ray.stages.relational import (
+        gini_concentration)
+
+    ds = _rp(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    return gini_concentration(ds, "o_totalprice", scale=100)
+
+
 def _q_price_benford(sf_dir: str):
     """Benford first-significant-digit audit of o_totalprice
     (stages/curate.py: benford_digits) — nine exact-integer rows
@@ -4303,6 +4318,7 @@ _SHOWCASE_ORDER = [
     "user_state_history",
     "order_price_equidepth",
     "flag_weighted_median_price",
+    "order_gini",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4484,6 +4500,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dups": _q_image_phash_dups,
         "order_price_equidepth": _q_order_price_equidepth,
         "flag_weighted_median_price": _q_flag_weighted_median_price,
+        "order_gini": _q_order_gini,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6419,6 +6436,29 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice),
                    w2 AS (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice, o_orderkey)
+        """,
+        "order_gini": """
+            -- exact Gini in integer micro-units: fixed-point cents,
+            -- ascending ranks (tie order provably irrelevant), HUGEINT
+            -- // mirrors the kernel's big-int floor division
+            WITH q AS (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS c
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), r AS (
+                SELECT c, row_number() OVER (ORDER BY c) AS rn FROM q
+            ), agg AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(c AS HUGEINT)) AS s,
+                       SUM(CAST(rn AS HUGEINT) * c) AS w
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(s AS BIGINT) AS sum_scaled,
+                   CAST((2 * w - (n + 1) * s) * 1000000
+                        // (CAST(n AS HUGEINT) * s) AS BIGINT)
+                       AS gini_micro
+            FROM agg
         """,
         "flag_weighted_median_price": """
             -- lower weighted median: smallest price whose cumulative

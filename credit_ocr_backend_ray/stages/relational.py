@@ -816,7 +816,9 @@ def global_row_number(ds: "rd.Dataset", val_col: str, tie_col: str,
 
     lo = ds.min(val_col)
     hi = ds.max(val_col)
-    span = float(hi) - float(lo)
+    # empty input (or no non-null values): degenerate single bucket so
+    # the pipeline still yields a well-formed (possibly empty) output
+    span = 0.0 if lo is None or hi is None else float(hi) - float(lo)
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         v = b[val_col].to_numpy()
@@ -840,8 +842,9 @@ def global_row_number(ds: "rd.Dataset", val_col: str, tie_col: str,
     parts = (tagged.map_batches(bucket_counts, batch_format="pandas")
                    .to_pandas())
     counts = np.zeros(n_buckets, dtype=np.int64)
-    np.add.at(counts, parts["__bkt"].to_numpy(np.int64),
-              parts["__pn"].to_numpy(np.int64))
+    if "__bkt" in parts.columns:  # empty input -> column-less frame
+        np.add.at(counts, parts["__bkt"].to_numpy(np.int64),
+                  parts["__pn"].to_numpy(np.int64))
     excl = np.zeros(n_buckets, dtype=np.int64)
     np.cumsum(counts[:-1], out=excl[1:])
     excl_ref = ray.put(excl)
@@ -2932,6 +2935,86 @@ def equidepth_histogram(ds: "rd.Dataset", val_col: str, id_col: str,
     out["bin"] = out["bin"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def _exact_dot(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact Σ a_i·b_i of two non-negative int64 arrays as a Python
+    big int: int64 chunk sums sized so no chunk can overflow, folded
+    into arbitrary precision — the roc_auc big-int discipline without
+    per-element Python math (chunks stay numpy-vectorized)."""
+    if len(a) == 0:
+        return 0
+    peak = int(a.max()) * int(b.max())
+    if peak == 0:
+        return 0
+    m = max(1, (1 << 62) // peak)
+    total = 0
+    for i in range(0, len(a), m):
+        total += int(np.sum(a[i:i + m] * b[i:i + m]))
+    return total
+
+
+def gini_concentration(ds: "rd.Dataset", val_col: str,
+                       scale: int = 100,
+                       n_buckets: int = 1024) -> pd.DataFrame:
+    """Exact Gini coefficient of a non-negative value column — the
+    concentration/inequality audit a corpus-balance report publishes
+    (how concentrated is revenue across orders, tokens across sources,
+    bytes across hosts): G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over
+    ascending ranks, in integer micro-units.
+
+    Exactness contract: values are fixed-point quantized ONCE via
+    ``floor(x·scale + 0.5)`` (identical in numpy and DuckDB — never
+    bankers' rounding), ranks come from ``global_row_number``'s
+    range-bucket enumeration (no global sort; the rank-weighted sum is
+    tie-invariant, equal values commute), and every product crosses
+    workers as an exact big int — rank·cents overflows int64 at
+    ~10^12 rows, so per-block partials carry Σ rank·cents as decimal
+    STRINGS (``_exact_dot`` chunk sums) and the driver folds
+    arbitrary-precision. ``gini_micro = (2W − (n+1)S)·10^6 // (n·S)``
+    with Python big-int floor division, mirrored by HUGEINT ``//`` in
+    the oracle. Nulls dropped by contract; returns a one-row frame
+    (n, sum_scaled, gini_micro); n == 0 or S == 0 → gini null.
+
+    Shape: one min/max aggregate + the bounded bucket-count pass of
+    global_row_number + ONE shard co-group; each block then emits a
+    three-cell partial — nothing row-sized ever reaches the driver."""
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        return pd.DataFrame({"__cents": c,
+                             "__qid": np.arange(len(c), dtype=np.int64)})
+
+    # __qid is only a per-batch tie filler: global_row_number needs a
+    # tie column, but Σ rank·cents is invariant under tie order, so
+    # uniqueness across batches is NOT required for correctness
+    q = ds.map_batches(quantize, batch_format="pandas")
+    numbered = global_row_number(q, "__cents", "__qid", alias="__rn",
+                                 n_buckets=n_buckets)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["__rn"].to_numpy(np.int64)
+        c = b["__cents"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "__n": pd.array([len(c)], dtype="int64"),
+            "__s": [str(int(c.sum(dtype=object)) if len(c) else 0)],
+            "__w": [str(_exact_dot(rn, c))]})
+
+    parts = numbered.map_batches(part, batch_format="pandas").to_pandas()
+    if "__n" not in parts.columns:  # empty input -> column-less frame
+        parts = pd.DataFrame({"__n": pd.array([], dtype="int64"),
+                              "__s": [], "__w": []})
+    n = int(parts["__n"].sum())
+    s1 = sum(int(x) for x in parts["__s"])
+    w = sum(int(x) for x in parts["__w"])
+    gini = ((2 * w - (n + 1) * s1) * 1_000_000 // (n * s1)
+            if n > 0 and s1 > 0 else None)
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "sum_scaled": pd.array([s1], dtype="int64"),
+        "gini_micro": pd.array([gini], dtype="Int64")})
 
 
 def grouped_weighted_median(ds: "rd.Dataset", keys: Sequence[str],

@@ -2089,3 +2089,41 @@ def test_grouped_weighted_median_exact(ray_session):
     # uniform weights over 0..9 -> cum at v=4 is 500, 2*500 >= 1000
     assert out["wmedian"].tolist() == [4.0]
     assert out["total_w"].tolist() == [1000]
+
+
+def test_gini_concentration_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        _exact_dot, gini_concentration)
+
+    # values 1, 1, 8 at scale 100 -> cents 100, 100, 800; ascending
+    # ranks 1,2,3 (tie order irrelevant: equal values commute in
+    # sum(rank*x)); W = 100 + 200 + 2400 = 2700, S = 1000, n = 3 ->
+    # gini_micro = (5400 - 4000) * 1e6 // 3000 = 466666. A null drops.
+    df = pd.DataFrame({"v": [1.0, 8.0, None, 1.0]})
+    out = gini_concentration(rd.from_pandas(df).repartition(3), "v",
+                             scale=100, n_buckets=4)
+    assert out["n"].tolist() == [3]
+    assert out["sum_scaled"].tolist() == [1000]
+    assert out["gini_micro"].tolist() == [466666]
+
+    # perfectly equal distribution -> exactly 0
+    eq = pd.DataFrame({"v": [5.0] * 4})
+    out = gini_concentration(rd.from_pandas(eq).repartition(2), "v")
+    assert out["gini_micro"].tolist() == [0]
+
+    # all-null input -> n 0, gini null
+    out = gini_concentration(
+        rd.from_pandas(pd.DataFrame({"v": [None, None]})), "v")
+    assert out["n"].tolist() == [0]
+    assert out["gini_micro"].isna().all()
+
+    # _exact_dot stays exact where a straight int64 dot overflows:
+    # five products of 2**62 each (chunk size degrades to 1)
+    import numpy as np
+    a = np.full(5, 2**31, dtype=np.int64)
+    assert _exact_dot(a, a) == 5 * (2**62)
+    assert _exact_dot(np.array([], dtype=np.int64),
+                      np.array([], dtype=np.int64)) == 0
