@@ -2127,3 +2127,24 @@ def test_gini_concentration_exact(ray_session):
     assert _exact_dot(a, a) == 5 * (2**62)
     assert _exact_dot(np.array([], dtype=np.int64),
                       np.array([], dtype=np.int64)) == 0
+
+
+def test_time_band_join_composite_overflow_guard(ray_session):
+    """ADVICE r4: the code*span int64-overflow guard must be an explicit
+    ValueError (an assert vanishes under python -O and the wrapped
+    composite silently emits wrong pairs). Two keys spread over ~2e18 us
+    in one shard push (n_keys+1)*span past 2**62."""
+    import pandas as pd
+    import pytest
+
+    from credit_ocr_backend_ray.stages.relational import time_band_join
+
+    t0 = pd.Timestamp(0).as_unit("us")
+    far = pd.Timestamp(2 * 10**18, unit="us")
+    left = pd.DataFrame({"k": [1, 2], "ts": [t0, far], "lid": [1, 2]})
+    right = pd.DataFrame({"k": [1, 2], "ts": [t0, far], "rid": [7, 8]})
+    with pytest.raises(Exception, match="composite overflow"):
+        (time_band_join(_ds(left), _ds(right), "k", "k", "ts", "ts",
+                        band_us=1_000_000, left_cols=["lid"],
+                        right_cols=["rid"], n_shards=1)
+         .to_pandas())
