@@ -2355,6 +2355,21 @@ def _q_order_gini(sf_dir: str):
     return gini_concentration(ds, "o_totalprice", scale=100)
 
 
+def _q_priority_price_moments(sf_dir: str):
+    """Exact per-priority raw power sums of o_totalprice
+    (stages/relational.py: grouped_moments) — n, Σcents, Σcents²,
+    Σcents³ as exact big ints (decimal strings across workers,
+    limb-split cube fold keeps every intermediate int64-safe); the
+    four-number base every variance/skewness profile derives from.
+    Oracle: HUGEINT power sums cast to VARCHAR."""
+    from credit_ocr_backend_ray.stages.relational import grouped_moments
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    return grouped_moments(ds, ["o_orderpriority"], "o_totalprice",
+                           scale=100)
+
+
 def _q_price_benford(sf_dir: str):
     """Benford first-significant-digit audit of o_totalprice
     (stages/curate.py: benford_digits) — nine exact-integer rows
@@ -3852,6 +3867,47 @@ def _q_nb_quality_score(sf_dir: str):
     return nb_source_score(ds, pos_source="src7")
 
 
+def _q_nb_calibration(sf_dir: str):
+    """Reliability-diagram calibration of the NB quality score
+    (stages/curate.py: calibration_bins over nb_source_score with the
+    gold source passed through): 10 equal-width integer bins over the
+    observed micro-nat log-odds range, per bin the exact n / n_pos /
+    empirical positive-rate micro and the signed big-int score sum —
+    does a higher quality score really mean a higher chance the doc is
+    from the curated source? Oracle restates NB scoring AND the integer
+    binning in one SQL query."""
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.curate import (calibration_bins,
+                                                      nb_source_score)
+
+    ds = _rp(_t(sf_dir, "documents"),
+             columns=["doc_id", "text", "source"])
+    scored = nb_source_score(ds, pos_source="src7",
+                             keep_cols=["source"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        b["y"] = (b["source"] == "src7").astype("int64")
+        return b[["score_micro", "y"]]
+
+    return calibration_bins(scored.map_batches(lab,
+                                               batch_format="pandas"),
+                            "score_micro", "y", n_bins=10)
+
+
+def _q_doc_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood candidate pairs (stages/dedup.py: snm_pairs
+    — Hernandez & Stolfo SIGMOD'95): every doc pair within 2 positions
+    of each other in (n_chars, doc_id) sort order, produced WITHOUT a
+    global sort via dense global ranks + rank-bucket boundary
+    replication; each pair exactly once, each row moves at most
+    twice."""
+    from credit_ocr_backend_ray.stages.dedup import snm_pairs
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return snm_pairs(ds, "n_chars", "doc_id", window=2)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03,
     the MOSS algorithm): per-window minimal md5-hex 4-gram hash,
@@ -4319,6 +4375,9 @@ _SHOWCASE_ORDER = [
     "order_price_equidepth",
     "flag_weighted_median_price",
     "order_gini",
+    "priority_price_moments",
+    "nb_calibration",
+    "doc_snm_pairs",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4501,6 +4560,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "order_price_equidepth": _q_order_price_equidepth,
         "flag_weighted_median_price": _q_flag_weighted_median_price,
         "order_gini": _q_order_gini,
+        "priority_price_moments": _q_priority_price_moments,
+        "nb_calibration": _q_nb_calibration,
+        "doc_snm_pairs": _q_doc_snm_pairs,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -5867,6 +5929,63 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d CROSS JOIN pr
                  LEFT JOIN sc ON sc.doc_id = d.doc_id
         """,
+        "nb_calibration": """
+            -- naive-Bayes log-odds quality filter restated: per-token
+            -- micro-nat weight floor((ln((cp+1)/(Npos+V)) -
+            -- ln((cn+1)/(Nneg+V)))*1e6) quantized once (same libm as
+            -- the kernel's math.log), class prior likewise, then exact
+            -- BIGINT sums per document
+            WITH toks AS (
+                SELECT doc_id, source = 'src7' AS pos, token FROM (
+                    SELECT doc_id, source,
+                           unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS token
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(trim(text)) > 0)
+                WHERE token <> ''),
+            cnt AS (SELECT token,
+                           sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                           sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+                    FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS v, sum(cp) AS npos,
+                           sum(cn) AS nneg FROM cnt),
+            w AS (SELECT token,
+                         CAST(floor((ln(CAST(cp + 1 AS DOUBLE)
+                                        / (npos + v))
+                                     - ln(CAST(cn + 1 AS DOUBLE)
+                                          / (nneg + v))) * 1e6)
+                              AS BIGINT) AS wm
+                  FROM cnt, tot),
+            pr AS (SELECT CAST(floor(ln(
+                       CAST(sum(CASE WHEN source = 'src7'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN source = 'src7'
+                                  THEN 0 ELSE 1 END)) * 1e6)
+                       AS BIGINT) AS pm FROM documents),
+            sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+                          sum(w.wm) AS s
+                   FROM toks t JOIN w USING (token) GROUP BY t.doc_id)
+            , scored AS (
+                SELECT CAST(COALESCE(sc.s, 0) + pr.pm AS BIGINT) AS s,
+                       CASE WHEN d.source = 'src7' THEN 1 ELSE 0 END
+                           AS y
+                FROM documents d CROSS JOIN pr
+                     LEFT JOIN sc ON sc.doc_id = d.doc_id),
+            lohi AS (SELECT min(s) AS lo, max(s) AS hi FROM scored)
+            -- integer equal-width binning over the observed range,
+            -- bin = (s-lo)*10 // (hi-lo+1), operands all non-negative
+            -- so BIGINT // == the kernel's floor division
+            SELECT CAST((s - lo) * 10 // (hi - lo + 1) AS BIGINT)
+                       AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT)
+                       AS pos_rate_micro,
+                   CAST(SUM(CAST(s AS HUGEINT)) AS VARCHAR)
+                       AS sum_score_micro
+            FROM scored, lohi
+            GROUP BY 1
+        """,
         "temperature_mix_sample": """
             WITH c AS (SELECT source, count(*) AS n FROM documents
                        GROUP BY source),
@@ -6459,6 +6578,36 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(n AS HUGEINT) * s) AS BIGINT)
                        AS gini_micro
             FROM agg
+        """,
+        "doc_snm_pairs": """
+            -- sorted-neighborhood: pairs within window 2 of the
+            -- (n_chars, doc_id) global sort order
+            WITH r AS (SELECT doc_id,
+                              row_number() OVER (ORDER BY n_chars,
+                                                 doc_id) AS rn
+                       FROM documents WHERE n_chars IS NOT NULL)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b
+                 ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "priority_price_moments": """
+            -- exact per-priority raw power sums in integer cents:
+            -- HUGEINT keeps Sum(c^3) exact (3e28 << 1.7e38), VARCHAR
+            -- matches the kernel's decimal-string big ints
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(c AS HUGEINT)) AS VARCHAR)
+                       AS s1_scaled,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR)
+                       AS s2_scaled,
+                   CAST(SUM(CAST(c AS HUGEINT) * c * c) AS VARCHAR)
+                       AS s3_scaled
+            FROM (SELECT o_orderpriority,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS c
+                  FROM orders WHERE o_totalprice IS NOT NULL)
+            GROUP BY o_orderpriority
         """,
         "flag_weighted_median_price": """
             -- lower weighted median: smallest price whose cumulative

@@ -32,6 +32,8 @@ import hashlib
 import math
 import re
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -561,7 +563,8 @@ def substring_dedup(ds: "rd.Dataset", n: int = 8,
 def nb_source_score(ds: "rd.Dataset", pos_source: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     source_col: str = "source",
-                    max_vocab_rows: int = 50_000_000) -> "rd.Dataset":
+                    max_vocab_rows: int = 50_000_000,
+                    keep_cols: Sequence[str] = ()) -> "rd.Dataset":
     """Quality-classifier filter, the GPT-3/PaLM shape (Brown et al.
     2020 §A: a linear classifier trained to separate a curated source
     from raw CommonCrawl, then used to score every crawl document) —
@@ -659,12 +662,15 @@ def nb_source_score(ds: "rd.Dataset", pos_source: str,
                     .fillna(unseen).to_numpy(dtype=np.int64))
             bounds = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
             totals[nz] += np.add.reduceat(wm, bounds)
-        return pa.table({
+        out = {
             id_col: pa.array(doc_ids, pa.int64()),
             "n_tokens": pa.array(lens),
             "score_micro": pa.array(totals),
             "is_pos": pa.array((totals > 0).astype(np.int32)),
-        })
+        }
+        for c in keep_cols:  # pass-through (e.g. the gold label source)
+            out[c] = t[c]
+        return pa.table(out)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -1389,6 +1395,72 @@ def cohen_kappa(ds: "rd.Dataset", gold_col: str,
                          "accuracy_micro": pd.array([acc], dtype="int64"),
                          "kappa_micro": pd.array([kappa],
                                                  dtype="Int64")})
+
+
+def calibration_bins(ds: "rd.Dataset", score_col: str, label_col: str,
+                     n_bins: int = 10) -> pd.DataFrame:
+    """Reliability-diagram bins of an integer classifier score against
+    a 0/1 gold label — the calibration check an eval layer runs before
+    a score becomes a filter threshold (is a higher NB/LR quality score
+    actually a higher empirical positive rate?). Equal-width bins over
+    the OBSERVED score range in pure integer arithmetic:
+    ``bin = (s − lo)·n_bins // (hi − lo + 1)`` (always in
+    [0, n_bins−1]; mirrored digit for digit by BIGINT ``//`` in SQL).
+
+    Per bin: n, n_pos, ``pos_rate_micro = n_pos·10^6 // n`` and the
+    exact big-int score sum (signed log-odds sums overflow int64 at
+    ~10^13 rows, so partials carry the SHIFTED non-negative sum
+    Σ(s−lo) via the chunked ``_exact_dot`` and the driver adds n·lo
+    back — decimal-string discipline of ``gini_concentration``).
+    Output rows only for non-empty bins, by contract (SQL GROUP BY
+    shape). Nulls dropped. Pure combiner: one ≤n_bins-row partial per
+    batch, driver fold; nothing row-sized leaves the workers."""
+    from credit_ocr_backend_ray.stages.relational import _exact_dot
+
+    lo = ds.min(score_col)
+    hi = ds.max(score_col)
+    if lo is None:
+        return pd.DataFrame({"bin": pd.array([], dtype="int64"),
+                             "n": pd.array([], dtype="int64"),
+                             "n_pos": pd.array([], dtype="int64"),
+                             "pos_rate_micro": pd.array([], dtype="int64"),
+                             "sum_score_micro": pd.Series([], dtype="object")})
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    if span * n_bins >= 2 ** 62:
+        raise ValueError("calibration_bins: score span x n_bins "
+                         "overflows int64 — rescale the score")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[[score_col, label_col]].dropna()
+        s = f[score_col].to_numpy(np.int64)
+        y = f[label_col].to_numpy(np.int64)
+        bins = (s - lo) * n_bins // span
+        rows = []
+        for bv in np.unique(bins):
+            m = bins == bv
+            shifted = s[m] - lo
+            rows.append((int(bv), int(m.sum()), int(y[m].sum()),
+                         str(_exact_dot(shifted,
+                                        np.ones(len(shifted), np.int64)))))
+        return pd.DataFrame(rows, columns=["__b", "__n", "__p", "__s"])
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if "__b" not in parts.columns:
+        parts = pd.DataFrame({"__b": pd.array([], dtype="int64"),
+                              "__n": pd.array([], dtype="int64"),
+                              "__p": pd.array([], dtype="int64"),
+                              "__s": pd.Series([], dtype="object")})
+    out_rows = []
+    for bv, g in parts.groupby("__b", sort=True):
+        n = int(g["__n"].sum())
+        p = int(g["__p"].sum())
+        tot = sum(int(x) for x in g["__s"]) + n * lo  # un-shift exactly
+        out_rows.append((int(bv), n, p, p * 1_000_000 // n, str(tot)))
+    return pd.DataFrame(out_rows, columns=[
+        "bin", "n", "n_pos", "pos_rate_micro", "sum_score_micro"]
+    ).astype({"bin": "int64", "n": "int64", "n_pos": "int64",
+              "pos_rate_micro": "int64"})
 
 
 def benford_digits(ds: "rd.Dataset", col: str) -> pd.DataFrame:

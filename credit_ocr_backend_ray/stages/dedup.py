@@ -1141,3 +1141,82 @@ def edit1_join(ds: "rd.Dataset", id_col: str, str_col: str,
                 .groupby("pair_shard")
                 .map_groups(finish, batch_format="pandas")
                 .drop_columns(["pair_shard"]))
+
+
+def snm_pairs(ds: "rd.Dataset", key_col: str, id_col: str,
+              window: int, bucket_size: int = 65536,
+              n_buckets: int = 1024) -> "rd.Dataset":
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo,
+    SIGMOD'95 — the classic record-linkage blocking method): sort the
+    corpus by a blocking key and emit every id pair within ``window``
+    positions of each other — the cheap O(n*w) complement of the
+    similarity-blocked families (MinHash/SimHash/prefix-filter) for
+    keys where near-duplicates sort near each other (normalized names,
+    lengths, timestamps, zip codes).
+
+    Distributed WITHOUT a global sort: ``global_row_number``'s
+    range-bucket enumeration assigns DENSE global ranks 1..n, rows
+    bucket by ``rank // bucket_size``, and the first ``window`` ranks
+    of each bucket replicate to the previous bucket (boundary overlap)
+    — each pair is emitted exactly once, attributed to the LEFT row's
+    home bucket; inside a bucket the rank set is contiguous, so the
+    j-th neighbor is a plain array shift, no search. Each row moves at
+    most twice; pair volume is exactly n*window (minus the tail).
+
+    Nulls in ``key_col`` drop by contract (they have no sort
+    position). Output: (a_id, b_id, gap) with a_id the lower-RANK
+    row's id and ``gap`` the rank distance in [1, window]."""
+    from credit_ocr_backend_ray.stages.relational import (
+        global_row_number)
+
+    if window < 1:
+        raise ValueError("snm_pairs: window must be >= 1")
+    if bucket_size <= window:
+        raise ValueError("snm_pairs: bucket_size must exceed window")
+
+    def drop_null(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna(subset=[key_col])[[key_col, id_col]]
+
+    numbered = global_row_number(ds.map_batches(drop_null,
+                                                batch_format="pandas"),
+                                 key_col, id_col, alias="__rn",
+                                 n_buckets=n_buckets)
+    B = bucket_size
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["__rn"].to_numpy(np.int64)
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(), "__rn": rn,
+                            "__bkt": rn // B,
+                            "__home": np.ones(len(rn), np.int64)})
+        m = ((rn % B) < window) & (rn // B > 0)
+        if m.any():
+            rep = out[m].copy()
+            rep["__bkt"] -= 1
+            rep["__home"] = 0
+            out = pd.concat([out, rep], ignore_index=True)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__rn")
+        rn = g["__rn"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy()
+        home = g["__home"].to_numpy(np.int64)
+        frames = []
+        for j in range(1, window + 1):
+            if j >= len(rn):
+                break
+            a, b2 = ids[:-j], ids[j:]
+            ok = (home[:-j] == 1) & (rn[j:] - rn[:-j] == j)
+            if ok.any():
+                frames.append(pd.DataFrame({
+                    "a_id": a[ok], "b_id": b2[ok],
+                    "gap": np.full(int(ok.sum()), j, np.int64)}))
+        if not frames:
+            return pd.DataFrame({"a_id": ids[:0], "b_id": ids[:0],
+                                 "gap": pd.array([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    # the bucket id is already a balanced dense range — group directly
+    return (numbered.map_batches(tag, batch_format="pandas")
+                    .groupby("__bkt").map_groups(fold,
+                                                 batch_format="pandas"))

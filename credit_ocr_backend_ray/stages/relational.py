@@ -424,6 +424,88 @@ def grouped_stats(ds: "rd.Dataset", keys: Sequence[str], col: str,
     return out.map_batches(fin, batch_format="pandas")
 
 
+def grouped_moments(ds: "rd.Dataset", keys: Sequence[str], val_col: str,
+                    scale: int = 100,
+                    n_shards: int = 64) -> "rd.Dataset":
+    """Exact per-group raw power sums n, Σc, Σc², Σc³ of the fixed-point
+    quantized column (c = ``floor(x·scale + 0.5)``, the gini quantizer)
+    — the distributed base of variance / skewness / third-moment
+    distribution profiling: every downstream statistic (var numerator
+    n·s2 − s1², Fisher m3) derives from these four numbers per group,
+    so only they ever cross the wire.
+
+    Exactness contract: Σc³ overflows int64 at a few thousand rows, so
+    every power sum is carried as an exact big int (decimal STRING
+    across workers — the gini_concentration discipline). The cube term
+    is computed without any >63-bit intermediate by limb-splitting
+    c² = q·2³¹ + r and folding Σc³ = 2³¹·Σq·c + Σr·c through the
+    chunked ``_exact_dot``; this requires c ≤ 2³¹ (≈ $21M at cents) —
+    an explicit ValueError says to lower ``scale`` beyond it. Values
+    must be non-negative (power-sum profiling of magnitudes; signed
+    data needs a shift, which the error message states). Nulls dropped
+    by contract. Oracle mirror: HUGEINT SUM(c), SUM(c·c), SUM(c·c·c)
+    cast to VARCHAR.
+
+    Shape: pure combiner — one (keys, n, s1, s2, s3) partial per key
+    per batch, ONE shard co-group big-int fold; nothing row-sized
+    shuffles."""
+    keys = list(keys)
+    _CAP = 1 << 31
+
+    def _power_sums(c: np.ndarray) -> tuple[int, int, int]:
+        ones = np.ones(len(c), np.int64)
+        s1 = _exact_dot(c, ones)
+        s2 = _exact_dot(c, c)
+        c2 = c * c  # c <= 2**31 -> c*c <= 2**62, int64-safe
+        q, r = c2 >> 31, c2 & (_CAP - 1)
+        s3 = (_exact_dot(q, c) << 31) + _exact_dot(r, c)
+        return s1, s2, s3
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[keys + [val_col]].dropna(subset=[val_col])
+        base = {**{k: f[k].iloc[:0] for k in keys},
+                "__n": pd.Series([], dtype="int64"),
+                "__s1": pd.Series([], dtype="object"),
+                "__s2": pd.Series([], dtype="object"),
+                "__s3": pd.Series([], dtype="object")}
+        if not len(f):
+            return pd.DataFrame(base)
+        v = f[val_col].to_numpy(np.float64)
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        if c.min() < 0:
+            raise ValueError(
+                "grouped_moments: values must be non-negative "
+                "(shift signed data before profiling)")
+        if c.max() > _CAP:
+            raise ValueError(
+                "grouped_moments: quantized value exceeds 2**31 — "
+                f"lower scale (got max {int(c.max())} at scale {scale})")
+        f = f.assign(__c=c).sort_values(keys, kind="stable")
+        starts, sizes = _segments(f, keys)
+        cc = f["__c"].to_numpy(np.int64)
+        rows = {k: f[k].to_numpy()[starts] for k in keys}
+        s1s, s2s, s3s = [], [], []
+        for st, sz in zip(starts, sizes):
+            a, b2, c3 = _power_sums(cc[st:st + sz])
+            s1s.append(str(a)); s2s.append(str(b2)); s3s.append(str(c3))
+        return pd.DataFrame({**rows,
+                             "__n": pd.array(sizes, dtype="int64"),
+                             "__s1": s1s, "__s2": s2s, "__s3": s3s})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(keys, as_index=False, sort=False,
+                        dropna=False).agg(
+            n=("__n", "sum"),
+            s1_scaled=("__s1", lambda x: str(sum(int(v) for v in x))),
+            s2_scaled=("__s2", lambda x: str(sum(int(v) for v in x))),
+            s3_scaled=("__s3", lambda x: str(sum(int(v) for v in x))))
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    return shard_cogroup(ds.map_batches(part, batch_format="pandas"),
+                         keys[0], fold, n_shards=n_shards)
+
+
 def topk_per_group(ds: "rd.Dataset", key: str, order_cols: list[str], k: int,
                    ascending: list[bool] | None = None) -> "rd.Dataset":
     """Top-k rows per key (reference J4's ORDER BY ... LIMIT 1 generalized

@@ -572,3 +572,37 @@ def test_confusion_report_kappa_hand_computed(ray_session):
     assert k.values.tolist() == [[3, 333_333, -200_000]]
     cm = confusion_matrix(rd.from_pandas(nl), "g", "p")
     assert int(cm["n"].sum()) == 3 and len(cm) == 3
+
+
+def test_calibration_bins_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import calibration_bins
+
+    # lo=0 hi=19 span=20, bin = s*2//20: {0,9}->0, {10,19}->1
+    df = pd.DataFrame({"s": [0, 9, 10, 19], "y": [0, 1, 1, 1]})
+    out = calibration_bins(rd.from_pandas(df).repartition(3), "s", "y",
+                           n_bins=2)
+    assert out["bin"].tolist() == [0, 1]
+    assert out["n"].tolist() == [2, 2]
+    assert out["n_pos"].tolist() == [1, 2]
+    assert out["pos_rate_micro"].tolist() == [500_000, 1_000_000]
+    assert out["sum_score_micro"].tolist() == ["9", "29"]
+
+    # negative log-odds scores: the shifted big-int sum un-shifts back
+    # to the signed exact total
+    df = pd.DataFrame({"s": [-10, -1, 5], "y": [0, 0, 1]})
+    out = calibration_bins(rd.from_pandas(df).repartition(2), "s", "y",
+                           n_bins=2)
+    assert out["bin"].tolist() == [0, 1]
+    assert out["sum_score_micro"].tolist() == ["-10", "4"]
+    assert out["pos_rate_micro"].tolist() == [0, 500_000]
+
+    # all-null / empty input -> empty frame with the output schema
+    out = calibration_bins(
+        rd.from_pandas(pd.DataFrame({"s": [None], "y": [None]})), "s",
+        "y")
+    assert len(out) == 0
+    assert list(out.columns) == ["bin", "n", "n_pos", "pos_rate_micro",
+                                 "sum_score_micro"]

@@ -2148,3 +2148,77 @@ def test_time_band_join_composite_overflow_guard(ray_session):
                         band_us=1_000_000, left_cols=["lid"],
                         right_cols=["rid"], n_shards=1)
          .to_pandas())
+
+
+def test_grouped_moments_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import grouped_moments
+
+    # group a: cents 100, 200 -> s1=300, s2=50000, s3=9_000_000;
+    # group b: 3.005 quantizes floor(300.5+0.5)=301; null drops
+    df = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                       "v": [1.0, 2.0, 3.005, None]})
+    out = (grouped_moments(rd.from_pandas(df).repartition(3), ["k"], "v",
+                           scale=100, n_shards=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["n"].tolist() == [2, 1]
+    assert out["s1_scaled"].tolist() == ["300", "301"]
+    assert out["s2_scaled"].tolist() == ["50000", "90601"]
+    assert out["s3_scaled"].tolist() == [str(100**3 + 200**3),
+                                         str(301**3)]
+
+    # limb-split cube fold stays exact at the 2**31 cap where a straight
+    # int64 dot would overflow after two rows
+    c = 2**31 - 1
+    big = pd.DataFrame({"k": ["x"] * 1000, "v": [float(c)] * 1000})
+    out = (grouped_moments(rd.from_pandas(big).repartition(8), ["k"],
+                           "v", scale=1).to_pandas())
+    assert out["s3_scaled"].tolist() == [str(1000 * c**3)]
+    assert out["s2_scaled"].tolist() == [str(1000 * c**2)]
+
+    # guards: over-cap quantized value and negative input raise
+    with pytest.raises(Exception, match="lower scale"):
+        grouped_moments(rd.from_pandas(pd.DataFrame(
+            {"k": ["a"], "v": [float(2**33)]})), ["k"], "v",
+            scale=1).to_pandas()
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_moments(rd.from_pandas(pd.DataFrame(
+            {"k": ["a"], "v": [-1.0]})), ["k"], "v").to_pandas()
+
+
+def test_snm_pairs_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.dedup import snm_pairs
+
+    # 10 rows, shuffled input, key == 10*id so sort order == id order;
+    # bucket_size=4 forces boundary replication between rank buckets
+    rng = np.random.default_rng(7)
+    ids = np.arange(1, 11)
+    perm = rng.permutation(10)
+    df = pd.DataFrame({"id": ids[perm], "k": (ids * 10.0)[perm]})
+    out = (snm_pairs(rd.from_pandas(df).repartition(3), "k", "id",
+                     window=2, bucket_size=4, n_buckets=8)
+           .to_pandas().sort_values(["a_id", "gap"])
+           .reset_index(drop=True))
+    expect = [(a, a + j, j) for a in range(1, 11) for j in (1, 2)
+              if a + j <= 10]
+    got = list(zip(out["a_id"], out["b_id"], out["gap"]))
+    assert sorted(got) == sorted(expect)
+
+    # a null key has no sort position and drops
+    df2 = pd.DataFrame({"id": [1, 2, 3], "k": [1.0, None, 3.0]})
+    out = (snm_pairs(rd.from_pandas(df2), "k", "id", window=1)
+           .to_pandas())
+    assert list(zip(out["a_id"], out["b_id"])) == [(1, 3)]
+
+    with pytest.raises(ValueError, match="bucket_size"):
+        snm_pairs(rd.from_pandas(df2), "k", "id", window=8,
+                  bucket_size=4)
