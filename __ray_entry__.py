@@ -1809,6 +1809,20 @@ def _q_doc_jaccard_join(sf_dir: str):
                                threshold_micro=800_000, gram_n=8)
 
 
+def _q_doc_containment_join(sf_dir: str):
+    """Exact gram-set containment self-join (stages/dedup.py:
+    containment_join) — ordered pairs with |A∩B|/|A| >= 0.7 over char
+    8-gram sets: the quote/subset detector where Jaccard goes blind
+    (a page embedded in a longer page). Asymmetric prefix filter
+    (probe prefixes vs full-set index postings), guaranteed complete,
+    integer-micro scores floor-divided identically in both engines."""
+    from credit_ocr_backend_ray.stages.dedup import containment_join
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return containment_join(ds, text_col="text", id_col="doc_id",
+                            threshold_micro=700_000, gram_n=8)
+
+
 def _q_dedup_ngram_jaccard(sf_dir: str):
     from credit_ocr_backend_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -4378,6 +4392,7 @@ _SHOWCASE_ORDER = [
     "priority_price_moments",
     "nb_calibration",
     "doc_snm_pairs",
+    "doc_containment_join",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4563,6 +4578,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_moments": _q_priority_price_moments,
         "nb_calibration": _q_nb_calibration,
         "doc_snm_pairs": _q_doc_snm_pairs,
+        "doc_containment_join": _q_doc_containment_join,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6578,6 +6594,31 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(n AS HUGEINT) * s) AS BIGINT)
                        AS gini_micro
             FROM agg
+        """,
+        "doc_containment_join": """
+            -- exact containment self-join over char 8-gram sets:
+            -- ORDERED pairs, score i*1e6 // |A|, keep predicate
+            -- i*1e6 >= t*|A| == floor-division form exactly
+            WITH g AS (
+                SELECT doc_id AS id,
+                       unnest([substr(text, CAST(i AS INT), 8)
+                               for i in range(1, len(text) - 6)]) AS gram
+                FROM documents
+                WHERE text IS NOT NULL AND len(text) >= 8
+            ), toks AS (
+                SELECT DISTINCT id, gram FROM g
+            ), sz AS (
+                SELECT id, count(*) AS n FROM toks GROUP BY id
+            ), inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM toks a JOIN toks b
+                  ON a.gram = b.gram AND a.id <> b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   i * 1000000 // sa.n AS containment_micro
+            FROM inter JOIN sz sa ON sa.id = id_a
+            WHERE i * 1000000 >= 700000 * sa.n
         """,
         "doc_snm_pairs": """
             -- sorted-neighborhood: pairs within window 2 of the

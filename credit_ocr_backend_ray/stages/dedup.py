@@ -1220,3 +1220,148 @@ def snm_pairs(ds: "rd.Dataset", key_col: str, id_col: str,
     return (numbered.map_batches(tag, batch_format="pandas")
                     .groupby("__bkt").map_groups(fold,
                                                  batch_format="pandas"))
+
+
+def containment_join(ds: "rd.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     threshold_micro: int = 800_000, gram_n: int = 8,
+                     common_k: int = 65536,
+                     bucket_cap: int = 4 * _BUCKET_CAP) -> pd.DataFrame:
+    """EXACT gram-set CONTAINMENT self-join: every ORDERED pair
+    (a, b), a != b, with ``|A∩B|·10^6 // |A| >= threshold_micro`` —
+    the quote / subset / page-plus-boilerplate detector where Jaccard
+    goes blind (a short document fully embedded in a long one has
+    J ≈ |A|/|B| → 0 but containment 1.0). The asymmetric sibling of
+    ``prefix_jaccard_join``, sharing its order table, cap discipline
+    and exact-verify scaffolding.
+
+    Asymmetric prefix theorem: if |A∩B| >= ceil(t·|A|) then A's first
+    ``|A| − ceil(t·|A|) + 1`` grams in ANY consistent total order must
+    hit B — but containment bounds nothing relative to |B|, so the
+    INDEX side posts its FULL gram set (the unavoidable price of
+    subset semantics; posting volume is Σ|grams| instead of Σ|prefix|).
+    The shared common-gram rank table still pushes frequent grams out
+    of probe prefixes, so hot-gram buckets hold many index rows but
+    ~zero probes and emit ~zero pairs; per-bucket PROBE counts over
+    ``bucket_cap`` raise (completeness contract — never truncate).
+
+    Verification is exact and positional: candidates keep their
+    (probe, index) orientation through the join-back and score
+    ``containment_micro = |A∩B|·10^6 // |A|`` (floor-division both
+    engines). Both directions of a mutual near-duplicate emit
+    independently — (a,b) when a probes, (b,a) when b probes."""
+    from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
+
+    def gram_count_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t[text_col].to_pylist():
+            for g in _char_gram_set(txt, gram_n):
+                counts[g] = counts.get(g, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:2 * common_k]
+        return pa.table({
+            "gram": pa.array([g for g, _ in top], pa.string()),
+            "n": pa.array([c for _, c in top], pa.int64())})
+
+    parts = (ds.map_batches(gram_count_partial, batch_format="pyarrow")
+               .to_pandas())
+    folded = (parts.groupby("gram", sort=False)["n"].sum()
+                   .sort_values(ascending=False, kind="stable"))
+    common = folded.index.to_numpy()[:common_k]
+    common_rank = {g: (1 << 63) + (common_k - i) for i, g in
+                   enumerate(common)}
+    rank_ref = ray.put(common_rank)
+
+    def postings(t: pa.Table) -> pa.Table:
+        ranks = ray.get(rank_ref)
+        out_key: list[int] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        out_probe: list[int] = []
+        for i, txt in zip(t[id_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            grams = sorted(_char_gram_set(txt, gram_n))
+            m = len(grams)
+            if m == 0:
+                continue
+            keys = hash_strings_u64(grams) & np.uint64((1 << 63) - 1)
+            for j, g in enumerate(grams):
+                r = ranks.get(g)
+                if r is not None:
+                    keys[j] = r
+            keys = np.sort(keys)
+            p = m - (threshold_micro * m + 999_999) // 1_000_000 + 1
+            # index role: EVERY gram; probe role: the p rarest only
+            for j, k in enumerate(keys):
+                out_key.append(int(k))
+                out_id.append(i)
+                out_n.append(m)
+                out_probe.append(1 if j < p else 0)
+        key_arr = np.array(out_key, dtype=np.uint64)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "__n": pa.array(out_n, pa.int64()),
+            "__probe": pa.array(out_probe, pa.int64()),
+            "band_key": pa.array(key_arr, pa.uint64()),
+            "shard": pa.array((key_arr % _BAND_SHARDS).astype(np.int32)),
+        })
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def oriented_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for key, bucket in g.groupby("band_key", sort=False):
+            probes = sorted(set(
+                zip(bucket.loc[bucket["__probe"] == 1, id_col],
+                    bucket.loc[bucket["__probe"] == 1, "__n"])))
+            if not probes:
+                continue
+            idx = sorted(set(zip(bucket[id_col], bucket["__n"])))
+            if len(probes) > bucket_cap:
+                raise ValueError(
+                    f"containment_join: {len(probes)} probe ids on "
+                    f"gram key {key} (> bucket_cap={bucket_cap}). "
+                    f"Raise bucket_cap or common_k, or raise "
+                    f"threshold_micro to shrink prefixes.")
+            for ia, na in probes:
+                for ib, nb in idx:
+                    if ib == ia:
+                        continue
+                    # size filter: t*|A| <= |A∩B| <= min(|A|, |B|)
+                    if threshold_micro * na > 1_000_000 * nb:
+                        continue
+                    a_out.append(ia)
+                    b_out.append(ib)
+        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                             "id_b": pd.Series(b_out, dtype="int64"),
+                             "n_trunc": pd.Series(
+                                 np.zeros(len(a_out), dtype=np.int64))})
+
+    pairs = posts.groupby("shard").map_groups(oriented_pairs,
+                                              batch_format="pandas")
+
+    def add_pair_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b["pair_shard"] = ((b["id_a"] * 31 + b["id_b"])
+                           % 256).astype("int32")
+        return b
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["id_a", "id_b"], as_index=False, sort=False)
+                 .agg(n_trunc=("n_trunc", "max")))
+
+    cands = (pairs.map_batches(add_pair_shard, batch_format="pandas")
+                  .groupby("pair_shard")
+                  .map_groups(dedup_pairs, batch_format="pandas"))
+
+    def micro_scorer(a: str | None, b: str | None) -> int:
+        sa = _char_gram_set(a, gram_n)
+        sb = _char_gram_set(b, gram_n)
+        if not sa:
+            return 0
+        return len(sa & sb) * 1_000_000 // len(sa)
+
+    return _verify_pairs_by_join(
+        cands, ds, id_col, text_col, threshold=0.0,
+        scorer=micro_scorer, score_col="containment_micro",
+        score_type=pa.int64(), min_keep=threshold_micro)

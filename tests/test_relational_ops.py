@@ -2222,3 +2222,52 @@ def test_snm_pairs_exact(ray_session):
     with pytest.raises(ValueError, match="bucket_size"):
         snm_pairs(rd.from_pandas(df2), "k", "id", window=8,
                   bucket_size=4)
+
+
+def test_containment_join_planted_and_differential(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.dedup import (_char_gram_set,
+                                                     containment_join)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen green bottles stand on the wall near the old "
+            "stone bridge by the river bend in late autumn light")
+    quote = base[20:80]  # short doc fully embedded in the long one
+    other = "completely unrelated text about distributed query engines"
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [base, quote, other]})
+    out = containment_join(rd.from_pandas(df).repartition(2),
+                           threshold_micro=900_000, gram_n=8)
+    got = set(zip(out["id_a"], out["id_b"]))
+    # the quote is contained in the base (2 -> 1); not vice versa
+    assert (2, 1) in got
+    assert (1, 2) not in got
+    assert not any(3 in p for p in got)
+
+    # mutual near-duplicates emit BOTH orientations
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [base, base + "x"]})
+    out = containment_join(rd.from_pandas(df), threshold_micro=900_000)
+    assert {(1, 2), (2, 1)} <= set(zip(out["id_a"], out["id_b"]))
+
+    # randomized completeness differential vs brute force
+    rng = np.random.default_rng(11)
+    frags = ["".join(rng.choice(list("abcdef gh"), 30)) for _ in range(8)]
+    texts = ["".join(rng.choice(frags,
+                                rng.integers(1, 4), replace=True))
+             for _ in range(40)]
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    t = 700_000
+    out = containment_join(rd.from_pandas(df).repartition(4),
+                           threshold_micro=t, gram_n=8)
+    got = set(zip(out["id_a"], out["id_b"]))
+    sets = {i: _char_gram_set(s, 8) for i, s in enumerate(texts)}
+    expect = set()
+    for a in range(40):
+        for b in range(40):
+            if a != b and sets[a]:
+                if len(sets[a] & sets[b]) * 1_000_000 // len(sets[a]) >= t:
+                    expect.add((a, b))
+    assert got == expect
