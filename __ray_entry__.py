@@ -3922,6 +3922,19 @@ def _q_doc_snm_pairs(sf_dir: str):
     return snm_pairs(ds, "n_chars", "doc_id", window=2)
 
 
+def _q_source_js_divergence(sf_dir: str):
+    """Per-source Jensen-Shannon divergence vs the whole corpus
+    unigram distribution (stages/text.py: source_js_divergence) in
+    exact-summable integer pico-nats — per-token contributions floored
+    once with libm ln (math.log == DuckDB ln bit for bit; numpy's SIMD
+    log differs by an ulp), out-of-support mass folded in closed form,
+    so the oracle is hash-exact despite 50k-term float sums."""
+    from credit_ocr_backend_ray.stages.text import source_js_divergence
+
+    ds = _rp(_t(sf_dir, "documents"), columns=["source", "text"])
+    return source_js_divergence(ds)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03,
     the MOSS algorithm): per-window minimal md5-hex 4-gram hash,
@@ -4393,6 +4406,7 @@ _SHOWCASE_ORDER = [
     "nb_calibration",
     "doc_snm_pairs",
     "doc_containment_join",
+    "source_js_divergence",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4579,6 +4593,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "nb_calibration": _q_nb_calibration,
         "doc_snm_pairs": _q_doc_snm_pairs,
         "doc_containment_join": _q_doc_containment_join,
+        "source_js_divergence": _q_source_js_divergence,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6594,6 +6609,49 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(n AS HUGEINT) * s) AS BIGINT)
                        AS gini_micro
             FROM agg
+        """,
+        "source_js_divergence": """
+            -- per-source JS divergence vs the corpus in pico-nats:
+            -- per-token contribution floored ONCE (libm ln both
+            -- engines), only integers summed (order-free), closed-form
+            -- ln2 term for the out-of-support corpus mass
+            WITH tok AS (
+                SELECT source, token FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS token
+                    FROM documents
+                    WHERE source IS NOT NULL AND text IS NOT NULL
+                          AND length(trim(text)) > 0)
+                WHERE token <> ''),
+            a AS (SELECT source, token, count(*) AS a
+                  FROM tok GROUP BY 1, 2),
+            bt AS (SELECT token, sum(a) AS b FROM a GROUP BY 1),
+            at AS (SELECT source, sum(a) AS ta FROM a GROUP BY 1),
+            tot AS (SELECT sum(a) AS tb FROM a),
+            pq AS (SELECT a.source, bt.b,
+                          CAST(a.a AS DOUBLE) / CAST(at.ta AS DOUBLE)
+                              AS p,
+                          CAST(bt.b AS DOUBLE) / CAST(tot.tb AS DOUBLE)
+                              AS q
+                   FROM a JOIN bt USING (token)
+                          JOIN at USING (source) CROSS JOIN tot),
+            c AS (SELECT source, b,
+                         CAST(floor(0.5 * (p * ln(2.0 * p / (p + q))
+                                           + q * ln(2.0 * q / (p + q)))
+                                    * 1e12) AS BIGINT) AS cp
+                  FROM pq),
+            s AS (SELECT source, count(*) AS vocab, sum(b) AS sb,
+                         sum(cp) AS sc
+                  FROM c GROUP BY source)
+            SELECT s.source, CAST(vocab AS BIGINT) AS vocab,
+                   CAST(sb AS BIGINT) AS support_q_b,
+                   CAST(sc + CAST(floor(0.5
+                            * (1.0 - CAST(sb AS DOUBLE)
+                                     / CAST(tot.tb AS DOUBLE))
+                            * ln(2.0) * 1e12) AS BIGINT) AS BIGINT)
+                       AS js_pico
+            FROM s CROSS JOIN tot
         """,
         "doc_containment_join": """
             -- exact containment self-join over char 8-gram sets:

@@ -1729,3 +1729,124 @@ def zipf_slope(ds, text_col: str = "text", top_n: int = 100):
         "slope_den": pd.Series([den], dtype="int64"),
         "slope": pd.Series([float(num) / float(den)],
                            dtype="float64")}))
+
+
+def source_js_divergence(ds, group_col: str = "source",
+                         text_col: str = "text", n_shards: int = 64):
+    """Per-group Jensen–Shannon divergence between the group's unigram
+    token distribution P and the WHOLE corpus distribution Q — the
+    text-level drift/imbalance audit of a mixed-source corpus (the
+    numeric sibling is ``cdf_drift``): JS = ½KL(P‖M) + ½KL(Q‖M),
+    M = (P+Q)/2, in exact-summable integer PICO-nats.
+
+    Determinism contract (the ``term_label_ig`` discipline, summed at
+    corpus width): every per-token contribution
+    ``½(p·ln(2p/m) + q·ln(2q/m))`` is computed with ``math.log`` (the
+    same libm double as DuckDB's ``ln`` — numpy's SIMD log differs by
+    an ulp and breaks the floor) in an expression mirrored operation
+    for operation by the SQL oracle, floored ONCE to pico-nats
+    (int64-safe: |contrib| ≤ ln2, Σ ≤ vocab·0.7·10¹² ≪ 2⁶³), and only
+    integers are summed — so the result is independent of summation
+    order on both engines. Tokens OUTSIDE the group's support enter
+    KL(Q‖M) in closed form: Σ_{i∉P} q_i·ln2 = (1 − S_b/B)·ln2 with
+    S_b the exact integer corpus count of the group's support — one
+    extra floored term per group, no full-vocab pass per group.
+
+    Shape: one bounded per-group token-total pass (combiner), one
+    (token, group, tf) combiner partial per batch, ONE token-hash
+    shard co-group (each token's corpus count folds locally), per-group
+    integer partials to the driver. Output: (group, vocab, support_q_b,
+    js_pico), ordered by group."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import shard_cogroup
+
+    ws = re.compile(r"\s+")
+
+    def totals(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for grp, txt in zip(t[group_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if grp is None or not txt or not txt.strip():
+                continue
+            c[grp] += sum(1 for tok in ws.split(txt.strip()) if tok)
+        return pa.table({
+            group_col: pa.array(list(c.keys()), pa.string()),
+            "__tn": pa.array(list(c.values()), pa.int64())})
+
+    tp = ds.map_batches(totals, batch_format="pyarrow").to_pandas()
+    if group_col in tp.columns:
+        tot = tp.groupby(group_col)["__tn"].sum()
+        a_tot = {str(g): int(n) for g, n in tot.items() if int(n) > 0}
+        b_tot = int(tot.sum())
+    else:  # empty input -> column-less frame
+        a_tot, b_tot = {}, 0
+    if b_tot == 0:
+        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                             "vocab": pd.array([], dtype="int64"),
+                             "support_q_b": pd.array([], dtype="int64"),
+                             "js_pico": pd.array([], dtype="int64")})
+    at_ref = ray.put(a_tot)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for grp, txt in zip(t[group_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if grp is None or not txt or not txt.strip():
+                continue
+            for tok in ws.split(txt.strip()):
+                if tok:
+                    c[(tok, grp)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "token": pa.array([k for k, _ in keys], pa.string()),
+            group_col: pa.array([g for _, g in keys], pa.string()),
+            "__a": pa.array(list(c.values()), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        at = ray.get(at_ref)
+        cnt = (g.groupby(["token", group_col], as_index=False,
+                         sort=False)["__a"].sum())
+        b_of = cnt.groupby("token", sort=False)["__a"].transform("sum")
+        rows: dict[str, list[int]] = {}
+        for grp, a, b in zip(cnt[group_col], cnt["__a"], b_of):
+            # mirrored operation for operation by the SQL oracle:
+            # ints cast to double, divided, logged with libm ln
+            p = float(int(a)) / float(at[grp])
+            q = float(int(b)) / float(b_tot)
+            m = p + q
+            c = 0.5 * (p * math.log(2.0 * p / m)
+                       + q * math.log(2.0 * q / m))
+            r = rows.setdefault(grp, [0, 0, 0])
+            r[0] += 1
+            r[1] += int(b)
+            r[2] += math.floor(c * 1e12)
+        return pd.DataFrame({
+            group_col: list(rows.keys()),
+            "__v": pd.array([r[0] for r in rows.values()],
+                            dtype="int64"),
+            "__sb": pd.array([r[1] for r in rows.values()],
+                             dtype="int64"),
+            "__c": pd.array([r[2] for r in rows.values()],
+                            dtype="int64")})
+
+    parts = shard_cogroup(partials, "token", fold,
+                          n_shards=n_shards).to_pandas()
+    out = (parts.groupby(group_col, as_index=False)
+                .agg(vocab=("__v", "sum"), support_q_b=("__sb", "sum"),
+                     js_pico=("__c", "sum")))
+    rem = [math.floor(0.5 * (1.0 - float(sb) / float(b_tot))
+                      * math.log(2.0) * 1e12)
+           for sb in out["support_q_b"]]
+    out["js_pico"] = (out["js_pico"].astype("int64")
+                      + pd.array(rem, dtype="int64"))
+    return (out.astype({"vocab": "int64", "support_q_b": "int64",
+                        "js_pico": "int64"})
+               .sort_values(group_col).reset_index(drop=True))

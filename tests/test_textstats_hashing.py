@@ -573,3 +573,56 @@ def test_benford_digits_exact(ray_session):
     assert out["delta_micro"].tolist() == [o - e for o, e in
                                            zip(obs, exp)]
     assert all(out[c].dtype == "int64" for c in out.columns)
+
+
+def test_source_js_divergence_exact(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.text import source_js_divergence
+
+    # source x: tokens a a b; source y: tokens b c — verify against a
+    # direct full-vocab JS computed independently (no closed-form
+    # shortcut), contribution-floored the same way
+    df = pd.DataFrame({"source": ["x", "x", "y"],
+                       "text": ["a a", "b", "b c"]})
+    out = source_js_divergence(rd.from_pandas(df).repartition(2))
+    assert out["source"].tolist() == ["x", "y"]
+    assert out["vocab"].tolist() == [2, 2]
+
+    corpus = {"a": 2, "b": 2, "c": 1}
+    B = 5
+
+    def expect(counts, A):
+        tot = 0
+        sb = 0
+        for t, a in counts.items():
+            p = float(a) / float(A)
+            q = float(corpus[t]) / float(B)
+            m = p + q
+            c = 0.5 * (p * math.log(2.0 * p / m)
+                       + q * math.log(2.0 * q / m))
+            tot += math.floor(c * 1e12)
+            sb += corpus[t]
+        tot += math.floor(0.5 * (1.0 - float(sb) / float(B))
+                          * math.log(2.0) * 1e12)
+        return tot, sb
+
+    ex_x, sb_x = expect({"a": 2, "b": 1}, 3)
+    ex_y, sb_y = expect({"b": 1, "c": 1}, 2)
+    assert out["js_pico"].tolist() == [ex_x, ex_y]
+    assert out["support_q_b"].tolist() == [sb_x, sb_y]
+    # sanity: both divergences positive and < ln2
+    assert 0 < ex_x < 0.6932e12 and 0 < ex_y < 0.6932e12
+
+    # single source -> P == Q -> JS exactly 0
+    one = pd.DataFrame({"source": ["s", "s"], "text": ["a b", "b c c"]})
+    out = source_js_divergence(rd.from_pandas(one).repartition(2))
+    assert out["js_pico"].tolist() == [0]
+
+    # empty / all-null input -> empty frame
+    out = source_js_divergence(rd.from_pandas(
+        pd.DataFrame({"source": [None], "text": [None]})))
+    assert len(out) == 0
