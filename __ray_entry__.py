@@ -2384,6 +2384,21 @@ def _q_priority_price_moments(sf_dir: str):
                            scale=100)
 
 
+def _q_priority_welch_t(sf_dir: str):
+    """Pairwise Welch two-sample t statistic between order priorities
+    on o_totalprice (stages/relational.py: welch_t_pairs) — the
+    A/B-test evaluator derived from grouped_moments' exact power sums;
+    one combiner pass distributed, bounded groups-squared driver fold,
+    fixed float expression (IEEE sqrt is correctly rounded, so the
+    oracle matches bit for bit) floored to micro units."""
+    from credit_ocr_backend_ray.stages.relational import welch_t_pairs
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    return welch_t_pairs(ds, "o_orderpriority", "o_totalprice",
+                         scale=100)
+
+
 def _q_price_benford(sf_dir: str):
     """Benford first-significant-digit audit of o_totalprice
     (stages/curate.py: benford_digits) — nine exact-integer rows
@@ -4407,6 +4422,7 @@ _SHOWCASE_ORDER = [
     "doc_snm_pairs",
     "doc_containment_join",
     "source_js_divergence",
+    "priority_welch_t",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4594,6 +4610,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_snm_pairs": _q_doc_snm_pairs,
         "doc_containment_join": _q_doc_containment_join,
         "source_js_divergence": _q_source_js_divergence,
+        "priority_welch_t": _q_priority_welch_t,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6689,6 +6706,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "priority_welch_t": """
+            -- pairwise Welch t from exact power sums; every float op
+            -- mirrors the kernel's expression order, IEEE sqrt is
+            -- correctly rounded so both engines agree bit for bit
+            WITH q AS (
+                SELECT o_orderpriority AS k,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS c
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            m AS (SELECT k, COUNT(*) AS n,
+                         SUM(CAST(c AS HUGEINT)) AS s1,
+                         SUM(CAST(c AS HUGEINT) * c) AS s2
+                  FROM q GROUP BY k),
+            e AS (SELECT k, n,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                             AS mean,
+                         (CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE)
+                            * (CAST(s1 AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                         / CAST(n - 1 AS DOUBLE) AS v
+                  FROM m WHERE n >= 2),
+            p AS (SELECT a.k AS key_a, b.k AS key_b,
+                         a.n AS n_a, b.n AS n_b,
+                         a.mean AS ma, b.mean AS mb,
+                         a.v / CAST(a.n AS DOUBLE) AS sa,
+                         b.v / CAST(b.n AS DOUBLE) AS sb
+                  FROM e a JOIN e b ON a.k < b.k)
+            SELECT key_a, key_b, n_a, n_b,
+                   CASE WHEN sa + sb > 0
+                        THEN CAST(floor((ma - mb) / sqrt(sa + sb)
+                                        * 1e6) AS BIGINT) END
+                       AS t_micro,
+                   CASE WHEN sa + sb > 0
+                             AND sa * sa / CAST(n_a - 1 AS DOUBLE)
+                                 + sb * sb / CAST(n_b - 1 AS DOUBLE)
+                                 > 0
+                        THEN CAST(floor((sa + sb) * (sa + sb)
+                                 / (sa * sa / CAST(n_a - 1 AS DOUBLE)
+                                    + sb * sb
+                                      / CAST(n_b - 1 AS DOUBLE))
+                                 * 1e6) AS BIGINT) END AS df_micro
+            FROM p
         """,
         "priority_price_moments": """
             -- exact per-priority raw power sums in integer cents:

@@ -3141,3 +3141,62 @@ def grouped_weighted_median(ds: "rd.Dataset", keys: Sequence[str],
         return hit.merge(full, on=keys)
 
     return shard_cogroup(partials, keys[0], fold, n_shards=n_shards)
+
+
+def welch_t_pairs(ds: "rd.Dataset", key: str, val_col: str,
+                  scale: int = 100,
+                  n_shards: int = 64) -> pd.DataFrame:
+    """Pairwise Welch two-sample t statistic between every ordered pair
+    of groups (key_a < key_b) — the A/B-test / cohort-comparison
+    evaluator, derived entirely from ``grouped_moments``' exact power
+    sums (the distributed work is ONE combiner pass; the pairing is a
+    bounded driver fold over groups², so ``key`` must be
+    low-cardinality — priorities, experiment arms, sources).
+
+    Determinism contract: means/variances come from the exact integer
+    sums via a FIXED float expression mirrored operation for operation
+    in SQL — mean = s1/n, var = (s2 − s1·mean)/(n−1), se2 = v1/n1 +
+    v2/n2, t = (mean_a − mean_b)/sqrt(se2) (IEEE sqrt is correctly
+    rounded, so libm and DuckDB agree bit for bit), Welch–Satterthwaite
+    df likewise; both reported as ``floor(x·10^6)`` micro units (floor
+    toward −inf on both engines, t may be negative). Pairs need n ≥ 2
+    on both sides; ``se2 == 0`` (both groups constant) yields null t
+    and df. The t statistic is scale-invariant up to quantization, and
+    both engines share the one quantization.
+
+    Output: (key_a, key_b, n_a, n_b, t_micro, df_micro), key-ordered."""
+    import math
+
+    mom = grouped_moments(ds, [key], val_col, scale=scale,
+                          n_shards=n_shards).to_pandas()
+    mom = mom.sort_values(key).reset_index(drop=True)
+    rows = []
+    for i in range(len(mom)):
+        for j in range(i + 1, len(mom)):
+            a, b = mom.iloc[i], mom.iloc[j]
+            na, nb = int(a["n"]), int(b["n"])
+            if na < 2 or nb < 2:
+                continue
+            ma = float(int(a["s1_scaled"])) / float(na)
+            mb = float(int(b["s1_scaled"])) / float(nb)
+            va = ((float(int(a["s2_scaled"]))
+                   - float(int(a["s1_scaled"])) * ma) / float(na - 1))
+            vb = ((float(int(b["s2_scaled"]))
+                   - float(int(b["s1_scaled"])) * mb) / float(nb - 1))
+            sa = va / float(na)
+            sb = vb / float(nb)
+            se2 = sa + sb
+            if se2 > 0.0:
+                t_micro = math.floor((ma - mb) / math.sqrt(se2) * 1e6)
+                den = (sa * sa / float(na - 1)
+                       + sb * sb / float(nb - 1))
+                df_micro = (math.floor(se2 * se2 / den * 1e6)
+                            if den > 0.0 else None)
+            else:
+                t_micro = None
+                df_micro = None
+            rows.append((a[key], b[key], na, nb, t_micro, df_micro))
+    return pd.DataFrame(rows, columns=["key_a", "key_b", "n_a", "n_b",
+                                       "t_micro", "df_micro"]).astype(
+        {"n_a": "int64", "n_b": "int64", "t_micro": "Int64",
+         "df_micro": "Int64"})

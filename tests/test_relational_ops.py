@@ -2271,3 +2271,46 @@ def test_containment_join_planted_and_differential(ray_session):
                 if len(sets[a] & sets[b]) * 1_000_000 // len(sets[a]) >= t:
                     expect.add((a, b))
     assert got == expect
+
+
+def test_welch_t_pairs_exact(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import welch_t_pairs
+
+    # groups: a=[1..4], b=[10,10,11], c=[5] (n=1 -> excluded)
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"],
+        "v": [1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 11.0, 5.0]})
+    out = welch_t_pairs(rd.from_pandas(df).repartition(3), "k", "v",
+                        scale=1)
+    assert list(zip(out["key_a"], out["key_b"])) == [("a", "b")]
+
+    def expect(xa, xb):
+        na, nb = len(xa), len(xb)
+        s1a, s2a = sum(xa), sum(x * x for x in xa)
+        s1b, s2b = sum(xb), sum(x * x for x in xb)
+        ma = float(s1a) / float(na)
+        mb = float(s1b) / float(nb)
+        va = (float(s2a) - float(s1a) * ma) / float(na - 1)
+        vb = (float(s2b) - float(s1b) * mb) / float(nb - 1)
+        sa, sb = va / float(na), vb / float(nb)
+        se2 = sa + sb
+        t = math.floor((ma - mb) / math.sqrt(se2) * 1e6)
+        den = sa * sa / float(na - 1) + sb * sb / float(nb - 1)
+        return t, math.floor(se2 * se2 / den * 1e6)
+
+    t, dfm = expect([1, 2, 3, 4], [10, 10, 11])
+    assert out["t_micro"].tolist() == [t]
+    assert out["df_micro"].tolist() == [dfm]
+    assert t < 0  # mean(a) < mean(b)
+
+    # two constant groups: se2 == 0 -> null t and df
+    cg = pd.DataFrame({"k": ["x", "x", "y", "y"],
+                       "v": [2.0, 2.0, 7.0, 7.0]})
+    out = welch_t_pairs(rd.from_pandas(cg), "k", "v", scale=1)
+    assert out["t_micro"].isna().all()
+    assert out["df_micro"].isna().all()

@@ -137,6 +137,81 @@ def stress_scd2(n: int = 1_000_000, users: int = 10_000) -> dict:
             "one_current_per_user": cur == out["u"].nunique()}
 
 
+def stress_gini(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import (
+        gini_concentration)
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = gini_concentration(ds, "score", scale=1)
+    wall = time.perf_counter() - t0
+    # exact local restatement with Python big ints
+    c = np.sort(df["score"].to_numpy(np.int64))
+    s = int(c.sum()); w = int(np.sum((np.arange(n) + 1) * c))
+    want = (2 * w - (n + 1) * s) * 1_000_000 // (n * s)
+    got = int(out["gini_micro"].iloc[0])
+    return {"n": n, "wall_s_inner": round(wall, 2),
+            "gini_micro": got, "match": got == want}
+
+
+def stress_grouped_moments(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import grouped_moments
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = grouped_moments(ds, ["k"], "score", scale=1).to_pandas()
+    wall = time.perf_counter() - t0
+    # pin one group with Python big-int power sums
+    g = df.loc[df["k"] == "g07", "score"].to_numpy(np.int64)
+    want = (str(int(g.sum())),
+            str(sum(int(v) ** 2 for v in g)),
+            str(sum(int(v) ** 3 for v in g)))
+    row = out[out["k"] == "g07"].iloc[0]
+    got = (row["s1_scaled"], row["s2_scaled"], row["s3_scaled"])
+    return {"n": n, "groups": len(out),
+            "wall_s_inner": round(wall, 2), "g07_match": got == want}
+
+
+def stress_snm_pairs(n: int = 1_000_000, window: int = 2) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import snm_pairs
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = snm_pairs(ds, "score", "id", window=window)
+    cnt = out.count()
+    wall = time.perf_counter() - t0
+    # exactly n*window - window*(window+1)/2 pairs on dense ranks
+    want = n * window - window * (window + 1) // 2
+    return {"n": n, "pairs": cnt, "wall_s_inner": round(wall, 2),
+            "count_match": cnt == want}
+
+
+def stress_calibration(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.curate import calibration_bins
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = calibration_bins(ds, "score", "pos", n_bins=10)
+    wall = time.perf_counter() - t0
+    lo = int(df["score"].min()); span = int(df["score"].max()) - lo + 1
+    bins = (df["score"].to_numpy(np.int64) - lo) * 10 // span
+    want_n = pd.Series(bins).value_counts().sort_index()
+    match = (out["n"].tolist() == want_n.tolist()
+             and int(out["n"].sum()) == n
+             and out["sum_score_micro"].map(int).sum()
+                 == int(df["score"].sum()))
+    return {"n": n, "bins": len(out),
+            "wall_s_inner": round(wall, 2), "match": bool(match)}
+
+
 def main() -> int:
     import ray
     ray.init(address="local",
@@ -153,6 +228,10 @@ def main() -> int:
         timed("rank_features_1M", stress_rank_features),
         timed("equidepth_1M", stress_equidepth),
         timed("scd2_1M", stress_scd2),
+        timed("gini_1M", stress_gini),
+        timed("grouped_moments_1M", stress_grouped_moments),
+        timed("snm_pairs_1M", stress_snm_pairs),
+        timed("calibration_1M", stress_calibration),
     ]
     ok = all(all(bool(v) for kk, v in r["result"].items()
                  if kk.endswith(("match", "balanced", "exact", "mono",
