@@ -748,8 +748,14 @@ def doc_importance(ds: "rd.Dataset", target_source: str,
     t_total = int(hist["n_tgt"].sum())
 
     def micro_ln(x: np.ndarray | int) -> np.ndarray:
-        return np.floor(1e6 * np.log(np.asarray(x, np.float64))) \
-            .astype(np.int64)
+        # math.log, not np.log: numpy's SIMD log differs from libm by
+        # an ulp on ~27% of integer inputs, and DuckDB's ln IS libm —
+        # a micro-floor one ulp below an integer would flip the oracle
+        # (~1e-9/value lottery; the bucket table is ~n_buckets rows, so
+        # the scalar loop is free)
+        arr = np.asarray(x, np.float64).reshape(-1)
+        return np.array([math.floor(1e6 * math.log(v)) for v in arr],
+                        dtype=np.int64)
 
     w = ((micro_ln(hist["n_tgt"].to_numpy() + 1)
           - micro_ln(t_total + n_buckets))
