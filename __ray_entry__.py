@@ -1135,6 +1135,12 @@ def _events_alt_format(sf_dir: str, fmt: str) -> str:
         path = os.path.join(out_dir, f"events.{fmt}")
         if fmt == "jsonl":
             df.to_json(path, orient="records", lines=True)
+        elif fmt == "ipc":
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            with ipc.new_file(path, t.schema) as w:
+                w.write_table(t)
         else:
             df.to_csv(path, index=False)
         with open(marker, "w", encoding="utf-8") as f:
@@ -1194,6 +1200,16 @@ def _q_events_from_csv(sf_dir: str):
     import ray.data as rd
     d = _events_alt_format(sf_dir, "csv")
     return _agg_events_by_type(rd.read_csv(os.path.join(d, "events.csv")))
+
+
+def _q_events_from_ipc(sf_dir: str):
+    """Arrow IPC (Feather v2) ingest (sources/ipc.py: read_ipc — Ray
+    ships no feather reader): one read task per .arrow file, in-task
+    pyarrow.ipc decode, same grouped aggregate and oracle as the
+    CSV/JSONL siblings."""
+    from credit_ocr_backend_ray.sources.ipc import read_ipc
+    d = _events_alt_format(sf_dir, "ipc")
+    return _agg_events_by_type(read_ipc(os.path.join(d, "events.ipc")))
 
 
 def _knn_queries(sf_dir: str) -> np.ndarray:
@@ -4423,6 +4439,7 @@ _SHOWCASE_ORDER = [
     "doc_containment_join",
     "source_js_divergence",
     "priority_welch_t",
+    "events_from_ipc",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4611,6 +4628,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_join": _q_doc_containment_join,
         "source_js_divergence": _q_source_js_divergence,
         "priority_welch_t": _q_priority_welch_t,
+        "events_from_ipc": _q_events_from_ipc,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6096,6 +6114,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "events_from_csv": """
+            SELECT event_type, round(sum(value), 4) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_from_ipc": """
             SELECT event_type, round(sum(value), 4) AS sum_value,
                    count(*) AS n
             FROM events GROUP BY event_type

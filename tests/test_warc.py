@@ -154,3 +154,22 @@ def test_read_jsonl_robust_rerun_skips_and_crash_restarts(ray_session,
     os.unlink(os.path.join(spill, "_done"))
     d3, q3 = read_jsonl_robust([p], spill_dir=spill)
     assert d3.count() == 2 and q3.count() == 1
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from credit_ocr_backend_ray.sources.ipc import read_ipc, write_ipc
+
+    df = pd.DataFrame({"k": range(100),
+                       "s": [f"v{i}" for i in range(100)]})
+    base = str(tmp_path / "ipc")
+    n = write_ipc(rd.from_pandas(df).repartition(4), base)
+    assert 1 <= n <= 4
+    back = (read_ipc(base).to_pandas().sort_values("k")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(back, df)
+    # idempotent: re-writing the same content produces the same files
+    n2 = write_ipc(rd.from_pandas(df).repartition(4), base)
+    import glob as g
+    assert n2 == n and len(g.glob(base + "/*.arrow")) == n
