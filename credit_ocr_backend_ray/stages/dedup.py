@@ -1245,10 +1245,20 @@ def containment_join(ds: "rd.Dataset", text_col: str = "text",
     ~zero probes and emit ~zero pairs; per-bucket PROBE counts over
     ``bucket_cap`` raise (completeness contract — never truncate).
 
+    Candidate pruning beyond the prefix: the PPJoin POSITIONAL filter —
+    index postings carry the gram's position j_b in B's order; all
+    common grams sit at positions >= j_b, so a pair is generated only
+    where m_b − j_b still reaches ceil(t·|A|). Sound because the FIRST
+    common gram (which the prefix theorem guarantees lies in A's
+    prefix) always passes, and pairs are OR-deduped across generating
+    grams.
+
     Verification is exact and positional: candidates keep their
     (probe, index) orientation through the join-back and score
     ``containment_micro = |A∩B|·10^6 // |A|`` (floor-division both
-    engines). Both directions of a mutual near-duplicate emit
+    engines; per-worker gram-set cache — one shingling per DOC, not
+    per pair, which was the 10M-candidate hot spot on self-similar
+    corpora). Both directions of a mutual near-duplicate emit
     independently — (a,b) when a probes, (b,a) when b probes."""
     from credit_ocr_backend_ray.functions.hashing import hash_strings_u64
 
@@ -1278,6 +1288,7 @@ def containment_join(ds: "rd.Dataset", text_col: str = "text",
         out_id: list[int] = []
         out_n: list[int] = []
         out_probe: list[int] = []
+        out_pos: list[int] = []
         for i, txt in zip(t[id_col].to_pylist(),
                           t[text_col].to_pylist()):
             grams = sorted(_char_gram_set(txt, gram_n))
@@ -1291,17 +1302,21 @@ def containment_join(ds: "rd.Dataset", text_col: str = "text",
                     keys[j] = r
             keys = np.sort(keys)
             p = m - (threshold_micro * m + 999_999) // 1_000_000 + 1
-            # index role: EVERY gram; probe role: the p rarest only
+            # index role: EVERY gram; probe role: the p rarest only;
+            # __j carries the gram's position in the doc's order for
+            # the PPJoin positional filter at pairing time
             for j, k in enumerate(keys):
                 out_key.append(int(k))
                 out_id.append(i)
                 out_n.append(m)
                 out_probe.append(1 if j < p else 0)
+                out_pos.append(j)
         key_arr = np.array(out_key, dtype=np.uint64)
         return pa.table({
             id_col: pa.array(out_id, pa.int64()),
             "__n": pa.array(out_n, pa.int64()),
             "__probe": pa.array(out_probe, pa.int64()),
+            "__j": pa.array(out_pos, pa.int64()),
             "band_key": pa.array(key_arr, pa.uint64()),
             "shard": pa.array((key_arr % _BAND_SHARDS).astype(np.int32)),
         })
@@ -1309,34 +1324,50 @@ def containment_join(ds: "rd.Dataset", text_col: str = "text",
     posts = ds.map_batches(postings, batch_format="pyarrow")
 
     def oriented_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a_out: list[int] = []
-        b_out: list[int] = []
-        for key, bucket in g.groupby("band_key", sort=False):
-            probes = sorted(set(
-                zip(bucket.loc[bucket["__probe"] == 1, id_col],
-                    bucket.loc[bucket["__probe"] == 1, "__n"])))
-            if not probes:
-                continue
-            idx = sorted(set(zip(bucket[id_col], bucket["__n"])))
-            if len(probes) > bucket_cap:
-                raise ValueError(
-                    f"containment_join: {len(probes)} probe ids on "
-                    f"gram key {key} (> bucket_cap={bucket_cap}). "
-                    f"Raise bucket_cap or common_k, or raise "
-                    f"threshold_micro to shrink prefixes.")
-            for ia, na in probes:
-                for ib, nb in idx:
-                    if ib == ia:
-                        continue
-                    # size filter: t*|A| <= |A∩B| <= min(|A|, |B|)
-                    if threshold_micro * na > 1_000_000 * nb:
-                        continue
-                    a_out.append(ia)
-                    b_out.append(ib)
-        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
-                             "id_b": pd.Series(b_out, dtype="int64"),
-                             "n_trunc": pd.Series(
-                                 np.zeros(len(a_out), dtype=np.int64))})
+        # fully vectorized: most gram buckets hold only index rows (the
+        # rank table keeps frequent grams out of probe prefixes), so
+        # first cut the shard to probe-ACTIVE keys, then pandas-merge
+        # probes x index per key — a per-bucket Python loop over ~1M
+        # distinct grams was the 5000-doc hot spot (20x wall)
+        base = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "n_trunc": pd.Series(dtype="int64")})
+        if not len(g):
+            return base
+        g = g.drop_duplicates(["band_key", id_col])
+        probes = g[g["__probe"] == 1]
+        if not len(probes):
+            return base
+        pc_ = probes["band_key"].value_counts()
+        if int(pc_.iloc[0]) > bucket_cap:
+            raise ValueError(
+                f"containment_join: {int(pc_.iloc[0])} probe ids on "
+                f"gram key {pc_.index[0]} (> bucket_cap={bucket_cap}). "
+                f"Raise bucket_cap or common_k, or raise "
+                f"threshold_micro to shrink prefixes.")
+        idx = g[g["band_key"].isin(probes["band_key"].unique())]
+        pairs = probes[["band_key", id_col, "__n"]].merge(
+            idx[["band_key", id_col, "__n", "__j"]], on="band_key",
+            suffixes=("_a", "_b"))
+        # PPJoin positional filter (sound at the FIRST common gram,
+        # which the prefix theorem guarantees generates the pair): all
+        # common grams sit at positions >= j_b in B's order, so
+        # |A∩B| <= m_b − j_b must still reach ceil(t·m_a)
+        ca = (threshold_micro * pairs["__n_a"].to_numpy(np.int64)
+              + 999_999) // 1_000_000
+        keep = ((pairs[f"{id_col}_a"] != pairs[f"{id_col}_b"])
+                # size filter: t*|A| <= |A∩B| <= min(|A|, |B|)
+                & (threshold_micro * pairs["__n_a"]
+                   <= 1_000_000 * pairs["__n_b"])
+                & (pairs["__n_b"].to_numpy(np.int64)
+                   - pairs["__j"].to_numpy(np.int64) >= ca))
+        pairs = pairs[keep]
+        out = pd.DataFrame({
+            "id_a": pairs[f"{id_col}_a"].to_numpy(np.int64),
+            "id_b": pairs[f"{id_col}_b"].to_numpy(np.int64),
+        }).drop_duplicates()
+        out["n_trunc"] = np.zeros(len(out), dtype=np.int64)
+        return out
 
     pairs = posts.groupby("shard").map_groups(oriented_pairs,
                                               batch_format="pandas")
@@ -1354,9 +1385,24 @@ def containment_join(ds: "rd.Dataset", text_col: str = "text",
                   .groupby("pair_shard")
                   .map_groups(dedup_pairs, batch_format="pandas"))
 
+    # each doc appears in many candidate pairs — re-shingling the text
+    # per PAIR was the 10M-candidate hot spot; the cache ships empty
+    # with the closure and fills per verify worker process (a plain
+    # dict: lru_cache wrappers don't cloudpickle)
+    _gs_cache: dict[str, frozenset] = {}
+
     def micro_scorer(a: str | None, b: str | None) -> int:
-        sa = _char_gram_set(a, gram_n)
-        sb = _char_gram_set(b, gram_n)
+        def gs(txt: str) -> frozenset:
+            s = _gs_cache.get(txt)
+            if s is None:
+                if len(_gs_cache) > 65536:
+                    _gs_cache.clear()
+                s = frozenset(_char_gram_set(txt, gram_n))
+                _gs_cache[txt] = s
+            return s
+
+        sa = gs(a or "")
+        sb = gs(b or "")
         if not sa:
             return 0
         return len(sa & sb) * 1_000_000 // len(sa)
