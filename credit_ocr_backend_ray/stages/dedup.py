@@ -702,13 +702,27 @@ def prefix_jaccard_join(ds: "rd.Dataset", text_col: str = "text",
                   .groupby("pair_shard")
                   .map_groups(dedup_pairs, batch_format="pandas"))
 
+    # per-worker gram-set cache: one shingling per DOC, not per pair
+    # (the containment_join lesson — ships empty with the closure)
+    _gs_cache: dict[str, frozenset] = {}
+
     def micro_scorer(a: str | None, b: str | None) -> int:
-        sa = _char_gram_set(a, gram_n)
-        sb = _char_gram_set(b, gram_n)
-        u = len(sa | sb)
+        def gs(txt: str) -> frozenset:
+            s = _gs_cache.get(txt)
+            if s is None:
+                if len(_gs_cache) > 65536:
+                    _gs_cache.clear()
+                s = frozenset(_char_gram_set(txt, gram_n))
+                _gs_cache[txt] = s
+            return s
+
+        sa = gs(a or "")
+        sb = gs(b or "")
+        inter = len(sa & sb)
+        u = len(sa) + len(sb) - inter
         if u == 0:
             return 0
-        return len(sa & sb) * 1_000_000 // u
+        return inter * 1_000_000 // u
 
     return _verify_pairs_by_join(
         cands, ds, id_col, text_col, threshold=0.0,
