@@ -2415,6 +2415,19 @@ def _q_priority_welch_t(sf_dir: str):
                          scale=100)
 
 
+def _q_order_theil(sf_dir: str):
+    """Theil T inequality of o_totalprice with the between-priority
+    component (stages/relational.py: theil_index) — the decomposable
+    sibling of order_gini: per-row pico contributions floored once
+    with libm ln, integer sums, truncating final division mirroring
+    DuckDB's ``//``."""
+    from credit_ocr_backend_ray.stages.relational import theil_index
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_totalprice"])
+    return theil_index(ds, "o_totalprice", "o_orderpriority", scale=100)
+
+
 def _q_price_benford(sf_dir: str):
     """Benford first-significant-digit audit of o_totalprice
     (stages/curate.py: benford_digits) — nine exact-integer rows
@@ -4440,6 +4453,7 @@ _SHOWCASE_ORDER = [
     "source_js_divergence",
     "priority_welch_t",
     "events_from_ipc",
+    "order_theil",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4629,6 +4643,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "source_js_divergence": _q_source_js_divergence,
         "priority_welch_t": _q_priority_welch_t,
         "events_from_ipc": _q_events_from_ipc,
+        "order_theil": _q_order_theil,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6729,6 +6744,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "order_theil": """
+            -- Theil T + between-priority component in pico units:
+            -- per-row/per-group terms floored ONCE (libm ln), integer
+            -- sums, // truncation — mirrored by the kernel
+            WITH q AS (
+                SELECT o_orderpriority AS g,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS c
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                      AND floor(o_totalprice * 100 + 0.5) > 0),
+            tot AS (SELECT COUNT(*) AS n,
+                           SUM(CAST(c AS HUGEINT)) AS a FROM q),
+            rowc AS (SELECT CAST(floor(
+                         (CAST(c AS DOUBLE)
+                          / (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)))
+                         * ln(CAST(c AS DOUBLE)
+                              / (CAST(a AS DOUBLE)
+                                 / CAST(n AS DOUBLE)))
+                         * 1e12) AS BIGINT) AS t
+                     FROM q, tot),
+            grp AS (SELECT g, COUNT(*) AS ng,
+                           SUM(CAST(c AS HUGEINT)) AS sg
+                    FROM q GROUP BY g),
+            bet AS (SELECT SUM(CAST(floor(
+                        (CAST(sg AS DOUBLE) / CAST(a AS DOUBLE))
+                        * ln((CAST(sg AS DOUBLE) / CAST(a AS DOUBLE))
+                             / (CAST(ng AS DOUBLE)
+                                / CAST(n AS DOUBLE)))
+                        * 1e12) AS BIGINT)) AS b
+                    FROM grp, tot)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(a AS BIGINT) AS sum_scaled,
+                   CAST((SELECT SUM(t) FROM rowc) // n AS BIGINT)
+                       AS theil_pico,
+                   CAST((SELECT b FROM bet) AS BIGINT) AS between_pico
+            FROM tot
         """,
         "priority_welch_t": """
             -- pairwise Welch t from exact power sums; every float op

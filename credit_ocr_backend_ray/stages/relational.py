@@ -3200,3 +3200,83 @@ def welch_t_pairs(ds: "rd.Dataset", key: str, val_col: str,
                                        "t_micro", "df_micro"]).astype(
         {"n_a": "int64", "n_b": "int64", "t_micro": "Int64",
          "df_micro": "Int64"})
+
+
+def theil_index(ds: "rd.Dataset", val_col: str, group_col: str,
+                scale: int = 100) -> pd.DataFrame:
+    """Theil T inequality index of a positive value column, with the
+    BETWEEN-group component over ``group_col`` — the decomposable
+    sibling of ``gini_concentration`` (Theil's T splits exactly into
+    between- + within-group terms, so a corpus-balance report can say
+    how much concentration the source mix itself explains).
+
+    T = (1/n)·Σ (x_i/μ)·ln(x_i/μ); between-group
+    B = Σ_g s_g·ln(s_g/p_g) with s_g the group's value share and p_g
+    its count share. Exactness contract (the ``source_js_divergence``
+    discipline): values fixed-point quantized once, every transcendental
+    is libm ln (math.log == DuckDB ln bit for bit) inside a FIXED
+    expression mirrored operation for operation by the oracle, each
+    row/group term floored ONCE to pico units and only integers summed
+    (order-free); the final division TRUNCATES toward zero (DuckDB's
+    ``//`` semantics; the floored sum can undershoot 0 by < n pico).
+    Two passes:
+    one bounded per-group (n, Σc) combiner fixes n, A and μ = A/n,
+    then a per-row floored-contribution pass sums per batch — three
+    integers per batch reach the driver. Rows with a null or
+    non-positive value drop by contract (ln needs x > 0).
+
+    Output: one row (n, sum_scaled, theil_pico, between_pico)."""
+    import math
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[[group_col, val_col]].dropna()
+        v = f[val_col].to_numpy(np.float64)
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        keep = c > 0
+        f = f.iloc[keep.nonzero()[0]].assign(__c=c[keep])
+        g = f.groupby(group_col, as_index=False, dropna=False).agg(
+            __n=("__c", "size"), __s=("__c", "sum"))
+        g["__n"] = g["__n"].astype("int64")
+        return g
+
+    tot = (ds.map_batches(totals, batch_format="pandas").to_pandas())
+    empty = pd.DataFrame({
+        "n": pd.array([0], dtype="int64"),
+        "sum_scaled": pd.array([0], dtype="int64"),
+        "theil_pico": pd.array([None], dtype="Int64"),
+        "between_pico": pd.array([None], dtype="Int64")})
+    if "__n" not in tot.columns or not len(tot):
+        return empty
+    grp = tot.groupby(group_col, as_index=False).agg(
+        n_g=("__n", "sum"), s_g=("__s", "sum"))
+    n = int(grp["n_g"].sum())
+    a = int(grp["s_g"].sum())
+    if n == 0 or a == 0:
+        return empty
+    mu = float(a) / float(n)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[[val_col]].dropna()
+        v = f[val_col].to_numpy(np.float64)
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        c = c[c > 0]
+        # libm per row (np.log is an ulp off DuckDB's ln); floor ONCE
+        # to pico so the cross-worker sum is integer and order-free
+        s = sum(math.floor((float(x) / mu) * math.log(float(x) / mu)
+                           * 1e12) for x in c)
+        return pd.DataFrame({"__t": [str(s)]})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    t_sum = (sum(int(x) for x in parts["__t"])
+             if "__t" in parts.columns else 0)
+    between = 0
+    for ng, sg in zip(grp["n_g"], grp["s_g"]):
+        share = float(int(sg)) / float(a)
+        pg = float(int(ng)) / float(n)
+        between += math.floor(share * math.log(share / pg) * 1e12)
+    tp = abs(t_sum) // n if t_sum >= 0 else -(abs(t_sum) // n)
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "sum_scaled": pd.array([a], dtype="int64"),
+        "theil_pico": pd.array([tp], dtype="Int64"),
+        "between_pico": pd.array([between], dtype="Int64")})

@@ -2314,3 +2314,47 @@ def test_welch_t_pairs_exact(ray_session):
     out = welch_t_pairs(rd.from_pandas(cg), "k", "v", scale=1)
     assert out["t_micro"].isna().all()
     assert out["df_micro"].isna().all()
+
+
+def test_theil_index_exact(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import theil_index
+
+    # groups: a=[1,1], b=[6] at scale 1 -> cents 1,1,6; n=3 A=8
+    df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                       "v": [1.0, 1.0, 6.0, None]})
+    out = theil_index(rd.from_pandas(df).repartition(3), "v", "g",
+                      scale=1)
+    n, a = 3, 8
+    mu = float(a) / float(n)
+    tsum = sum(math.floor((float(x) / mu) * math.log(float(x) / mu)
+                          * 1e12) for x in (1, 1, 6))
+    bet = 0
+    for ng, sg in ((2, 2), (1, 6)):
+        share = float(sg) / float(a)
+        pg = float(ng) / float(n)
+        bet += math.floor(share * math.log(share / pg) * 1e12)
+    assert out["n"].tolist() == [3]
+    assert out["sum_scaled"].tolist() == [8]
+    want_t = abs(tsum) // n if tsum >= 0 else -(abs(tsum) // n)
+    assert out["theil_pico"].tolist() == [want_t]
+    assert out["between_pico"].tolist() == [bet]
+    # within-group inequality is 0 here, so between == total up to
+    # independent pico floors (each floored separately, +-n pico slack)
+    assert want_t > 0 and bet > 0 and abs(bet - want_t) <= n
+
+    # perfectly equal values -> T == 0 and between == 0
+    eq = pd.DataFrame({"g": ["a", "b"], "v": [3.0, 3.0]})
+    out = theil_index(rd.from_pandas(eq), "v", "g", scale=1)
+    assert out["theil_pico"].tolist() == [0]
+    assert out["between_pico"].tolist() == [0]
+
+    # empty / all-null -> n 0, nulls
+    out = theil_index(rd.from_pandas(
+        pd.DataFrame({"g": [None], "v": [None]})), "v", "g")
+    assert out["n"].tolist() == [0]
+    assert out["theil_pico"].isna().all()
