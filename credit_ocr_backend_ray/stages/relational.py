@@ -3260,10 +3260,14 @@ def theil_index(ds: "rd.Dataset", val_col: str, group_col: str,
         v = f[val_col].to_numpy(np.float64)
         c = np.floor(v * scale + 0.5).astype(np.int64)
         c = c[c > 0]
-        # libm per row (np.log is an ulp off DuckDB's ln); floor ONCE
-        # to pico so the cross-worker sum is integer and order-free
-        s = sum(math.floor((float(x) / mu) * math.log(float(x) / mu)
-                           * 1e12) for x in c)
+        # libm per DISTINCT quantized value (np.log is an ulp off
+        # DuckDB's ln, so no vectorized log): the floored pico term is
+        # a function of c alone, so count*term per unique c sums to
+        # exactly the per-row result the oracle computes
+        uniq, cnt = np.unique(c, return_counts=True)
+        s = sum(int(k) * math.floor((float(x) / mu)
+                                    * math.log(float(x) / mu) * 1e12)
+                for x, k in zip(uniq, cnt))
         return pd.DataFrame({"__t": [str(s)]})
 
     parts = ds.map_batches(part, batch_format="pandas").to_pandas()
