@@ -2415,6 +2415,22 @@ def _q_priority_welch_t(sf_dir: str):
                          scale=100)
 
 
+def _q_user_decayed_value(sf_dir: str):
+    """Per-user exponentially time-decayed event-value sum
+    (stages/relational.py: time_decayed_sum) — the recency-weighted
+    engagement feature, half-life 14 days against a fixed 2024-02-01
+    anchor: per-row weight floor(cents · exp(−days·ln2/14) · 1e6)
+    (libm exp bit-equal across engines, IEEE-exact float multiplies),
+    integer big-int sums as decimal strings."""
+    from credit_ocr_backend_ray.stages.relational import (
+        time_decayed_sum)
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    return time_decayed_sum(ds, ["user_id"], "ts", "value",
+                            anchor_us=1_706_745_600_000_000,
+                            half_life_days=14.0, scale=100)
+
+
 def _q_order_theil(sf_dir: str):
     """Theil T inequality of o_totalprice with the between-priority
     component (stages/relational.py: theil_index) — the decomposable
@@ -4454,6 +4470,7 @@ _SHOWCASE_ORDER = [
     "priority_welch_t",
     "events_from_ipc",
     "order_theil",
+    "user_decayed_value",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4644,6 +4661,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "priority_welch_t": _q_priority_welch_t,
         "events_from_ipc": _q_events_from_ipc,
         "order_theil": _q_order_theil,
+        "user_decayed_value": _q_user_decayed_value,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6744,6 +6762,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "user_decayed_value": """
+            -- recency-decayed value sum: per-row weight floored once
+            -- (libm exp, IEEE-exact multiplies), HUGEINT sums
+            WITH q AS (
+                SELECT user_id,
+                       (1706745600000000 - epoch_us(ts))
+                           // 86400000000 AS d,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL),
+            w AS (SELECT user_id,
+                         CAST(floor(CAST(c AS DOUBLE)
+                                    * exp(-CAST(d AS DOUBLE)
+                                          * (ln(2.0) / 14.0))
+                                    * 1e6) AS BIGINT) AS w
+                  FROM q)
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(w AS HUGEINT)) AS VARCHAR)
+                       AS decayed_micro
+            FROM w GROUP BY user_id
         """,
         "order_theil": """
             -- Theil T + between-priority component in pico units:

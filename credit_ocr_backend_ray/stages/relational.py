@@ -3284,3 +3284,82 @@ def theil_index(ds: "rd.Dataset", val_col: str, group_col: str,
         "sum_scaled": pd.array([a], dtype="int64"),
         "theil_pico": pd.array([tp], dtype="Int64"),
         "between_pico": pd.array([between], dtype="Int64")})
+
+
+def time_decayed_sum(ds: "rd.Dataset", keys: Sequence[str],
+                     ts_col: str, val_col: str, anchor_us: int,
+                     half_life_days: float = 14.0,
+                     scale: int = 100,
+                     n_shards: int = 64) -> "rd.Dataset":
+    """Per-key exponentially time-decayed value sum — the recency-
+    weighted engagement / revenue feature every feature store ships
+    (recent activity counts full, activity one half-life old counts
+    half): Σ value · 2^(−age/half_life), ages in whole days before a
+    fixed ``anchor_us`` (must be ≥ every timestamp so the integer day
+    difference is non-negative and ``//`` matches on both engines).
+
+    Exactness contract: value fixed-point quantized; each row's decayed
+    weight is ``floor(c · exp(−d · (ln2/half_life)) · 10^6)`` — exp/ln
+    are the only transcendentals and both engines call the same libm
+    (verified bit-equal over the full day range); the float MULTIPLIES
+    are IEEE-exact-rounded so the vectorized numpy product equals
+    DuckDB's scalar product bit for bit (unlike log, where numpy's SIMD
+    variant drifts — exp here is computed via ``math.exp`` per DISTINCT
+    day, not per row). Floored per row, integer sums only; per-key
+    partials travel as decimal strings (the grouped_moments discipline —
+    micro-weighted cents overflow int64 around 10^6 rows per key).
+
+    Shape: pure combiner — per-batch per-key (n, Σw) partials, ONE
+    shard co-group big-int fold. Output: (keys..., n, decayed_micro)."""
+    import math
+
+    keys = list(keys)
+    lam = math.log(2.0) / float(half_life_days)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[keys + [ts_col, val_col]].dropna(
+            subset=[ts_col, val_col])
+        base = {**{k: f[k].iloc[:0] for k in keys},
+                "__n": pd.Series([], dtype="int64"),
+                "__w": pd.Series([], dtype="object")}
+        if not len(f):
+            return pd.DataFrame(base)
+        ts = f[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        d = (anchor_us - ts) // 86_400_000_000
+        if d.min() < 0:
+            raise ValueError("time_decayed_sum: anchor_us must be >= "
+                             "every timestamp (negative age breaks "
+                             "the // parity between engines)")
+        v = f[val_col].to_numpy(np.float64)
+        c = np.floor(v * scale + 0.5).astype(np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        fac = np.array([math.exp(-float(x) * lam) for x in uniq],
+                       dtype=np.float64)[inv]
+        w = np.floor(c.astype(np.float64) * fac * 1e6).astype(np.int64)
+        f = f.assign(__w=w).sort_values(keys, kind="stable")
+        starts, sizes = _segments(f, keys)
+        ww = f["__w"].to_numpy(np.int64)
+        rows = {k: f[k].to_numpy()[starts] for k in keys}
+        ones_all = np.ones(len(ww), np.int64)
+        # signed weights: big-int sum as (positive part) - (negative
+        # part), each through the non-negative chunked _exact_dot
+        sums = [str(_exact_dot(np.maximum(ww[s:s + z], 0),
+                               ones_all[:z])
+                    - _exact_dot(np.maximum(-ww[s:s + z], 0),
+                                 ones_all[:z]))
+                for s, z in zip(starts, sizes)]
+        return pd.DataFrame({**rows,
+                             "__n": pd.array(sizes, dtype="int64"),
+                             "__w": sums})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(keys, as_index=False, sort=False,
+                        dropna=False).agg(
+            n=("__n", "sum"),
+            decayed_micro=("__w", lambda x: str(sum(int(v)
+                                                    for v in x))))
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    return shard_cogroup(ds.map_batches(part, batch_format="pandas"),
+                         keys[0], fold, n_shards=n_shards)

@@ -2358,3 +2358,45 @@ def test_theil_index_exact(ray_session):
         pd.DataFrame({"g": [None], "v": [None]})), "v", "g")
     assert out["n"].tolist() == [0]
     assert out["theil_pico"].isna().all()
+
+
+def test_time_decayed_sum_exact(ray_session):
+    import math
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import time_decayed_sum
+
+    anchor = pd.Timestamp("2024-02-01").value // 1000
+    lam = math.log(2.0) / 14.0
+
+    def w(cents, days):
+        return math.floor(float(cents)
+                          * math.exp(-float(days) * lam) * 1e6)
+
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2],
+        "ts": [pd.Timestamp("2024-01-31 12:00"),   # d=0
+               pd.Timestamp("2024-01-18"),          # d=14 (half-life)
+               pd.Timestamp("2024-01-04"),          # d=28
+               pd.Timestamp("2024-01-10")],
+        "v": [1.0, 2.0, 3.0, None]})                # null drops
+    out = (time_decayed_sum(rd.from_pandas(df).repartition(3), ["u"],
+                            "ts", "v", anchor_us=anchor,
+                            half_life_days=14.0, scale=100)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert out["n"].tolist() == [2, 1]
+    assert out["decayed_micro"].tolist() == [
+        str(w(100, 0) + w(200, 14)), str(w(300, 28))]
+    # half-life sanity: the 14-day-old 2.00 decays to ~the fresh 1.00
+    assert abs(w(200, 14) - w(100, 0)) <= 1
+
+    # timestamps after the anchor violate the // parity contract
+    late = pd.DataFrame({"u": [1],
+                         "ts": [pd.Timestamp("2024-03-01")],
+                         "v": [1.0]})
+    with pytest.raises(Exception, match="anchor_us"):
+        time_decayed_sum(rd.from_pandas(late), ["u"], "ts", "v",
+                         anchor_us=anchor).to_pandas()
