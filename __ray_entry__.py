@@ -1681,6 +1681,71 @@ def _q_audio_resample(sf_dir: str):
     return res.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio VAD features (stages/multimodal.py: AudioFeatureExtractor)
+    — windowed exact-integer energy + zero-crossing rate over the same
+    deterministic synthetic PCM tones as audio_resample, one poison row
+    (odd byte count) planted per batch to pin per-row error isolation;
+    asserts in-line that every clean sine row is fully voiced (zero
+    silent windows) and its zcr matches the tone frequency."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from credit_ocr_backend_ray.stages.multimodal import (
+        AudioFeatureExtractor)
+
+    def synth_audio(t: pa.Table) -> pa.Table:
+        ids, payloads, metas = [], [], []
+        for d in t["doc_id"].to_pylist():
+            hz = 200 + (d % 50) * 10
+            n = 8000
+            x = np.arange(n) / 32_000.0
+            wave = (np.sin(2 * np.pi * hz * x) * 18_000).astype("<i2")
+            ids.append(str(d))
+            payloads.append(wave.tobytes())
+            metas.append(json.dumps({"sample_rate": 32_000}))
+        # one poison row per batch: odd byte count is not int16 PCM
+        ids.append(f"poison-{ids[0]}")
+        payloads.append(b"\x01\x02\x03")
+        metas.append("{}")
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        })
+
+    ds = (_rp(_t(sf_dir, "documents"), columns=["doc_id"])
+            .map_batches(synth_audio, batch_format="pyarrow"))
+    res = ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                         fn_constructor_kwargs={"window": 1024},
+                         batch_size=64, concurrency=2)
+
+    def check(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        poison = pc.starts_with(t["media_id"], "poison-")
+        bad = t.filter(poison)
+        assert (bad["error"].null_count == 0
+                and bad["n_windows"].null_count == len(bad)), \
+            "poison rows must carry errors, not features"
+        good = t.filter(pc.invert(poison))
+        assert good["error"].null_count == len(good)
+        # an 18k-amplitude sine has no silent 1024-sample window, and
+        # its zcr is ~2 crossings per cycle: 2*hz*(window/32000) per
+        # window within +-2
+        assert pc.sum(good["n_silent"]).as_py() == 0
+        for mid, k, z in zip(good["media_id"].to_pylist(),
+                             good["n_windows"].to_pylist(),
+                             good["zcr_total"].to_pylist()):
+            hz = 200 + (int(mid) % 50) * 10
+            want = 2 * hz * 1024 / 32_000 * k
+            assert abs(z - want) <= 2 * k, (mid, z, want)
+        return t.drop_columns(["error"])
+
+    return res.map_batches(check, batch_format="pyarrow")
+
+
 def _q_annotation_plans(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.multimodal import PageAnnotator
@@ -4662,6 +4727,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_from_ipc": _q_events_from_ipc,
         "order_theil": _q_order_theil,
         "user_decayed_value": _q_user_decayed_value,
+        "audio_features": _q_audio_features,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,

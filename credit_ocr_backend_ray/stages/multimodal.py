@@ -465,6 +465,73 @@ class PcmResampler:
         })
 
 
+class AudioFeatureExtractor:
+    """Actor-pool stage: windowed energy + zero-crossing features over
+    int16 PCM — the VAD / silence-trim front of an audio training
+    pipeline (which windows carry signal, which are dead air), all in
+    EXACT integers so results pin bit-for-bit in tests: per
+    ``window``-sample frame, energy = Σx² (int64-safe — 32767²·65536
+    still < 2⁶³ so any practical window fits), zcr = count of sign
+    transitions inside the frame; a frame is silent when its energy is
+    below ``silence_energy``. The tail shorter than one window is
+    ignored by contract. Per-row poison isolation (odd byte counts,
+    None payloads → error column, task never dies); large payloads want
+    a small ``batch_size``, the actor holds no per-batch state."""
+
+    def __init__(self, window: int = 1024,
+                 silence_energy: int = 1_000_000,
+                 col: str = "payload"):
+        if window < 2:
+            raise ValueError("window must be >= 2")
+        self.window = window
+        self.silence_energy = silence_energy
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_w: list[int | None] = []
+        n_sil: list[int | None] = []
+        zcr: list[int | None] = []
+        peak_e: list[int | None] = []
+        peak_i: list[int | None] = []
+        errs: list[str | None] = []
+        for payload in batch[self.col].to_pylist():
+            try:
+                if payload is None or len(payload) % 2:
+                    raise ValueError("payload is not int16 PCM")
+                x = np.frombuffer(payload, "<i2").astype(np.int64)
+                k = len(x) // self.window
+                if k == 0:
+                    n_w.append(0); n_sil.append(0); zcr.append(0)
+                    peak_e.append(0); peak_i.append(-1)
+                    errs.append(None)
+                    continue
+                fr = x[:k * self.window].reshape(k, self.window)
+                e = (fr * fr).sum(axis=1)
+                sgn = fr >= 0
+                z = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
+                n_w.append(k)
+                n_sil.append(int((e < self.silence_energy).sum()))
+                zcr.append(int(z.sum()))
+                peak_e.append(int(e.max()))
+                peak_i.append(int(e.argmax()))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — per-row capture
+                n_w.append(None); n_sil.append(None); zcr.append(None)
+                peak_e.append(None); peak_i.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_windows": pa.array(n_w, pa.int64()),
+            "n_silent": pa.array(n_sil, pa.int64()),
+            "zcr_total": pa.array(zcr, pa.int64()),
+            "peak_energy": pa.array(peak_e, pa.int64()),
+            "peak_window": pa.array(peak_i, pa.int64()),
+            "error": pa.array(errs, pa.string()),
+        })
+
+
 class PageAnnotator:
     """Actor-pool stage producing annotation *plans* (the geometry+color
     layer of the reference's overlay PNGs) without a rasterizer: for each

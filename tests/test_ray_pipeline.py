@@ -576,3 +576,44 @@ def test_cascade_delete(ray_session, pages_dir, tmp_path):
     # idempotent: deleting the same urls again rewrites nothing
     stats2 = cascade_delete(out, victims)
     assert stats2["rows_deleted"] == 0 and stats2["files_rewritten"] == 0
+
+
+def test_audio_feature_extractor_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.multimodal import (
+        AudioFeatureExtractor)
+
+    w = 8
+    # square wave +-1000 alternating every sample: zcr = w-1 per
+    # window, energy = 1000^2 * w per window; 3 full windows + tail 4
+    sq = np.tile([1000, -1000], 14).astype("<i2")  # 28 samples
+    # silence: zeros -> zcr 0, energy 0 -> silent
+    zeros = np.zeros(16, dtype="<i2")
+    t = pa.table({
+        "media_id": pa.array(["sq", "z", "bad", "short"], pa.string()),
+        "payload": pa.array([sq.tobytes(), zeros.tobytes(), b"\x01",
+                             b"\x01\x00"], pa.binary()),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                        fn_constructor_kwargs={"window": w,
+                                               "silence_energy": 1},
+                        concurrency=1)
+           .to_pandas().set_index("media_id"))
+    assert out.loc["sq", "n_windows"] == 3
+    assert out.loc["sq", "zcr_total"] == 3 * (w - 1)
+    assert out.loc["sq", "peak_energy"] == 1000 * 1000 * w
+    assert out.loc["sq", "n_silent"] == 0
+    assert out.loc["sq", "peak_window"] == 0  # ties -> first argmax
+    assert out.loc["z", "n_windows"] == 2
+    assert out.loc["z", "n_silent"] == 2
+    assert out.loc["z", "zcr_total"] == 0
+    # poison: odd byte count errors without killing the task
+    assert "payload is not int16 PCM" in out.loc["bad", "error"]
+    assert out.loc["bad"].isna()["n_windows"]
+    # shorter than one window: zero windows, no error
+    assert out.loc["short", "n_windows"] == 0
+    assert out.loc["short", "peak_window"] == -1
