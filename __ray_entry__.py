@@ -2496,6 +2496,54 @@ def _q_user_decayed_value(sf_dir: str):
                             half_life_days=14.0, scale=100)
 
 
+def _q_customer_abc(sf_dir: str):
+    """Pareto / ABC contribution analysis of customer revenue
+    (stages/relational.py: global_cumsum — SUM OVER (ORDER BY revenue
+    DESC) without a global sort): exact integer cents per customer,
+    inclusive cumulative share in micro units (big-int product,
+    HUGEINT in the oracle), classes A/B/C at the 80%/95% cumulative
+    boundaries."""
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (global_cumsum,
+                                                          grouped_agg)
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        f = b.dropna(subset=["o_totalprice"])
+        return pd.DataFrame({
+            "o_custkey": f["o_custkey"].to_numpy(np.int64),
+            "__c": np.floor(f["o_totalprice"].to_numpy(np.float64)
+                            * 100 + 0.5).astype(np.int64)})
+
+    rev = grouped_agg(ds.map_batches(cents, batch_format="pandas"),
+                      ["o_custkey"], {"__c": "revenue_scaled"},
+                      count_alias=None,
+                      combine="cogroup").materialize()
+    total = int(rev.sum("revenue_scaled"))
+
+    def neg(b: pd.DataFrame) -> pd.DataFrame:
+        b["__nv"] = -b["revenue_scaled"]
+        return b
+
+    cum = global_cumsum(rev.map_batches(neg, batch_format="pandas"),
+                        "__nv", "o_custkey", "revenue_scaled")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        shares = [int(c) * 1_000_000 // total for c in b["cum"]]
+        b = b.drop(columns="__nv")
+        b["cum_share_micro"] = pd.array(shares, dtype="int64")
+        b["abc"] = ["A" if int(c) * 1_000_000 <= 800_000 * total
+                    else ("B" if int(c) * 1_000_000 <= 950_000 * total
+                          else "C") for c in b["cum"]]
+        return b.drop(columns="cum")
+
+    return cum.map_batches(fin, batch_format="pandas")
+
+
 def _q_order_theil(sf_dir: str):
     """Theil T inequality of o_totalprice with the between-priority
     component (stages/relational.py: theil_index) — the decomposable
@@ -4536,6 +4584,7 @@ _SHOWCASE_ORDER = [
     "events_from_ipc",
     "order_theil",
     "user_decayed_value",
+    "customer_abc",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4728,6 +4777,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "order_theil": _q_order_theil,
         "user_decayed_value": _q_user_decayed_value,
         "audio_features": _q_audio_features,
+        "customer_abc": _q_customer_abc,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6828,6 +6878,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "customer_abc": """
+            -- Pareto/ABC: inclusive cumulative revenue share over
+            -- (revenue DESC, custkey) order; HUGEINT products mirror
+            -- the kernel's big ints, // floor on non-negatives
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS c
+                FROM orders WHERE o_totalprice IS NOT NULL
+                GROUP BY o_custkey),
+            w AS (
+                SELECT o_custkey, c,
+                       SUM(c) OVER (ORDER BY c DESC, o_custkey) AS cum,
+                       SUM(c) OVER () AS tot
+                FROM r)
+            SELECT o_custkey, c AS revenue_scaled,
+                   CAST(CAST(cum AS HUGEINT) * 1000000 // tot
+                        AS BIGINT) AS cum_share_micro,
+                   CASE WHEN CAST(cum AS HUGEINT) * 1000000
+                             <= 800000 * CAST(tot AS HUGEINT) THEN 'A'
+                        WHEN CAST(cum AS HUGEINT) * 1000000
+                             <= 950000 * CAST(tot AS HUGEINT) THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM w
         """,
         "user_decayed_value": """
             -- recency-decayed value sum: per-row weight floored once

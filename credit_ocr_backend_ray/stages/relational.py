@@ -3363,3 +3363,65 @@ def time_decayed_sum(ds: "rd.Dataset", keys: Sequence[str],
 
     return shard_cogroup(ds.map_batches(part, batch_format="pandas"),
                          keys[0], fold, n_shards=n_shards)
+
+
+def global_cumsum(ds: "rd.Dataset", val_col: str, tie_col: str,
+                  sum_col: str, alias: str = "cum",
+                  n_buckets: int = 1024) -> "rd.Dataset":
+    """Global inclusive running SUM of ``sum_col`` in ``(val_col,
+    tie_col)`` order — ``SUM(x) OVER (ORDER BY val, tie)`` — WITHOUT a
+    global sort: ``global_row_number``'s ordered value-range buckets
+    with SUM partials in place of counts (one min/max aggregate fixes
+    the domain, bounded per-bucket int64 sum partials → O(n_buckets)
+    driver exclusive prefix-SUM broadcast once, one shard co-group
+    sorts each bucket locally and adds cumsum + offset). The prefix
+    primitive of contribution / Pareto / cumulative-share analyses;
+    descending order = negate ``val_col`` at the caller. ``tie_col``
+    must be unique; ``sum_col`` must be int64 (exactness contract —
+    the running sum never leaves integers; int64 bounds the TOTAL, so
+    quantize accordingly). Same skew note as global_row_number: a
+    heavily repeated sort value concentrates its rows in one bucket.
+    Output: (tie_col, val_col, sum_col, alias)."""
+    lo = ds.min(val_col)
+    hi = ds.max(val_col)
+    span = 0.0 if lo is None or hi is None else float(hi) - float(lo)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy()
+        if span > 0:
+            bkt = np.minimum(
+                ((v.astype(np.float64) - float(lo)) / span
+                 * n_buckets).astype(np.int64), n_buckets - 1)
+        else:
+            bkt = np.zeros(len(b), dtype=np.int64)
+        return pd.DataFrame({tie_col: b[tie_col].to_numpy(),
+                             val_col: v,
+                             sum_col: b[sum_col].to_numpy(np.int64),
+                             "__bkt": bkt})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def bucket_sums(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("__bkt", dropna=False)[sum_col].sum()
+        return pd.DataFrame({"__bkt": g.index.to_numpy(),
+                             "__ps": g.to_numpy(np.int64)})
+
+    parts = (tagged.map_batches(bucket_sums, batch_format="pandas")
+                   .to_pandas())
+    sums = np.zeros(n_buckets, dtype=np.int64)
+    if "__bkt" in parts.columns:  # empty input -> column-less frame
+        np.add.at(sums, parts["__bkt"].to_numpy(np.int64),
+                  parts["__ps"].to_numpy(np.int64))
+    excl = np.zeros(n_buckets, dtype=np.int64)
+    np.cumsum(sums[:-1], out=excl[1:])
+    excl_ref = ray.put(excl)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(excl_ref)
+        g = g.sort_values(["__bkt", val_col, tie_col])
+        within = (g.groupby("__bkt", sort=False)[sum_col].cumsum()
+                   .to_numpy(np.int64))
+        g[alias] = pre[g["__bkt"].to_numpy(np.int64)] + within
+        return g.drop(columns="__bkt")
+
+    return shard_cogroup(tagged, "__bkt", fold)

@@ -2400,3 +2400,31 @@ def test_time_decayed_sum_exact(ray_session):
     with pytest.raises(Exception, match="anchor_us"):
         time_decayed_sum(rd.from_pandas(late), ["u"], "ts", "v",
                          anchor_us=anchor).to_pandas()
+
+
+def test_global_cumsum_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.relational import global_cumsum
+
+    # running sum over (v, id) order without a global sort; ties on v
+    # break by id; 3 partitions + 8 value buckets exercise the
+    # cross-bucket prefix offsets
+    df = pd.DataFrame({"id": [3, 1, 2, 5, 4],
+                       "v": [10.0, 5.0, 5.0, 20.0, 10.0],
+                       "x": [7, 1, 2, 100, 3]})
+    out = (global_cumsum(rd.from_pandas(df).repartition(3), "v", "id",
+                         "x", n_buckets=8)
+           .to_pandas().sort_values("cum").reset_index(drop=True))
+    # order: (5,1),(5,2),(10,3),(10,4),(20,5) -> cums 1,3,10,13,113
+    assert out["id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["cum"].tolist() == [1, 3, 10, 13, 113]
+
+    # empty input -> empty output, no crash
+    out = global_cumsum(rd.from_pandas(
+        pd.DataFrame({"id": pd.array([], dtype="int64"),
+                      "v": pd.array([], dtype="float64"),
+                      "x": pd.array([], dtype="int64")})), "v", "id",
+        "x")
+    assert out.count() == 0
