@@ -2544,6 +2544,95 @@ def _q_customer_abc(sf_dir: str):
     return cum.map_batches(fin, batch_format="pandas")
 
 
+def _q_user_gap_median(sf_dir: str):
+    """Per-user median inter-event gap in whole seconds (composition:
+    lag_delta over (ts, event_id) order + grouped_quantile with
+    inverted_cdf — an actual element of the group, so the SQL
+    quantile_disc restatement is exact; users with one event drop
+    with their NULL first-delta by the quantile's null contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (grouped_quantile,
+                                                          lag_delta)
+
+    ds = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "ts", "event_id"])
+
+    def us(b: pd.DataFrame) -> pd.DataFrame:
+        b["__tus"] = (b["ts"].astype("datetime64[us]")
+                      .astype("int64"))
+        return b[["user_id", "event_id", "__tus"]]
+
+    gaps = lag_delta(ds.map_batches(us, batch_format="pandas"),
+                     "user_id", ["__tus", "event_id"], "__tus",
+                     alias="__gap")
+
+    def secs(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.dropna(subset=["__gap"]).copy()
+        f["gap_s"] = (f["__gap"].astype("int64")
+                      // 1_000_000).astype("int64")
+        return f[["user_id", "gap_s"]]
+
+    q = grouped_quantile(gaps.map_batches(secs, batch_format="pandas"),
+                         ["user_id"], "gap_s", 0.5,
+                         alias="median_gap_s",
+                         method="inverted_cdf")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["median_gap_s"] = b["median_gap_s"].astype("int64")
+        return b
+
+    return q.map_batches(fin, batch_format="pandas")
+
+
+def _q_event_type_wow(sf_dir: str):
+    """Week-over-week value change per event type — the trend report
+    over epoch-week buckets ((days since epoch) // 7, engine-neutral):
+    one combiner pass to exact weekly cent sums (bounded types x weeks
+    -> driver fold, the windowed_agg bounded-key pattern), first week
+    per type NULL, ratio in micro with TRUNCATING division mirroring
+    DuckDB's ``//`` on signed deltas."""
+    import numpy as np
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "ts",
+                                            "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.dropna(subset=["value"])
+        tus = f["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "event_type": f["event_type"].to_numpy(),
+            "week": ((tus // 86_400_000_000) // 7).to_numpy(np.int64),
+            "__c": np.floor(f["value"].to_numpy(np.float64) * 100
+                            + 0.5).astype(np.int64)})
+
+    weekly = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                         ["event_type", "week"],
+                         {"__c": "wsum_scaled"}, count_alias=None,
+                         combine="driver").to_pandas()
+    weekly = (weekly.sort_values(["event_type", "week"])
+                    .reset_index(drop=True))
+    weekly["wsum_scaled"] = weekly["wsum_scaled"].astype("int64")
+    prev = weekly.groupby("event_type")["wsum_scaled"].shift()
+    wow = []
+    for cur, pv in zip(weekly["wsum_scaled"], prev):
+        if pd.isna(pv):
+            wow.append(np.nan)
+            continue
+        num = (int(cur) - int(pv)) * 1_000_000
+        q = abs(num) // int(pv)
+        wow.append(float(q if num >= 0 else -q))
+    # float64, not Int64: the oracle's nullable BIGINT lands as float64
+    # in pandas, and the hash compares reprs (micro values stay exact
+    # under 2**53)
+    weekly["wow_micro"] = pd.array(wow, dtype="float64")
+    return weekly
+
+
 def _q_order_theil(sf_dir: str):
     """Theil T inequality of o_totalprice with the between-priority
     component (stages/relational.py: theil_index) — the decomposable
@@ -4585,6 +4674,8 @@ _SHOWCASE_ORDER = [
     "order_theil",
     "user_decayed_value",
     "customer_abc",
+    "user_gap_median",
+    "event_type_wow",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4778,6 +4869,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_decayed_value": _q_user_decayed_value,
         "audio_features": _q_audio_features,
         "customer_abc": _q_customer_abc,
+        "user_gap_median": _q_user_gap_median,
+        "event_type_wow": _q_event_type_wow,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6878,6 +6971,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "event_type_wow": """
+            -- weekly exact cent sums per type over epoch weeks, WoW
+            -- ratio in micro; // truncation matches the kernel on
+            -- signed deltas; first week per type NULL
+            WITH w AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 86400000000) // 7 AS week,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS wsum_scaled
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT event_type, CAST(week AS BIGINT) AS week,
+                   wsum_scaled,
+                   CAST((CAST(wsum_scaled AS HUGEINT)
+                         - lag(wsum_scaled) OVER ww) * 1000000
+                        // lag(wsum_scaled) OVER ww AS BIGINT)
+                       AS wow_micro
+            FROM w
+            WINDOW ww AS (PARTITION BY event_type ORDER BY week)
+        """,
+        "user_gap_median": """
+            -- per-user quantile_disc(0.5) of whole-second gaps between
+            -- consecutive events in (ts, event_id) order; the first
+            -- event's NULL gap drops
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                           // 1000000 AS gap_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT)
+                       AS median_gap_s
+            FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
         """,
         "customer_abc": """
             -- Pareto/ABC: inclusive cumulative revenue share over
