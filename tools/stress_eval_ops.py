@@ -212,6 +212,49 @@ def stress_calibration(n: int = 1_000_000) -> dict:
             "wall_s_inner": round(wall, 2), "match": bool(match)}
 
 
+def stress_global_cumsum(n: int = 1_000_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.relational import global_cumsum
+
+    df = _frame(n)
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = (global_cumsum(ds, "score", "id", "pos", alias="cum")
+           .to_pandas())
+    wall = time.perf_counter() - t0
+    # exact restatement: pandas sort + cumsum
+    want = df.sort_values(["score", "id"])["pos"].cumsum()
+    want.index = df.sort_values(["score", "id"])["id"].to_numpy()
+    got = out.set_index("id")["cum"]
+    match = bool((got.loc[want.index.to_numpy()].to_numpy()
+                  == want.to_numpy()).all())
+    return {"n": n, "wall_s_inner": round(wall, 2), "match": match}
+
+
+def stress_containment(n_docs: int = 100_000) -> dict:
+    import ray.data as rd
+    from credit_ocr_backend_ray.stages.dedup import containment_join
+
+    rng = np.random.default_rng(41)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz 0123456789"))
+    texts = ["".join(rng.choice(alpha, 64)) for _ in range(n_docs)]
+    # plant 200 quote pairs: doc i+n_docs is a substring of doc i
+    planted = []
+    for i in range(200):
+        texts.append(texts[i][8:40])
+        planted.append((n_docs + i, i))
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = containment_join(ds, threshold_micro=900_000, gram_n=8)
+    wall = time.perf_counter() - t0
+    got = set(zip(out["id_a"], out["id_b"]))
+    recall = sum(1 for p in planted if p in got) / len(planted)
+    return {"docs": len(texts), "pairs": len(out),
+            "wall_s_inner": round(wall, 2),
+            "planted_recall_match": recall == 1.0}
+
+
 def main() -> int:
     import ray
     ray.init(address="local",
@@ -232,6 +275,8 @@ def main() -> int:
         timed("grouped_moments_1M", stress_grouped_moments),
         timed("snm_pairs_1M", stress_snm_pairs),
         timed("calibration_1M", stress_calibration),
+        timed("global_cumsum_1M", stress_global_cumsum),
+        timed("containment_100k", stress_containment),
     ]
     ok = all(all(bool(v) for kk, v in r["result"].items()
                  if kk.endswith(("match", "balanced", "exact", "mono",
