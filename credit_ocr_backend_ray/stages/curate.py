@@ -1441,6 +1441,9 @@ def calibration_bins(ds: "rd.Dataset", score_col: str, label_col: str,
         f = b[[score_col, label_col]].dropna()
         s = f[score_col].to_numpy(np.int64)
         y = f[label_col].to_numpy(np.int64)
+        if len(y) and not ((y == 0) | (y == 1)).all():
+            raise ValueError("calibration_bins: label_col must be "
+                             "0/1 (n_pos would silently corrupt)")
         bins = (s - lo) * n_bins // span
         rows = []
         for bv in np.unique(bins):

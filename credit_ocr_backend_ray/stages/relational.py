@@ -3066,6 +3066,11 @@ def gini_concentration(ds: "rd.Dataset", val_col: str,
         v = b[val_col].to_numpy(np.float64)
         v = v[~np.isnan(v)]
         c = np.floor(v * scale + 0.5).astype(np.int64)
+        if len(c) and c.min() < 0:
+            raise ValueError(
+                "gini_concentration: values must be non-negative "
+                "(Gini is undefined for signed data, and the big-int "
+                "rank fold requires it)")
         return pd.DataFrame({"__cents": c,
                              "__qid": np.arange(len(c), dtype=np.int64)})
 

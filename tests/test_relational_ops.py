@@ -2428,3 +2428,20 @@ def test_global_cumsum_exact(ray_session):
                       "x": pd.array([], dtype="int64")})), "v", "id",
         "x")
     assert out.count() == 0
+
+
+def test_gini_and_calibration_guards(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import calibration_bins
+    from credit_ocr_backend_ray.stages.relational import (
+        gini_concentration)
+
+    with pytest.raises(Exception, match="non-negative"):
+        gini_concentration(rd.from_pandas(
+            pd.DataFrame({"v": [1.0, -2.0]})), "v", scale=1)
+    with pytest.raises(Exception, match="0/1"):
+        calibration_bins(rd.from_pandas(
+            pd.DataFrame({"s": [1, 2], "y": [0, 3]})), "s", "y")
