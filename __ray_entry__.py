@@ -2633,6 +2633,19 @@ def _q_event_type_wow(sf_dir: str):
     return weekly
 
 
+def _q_priority_status_chi2(sf_dir: str):
+    """Global chi-squared independence audit of o_orderpriority x
+    o_orderstatus (stages/curate.py: contingency_chi2): the statistic
+    is the integer sum of per-cell floored micro contributions over
+    the FULL margin grid (zero cells included), big-int exact, HUGEINT
+    in the oracle — order-free on both engines."""
+    from credit_ocr_backend_ray.stages.curate import contingency_chi2
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderpriority", "o_orderstatus"])
+    return contingency_chi2(ds, "o_orderpriority", "o_orderstatus")
+
+
 def _q_order_theil(sf_dir: str):
     """Theil T inequality of o_totalprice with the between-priority
     component (stages/relational.py: theil_index) — the decomposable
@@ -4676,6 +4689,7 @@ _SHOWCASE_ORDER = [
     "customer_abc",
     "user_gap_median",
     "event_type_wow",
+    "priority_status_chi2",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4871,6 +4885,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "customer_abc": _q_customer_abc,
         "user_gap_median": _q_user_gap_median,
         "event_type_wow": _q_event_type_wow,
+        "priority_status_chi2": _q_priority_status_chi2,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6971,6 +6986,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "priority_status_chi2": """
+            -- r x c chi2 as the integer sum of per-cell floored micro
+            -- contributions over the FULL margin grid (zero cells
+            -- included); HUGEINT mirrors the kernel's big ints
+            WITH c AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       count(*) AS nij
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                      AND o_orderstatus IS NOT NULL
+                GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ri
+                   FROM c GROUP BY a),
+            cb AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS cj
+                   FROM c GROUP BY b),
+            tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM c),
+            grid AS (
+                SELECT ra.ri, cb.cj, COALESCE(c.nij, 0) AS nij, tot.n
+                FROM ra CROSS JOIN cb CROSS JOIN tot
+                     LEFT JOIN c ON c.a = ra.a AND c.b = cb.b),
+            cell AS (
+                SELECT (CAST(nij AS HUGEINT) * n
+                        - CAST(ri AS HUGEINT) * cj) AS num,
+                       CAST(n AS HUGEINT) * ri * cj AS den
+                FROM grid)
+            SELECT (SELECT n FROM tot) AS n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ra)
+                       AS a_levels,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cb)
+                       AS b_levels,
+                   CAST(((SELECT count(*) FROM ra) - 1)
+                        * ((SELECT count(*) FROM cb) - 1) AS BIGINT)
+                       AS dof,
+                   CAST((SELECT SUM(num * num * 1000000 // den)
+                         FROM cell) AS BIGINT) AS chi2_micro
         """,
         "event_type_wow": """
             -- weekly exact cent sums per type over epoch weeks, WoW

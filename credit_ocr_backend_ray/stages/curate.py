@@ -1528,3 +1528,66 @@ def benford_digits(ds: "rd.Dataset", col: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["digit", "n", "observed_micro",
                                       "expected_micro", "delta_micro"])
     return out.astype({c: "int64" for c in out.columns})
+
+
+def contingency_chi2(ds: "rd.Dataset", a_col: str,
+                     b_col: str) -> pd.DataFrame:
+    """Global chi-squared independence audit of two categorical columns
+    (the r×c contingency test — are priority and status independent?
+    does source predict language?) in EXACT integer micro units. The
+    r×c generalization of ``term_label_chi2``'s per-term 2×2: the
+    statistic is DEFINED as the integer sum of per-cell floored
+    contributions ``(n_ij·N − r_i·c_j)²·10^6 // (N·r_i·c_j)`` over the
+    FULL margin grid (unobserved combinations enter with n_ij = 0 —
+    their expected-count term is not zero), every product an
+    arbitrary-precision Python int (the squared numerator overflows
+    int64 at ~10^3 rows), mirrored by HUGEINT in SQL — floor-per-cell
+    then integer sum, so both engines agree bit for bit regardless of
+    summation order. Null category values drop by contract.
+
+    Shape: pure combiner — one bounded (a, b, n) partial per batch
+    (≤ r·c rows), driver fold over the bounded grid. Output: one row
+    (n, a_levels, b_levels, dof, chi2_micro); fewer than 2 levels on
+    either side → chi2 null (the test is undefined)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"__a": t[a_col].to_pylist(),
+                           "__b": t[b_col].to_pylist()}).dropna()
+        g = df.groupby(["__a", "__b"], as_index=False).size()
+        return pa.table({"__a": pa.array(g["__a"], pa.string()),
+                         "__b": pa.array(g["__b"], pa.string()),
+                         "__n": pa.array(g["size"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "n": pd.array([0], dtype="int64"),
+        "a_levels": pd.array([0], dtype="int64"),
+        "b_levels": pd.array([0], dtype="int64"),
+        "dof": pd.array([0], dtype="int64"),
+        "chi2_micro": pd.array([None], dtype="Int64")})
+    if "__a" not in parts.columns or not len(parts):
+        return empty
+    cells = (parts.groupby(["__a", "__b"], as_index=False)["__n"]
+                  .sum())
+    ra = cells.groupby("__a")["__n"].sum()
+    cb = cells.groupby("__b")["__n"].sum()
+    n = int(cells["__n"].sum())
+    if len(ra) < 2 or len(cb) < 2 or n == 0:
+        empty.loc[0, ["n", "a_levels", "b_levels"]] = \
+            [n, len(ra), len(cb)]
+        return empty
+    obs = {(a, b): int(v) for a, b, v in zip(cells["__a"], cells["__b"],
+                                             cells["__n"])}
+    chi2 = 0
+    for a, ri in ra.items():
+        for b, cj in cb.items():
+            nij = obs.get((a, b), 0)
+            num = nij * n - int(ri) * int(cj)
+            chi2 += num * num * 1_000_000 // (n * int(ri) * int(cj))
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "a_levels": pd.array([len(ra)], dtype="int64"),
+        "b_levels": pd.array([len(cb)], dtype="int64"),
+        "dof": pd.array([(len(ra) - 1) * (len(cb) - 1)],
+                        dtype="int64"),
+        "chi2_micro": pd.array([chi2], dtype="Int64")})

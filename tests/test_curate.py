@@ -606,3 +606,42 @@ def test_calibration_bins_exact(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["bin", "n", "n_pos", "pos_rate_micro",
                                  "sum_score_micro"]
+
+
+def test_contingency_chi2_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from credit_ocr_backend_ray.stages.curate import contingency_chi2
+
+    # balanced margins, E=15 per cell, |num|=300 everywhere:
+    # per-cell micro = 300^2*1e6 // (60*30*30) = 1_666_666, x4 cells
+    df = pd.DataFrame({"a": ["x"] * 30 + ["y"] * 30,
+                       "b": ["p"] * 10 + ["q"] * 20
+                            + ["p"] * 20 + ["q"] * 10})
+    out = contingency_chi2(rd.from_pandas(df).repartition(3), "a", "b")
+    assert out["n"].tolist() == [60]
+    assert out["dof"].tolist() == [1]
+    assert out["chi2_micro"].tolist() == [4 * 1_666_666]
+
+    # an unobserved (a,b) combination still contributes its expected
+    # mass: y never sees q -> zero cell enters the sum
+    df = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                       "b": ["p", "q", "p", "p"]})
+    out = contingency_chi2(rd.from_pandas(df), "a", "b")
+    n, rx, ry, cp, cq = 4, 2, 2, 3, 1
+    cells = {("x", "p"): 1, ("x", "q"): 1, ("y", "p"): 2,
+             ("y", "q"): 0}
+    want = 0
+    for (a, b), nij in cells.items():
+        ri = rx if a == "x" else ry
+        cj = cp if b == "p" else cq
+        num = nij * n - ri * cj
+        want += num * num * 1_000_000 // (n * ri * cj)
+    assert out["chi2_micro"].tolist() == [want]
+
+    # a single level on one side: undefined -> null
+    one = pd.DataFrame({"a": ["x", "x"], "b": ["p", "q"]})
+    out = contingency_chi2(rd.from_pandas(one), "a", "b")
+    assert out["chi2_micro"].isna().all()
+    assert out["a_levels"].tolist() == [1]
