@@ -4099,6 +4099,70 @@ def _q_frequent_part_pairs(sf_dir: str):
                         descending=[True, False, False]).limit(25))
 
 
+def _q_part_rules(sf_dir: str):
+    """Association rules at itemset size 2 (the confidence/lift step
+    Agrawal-style market-basket mining adds on top of
+    frequent_part_pairs): directional A->B confidence
+    nab*1e6 // n_a and lift nab*N*1e6 // (n_a*n_b) in exact integer
+    micro over distinct high-quantity baskets; item supports broadcast
+    (parts are a bounded dimension), top-25 by the total order
+    (confidence desc, a, b)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from credit_ocr_backend_ray.stages.graph import cooccurrence_edges
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = _rp(_t(sf_dir, "lineitem"),
+             columns=["l_orderkey", "l_partkey", "l_quantity"],
+             filter=pc.field("l_quantity") >= 25.0)
+    distinct = grouped_agg(ds, ["l_orderkey", "l_partkey"], {},
+                           count_alias=None, combine="cogroup")
+    n_baskets = int(grouped_agg(distinct, ["l_orderkey"], {},
+                                count_alias=None,
+                                combine="cogroup").count())
+    sup = (grouped_agg(distinct, ["l_partkey"], {}, count_alias="np")
+           .to_pandas())
+    sup_ref = ray.put(dict(zip(sup["l_partkey"].astype(int),
+                               sup["np"].astype(int))))
+
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    counts = grouped_agg(edges, ["src", "dst"], {}, count_alias="nab")
+
+    def rules(b: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(sup_ref)
+        b = b[b["nab"] >= 2]
+        both = pd.concat([
+            b.rename(columns={"src": "a", "dst": "b"}),
+            b.rename(columns={"src": "b", "dst": "a"})],
+            ignore_index=True)
+        if not len(both):
+            return pd.DataFrame({
+                "a": pd.array([], dtype="int64"),
+                "b": pd.array([], dtype="int64"),
+                "nab": pd.array([], dtype="int64"),
+                "conf_micro": pd.array([], dtype="int64"),
+                "lift_micro": pd.array([], dtype="int64")})
+        na = both["a"].map(s).to_numpy(np.int64)
+        nb = both["b"].map(s).to_numpy(np.int64)
+        nab = both["nab"].to_numpy(np.int64)
+        conf = [int(x) * 1_000_000 // int(y)
+                for x, y in zip(nab, na)]
+        lift = [int(x) * n_baskets * 1_000_000 // (int(y) * int(z))
+                for x, y, z in zip(nab, na, nb)]
+        return pd.DataFrame({
+            "a": both["a"].to_numpy(np.int64),
+            "b": both["b"].to_numpy(np.int64),
+            "nab": nab,
+            "conf_micro": pd.array(conf, dtype="int64"),
+            "lift_micro": pd.array(lift, dtype="int64")})
+
+    return (counts.map_batches(rules, batch_format="pandas")
+                  .sort(["conf_micro", "a", "b"],
+                        descending=[True, False, False]).limit(25))
+
+
 def _q_mmr_diversify(sf_dir: str):
     """MMR-diversified top-10 for the first stored query vector:
     distributed exact top-50 pool, driver-side greedy re-rank (rows-only:
@@ -4690,6 +4754,7 @@ _SHOWCASE_ORDER = [
     "user_gap_median",
     "event_type_wow",
     "priority_status_chi2",
+    "part_rules",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4886,6 +4951,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_median": _q_user_gap_median,
         "event_type_wow": _q_event_type_wow,
         "priority_status_chi2": _q_priority_status_chi2,
+        "part_rules": _q_part_rules,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -6986,6 +7052,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "part_rules": """
+            -- size-2 association rules over distinct high-qty baskets:
+            -- exact integer confidence/lift micro, total-order top-25
+            WITH f AS (SELECT DISTINCT l_orderkey AS o,
+                                       l_partkey AS p
+                       FROM lineitem WHERE l_quantity >= 25.0),
+            n AS (SELECT count(DISTINCT o) AS nb FROM f),
+            s AS (SELECT p, CAST(count(*) AS BIGINT) AS np
+                  FROM f GROUP BY p),
+            pr AS (SELECT a.p AS src, b.p AS dst,
+                          CAST(count(*) AS BIGINT) AS nab
+                   FROM f a JOIN f b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2),
+            d AS (SELECT src AS a, dst AS b, nab FROM pr
+                  UNION ALL
+                  SELECT dst AS a, src AS b, nab FROM pr)
+            SELECT d.a, d.b, d.nab,
+                   CAST(CAST(d.nab AS HUGEINT) * 1000000 // sa.np
+                        AS BIGINT) AS conf_micro,
+                   CAST(CAST(d.nab AS HUGEINT) * nb * 1000000
+                        // (CAST(sa.np AS HUGEINT) * sb.np)
+                        AS BIGINT) AS lift_micro
+            FROM d JOIN s sa ON sa.p = d.a
+                   JOIN s sb ON sb.p = d.b CROSS JOIN n
+            WHERE d.nab >= 2
+            ORDER BY conf_micro DESC, d.a, d.b LIMIT 25
         """,
         "priority_status_chi2": """
             -- r x c chi2 as the integer sum of per-cell floored micro
