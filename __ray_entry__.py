@@ -2646,6 +2646,96 @@ def _q_priority_status_chi2(sf_dir: str):
     return contingency_chi2(ds, "o_orderpriority", "o_orderstatus")
 
 
+def _q_daily_wau(sf_dir: str):
+    """Rolling 7-day distinct active users per day (the WAU board
+    metric, exact — the HLL sibling is approx_daily_users): each
+    distinct (user, day) activity replicates into the 7 window-end days
+    it supports, then ONE distinct-count aggregate per window day; all
+    epoch-day integer arithmetic, window days clipped to the observed
+    day range so every reported day has a full-data window."""
+    import numpy as np
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import grouped_agg
+
+    ds = _rp(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "__day": (tus // 86_400_000_000).to_numpy(np.int64)})
+
+    du = grouped_agg(ds.map_batches(days, batch_format="pandas"),
+                     ["user_id", "__day"], {}, count_alias=None,
+                     combine="cogroup").materialize()
+    lo = int(du.min("__day"))
+    hi = int(du.max("__day"))
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for j in range(7):
+            w = b["__day"].to_numpy(np.int64) + j
+            keep = w <= hi
+            frames.append(pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64)[keep],
+                "day": w[keep]}))
+        return pd.concat(frames, ignore_index=True)
+
+    # distinct (user, window-day) then count per day; a user active
+    # twice inside one window counts once
+    uniq = grouped_agg(du.map_batches(explode, batch_format="pandas"),
+                       ["user_id", "day"], {}, count_alias=None,
+                       combine="cogroup")
+    wau = grouped_agg(uniq, ["day"], {}, count_alias="wau",
+                      combine="cogroup")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        # only days with a full 7-day window inside the data range
+        b = b[b["day"] >= lo + 6]
+        b["wau"] = b["wau"].astype("int64")
+        return b
+
+    return wau.map_batches(fin, batch_format="pandas")
+
+
+def _q_weekly_top_event_types(sf_dir: str):
+    """Trending report: top-2 event types per epoch week by exact
+    weekly cent volume (combiner weekly sums -> topk_per_group with
+    the deterministic (volume desc, type) total order)."""
+    import numpy as np
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (grouped_agg,
+                                                          topk_per_group)
+
+    ds = _rp(_t(sf_dir, "events"), columns=["event_type", "ts",
+                                            "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.dropna(subset=["value"])
+        tus = f["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "event_type": f["event_type"].to_numpy(),
+            "week": ((tus // 86_400_000_000) // 7).to_numpy(np.int64),
+            "__c": np.floor(f["value"].to_numpy(np.float64) * 100
+                            + 0.5).astype(np.int64)})
+
+    weekly = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                         ["week", "event_type"],
+                         {"__c": "wsum_scaled"}, count_alias=None,
+                         combine="cogroup")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["wsum_scaled"] = b["wsum_scaled"].astype("int64")
+        return b
+
+    return topk_per_group(weekly.map_batches(cast,
+                                             batch_format="pandas"),
+                          "week", ["wsum_scaled", "event_type"], 2,
+                          ascending=[False, True])
+
+
 def _q_order_theil(sf_dir: str):
     """Theil T inequality of o_totalprice with the between-priority
     component (stages/relational.py: theil_index) — the decomposable
@@ -4755,6 +4845,8 @@ _SHOWCASE_ORDER = [
     "event_type_wow",
     "priority_status_chi2",
     "part_rules",
+    "daily_wau",
+    "weekly_top_event_types",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -4952,6 +5044,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "event_type_wow": _q_event_type_wow,
         "priority_status_chi2": _q_priority_status_chi2,
         "part_rules": _q_part_rules,
+        "daily_wau": _q_daily_wau,
+        "weekly_top_event_types": _q_weekly_top_event_types,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -7052,6 +7146,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "weekly_top_event_types": """
+            -- top-2 event types per epoch week by exact weekly cents,
+            -- deterministic (volume desc, type) order
+            WITH w AS (
+                SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
+                       event_type,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS wsum_scaled
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT week, event_type, wsum_scaled
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY week
+                      ORDER BY wsum_scaled DESC, event_type) AS rn
+                  FROM w)
+            WHERE rn <= 2
+        """,
+        "daily_wau": """
+            -- exact rolling 7-day distinct users per day, full-window
+            -- days only; epoch-day integer arithmetic
+            WITH du AS (SELECT DISTINCT user_id,
+                                        epoch_us(ts) // 86400000000
+                                            AS d
+                        FROM events),
+            r AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+            days AS (SELECT DISTINCT d + j AS day
+                     FROM du, (SELECT unnest(range(0, 7)) AS j)
+                     CROSS JOIN r
+                     WHERE d + j BETWEEN r.lo + 6 AND r.hi)
+            SELECT days.day AS day,
+                   CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+            FROM days JOIN du
+                 ON du.d BETWEEN days.day - 6 AND days.day
+            GROUP BY days.day
         """,
         "part_rules": """
             -- size-2 association rules over distinct high-qty baskets:
