@@ -819,6 +819,62 @@ def _q_asof_next_event(sf_dir: str):
     return out.map_batches(rename, batch_format="pandas")
 
 
+def _q_click_to_purchase_median(sf_dir: str):
+    """Funnel latency: for every purchase, the nearest PRECEDING click
+    of the same user (backward as-of), then the exact global median of
+    the whole-second latency (grouped_quantile inverted_cdf == SQL
+    quantile_disc; latency depends only on the matched click's ts, so
+    right-side tie choice is provably irrelevant). One co-group shuffle
+    + one bounded quantile fold."""
+    import numpy as np
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (asof_join,
+                                                          grouped_quantile)
+
+    ev = _rp(_t(sf_dir, "events"),
+             columns=["user_id", "event_id", "ts", "event_type"])
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["event_type"] == "purchase"]
+        return pd.DataFrame({"user_id": f["user_id"].to_numpy(),
+                             "event_id": f["event_id"].to_numpy(),
+                             "pts": f["ts"].to_numpy()})
+
+    def clicks(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["event_type"] == "click"]
+        return pd.DataFrame({"user_id": f["user_id"].to_numpy(),
+                             "ts": f["ts"].to_numpy()})
+
+    j = asof_join(ev.map_batches(purchases, batch_format="pandas"),
+                  ev.map_batches(clicks, batch_format="pandas"),
+                  left_key="user_id", right_key="user_id",
+                  left_ts="pts", right_ts="ts",
+                  left_cols=["event_id"], right_cols=["ts"],
+                  direction="backward")
+
+    def lat(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["__ts"].astype("datetime64[us]").astype("int64")
+        c = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "__g": np.zeros(len(b), dtype=np.int64),
+            "lat_s": ((p - c) // 1_000_000).astype("int64")})
+
+    q = grouped_quantile(j.map_batches(lat, batch_format="pandas"),
+                         ["__g"], "lat_s", 0.5,
+                         alias="median_latency_s",
+                         method="inverted_cdf")
+    n = int(j.count())
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": pd.array([n] * len(b), dtype="int64"),
+            "median_latency_s": b["median_latency_s"]
+            .astype("int64")})
+
+    return q.map_batches(fin, batch_format="pandas")
+
+
 def _q_approx_user_count(sf_dir: str):
     import ray.data as rd
     from credit_ocr_backend_ray.stages.sketch import approx_count_distinct
@@ -4847,6 +4903,7 @@ _SHOWCASE_ORDER = [
     "part_rules",
     "daily_wau",
     "weekly_top_event_types",
+    "click_to_purchase_median",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -5046,6 +5103,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "part_rules": _q_part_rules,
         "daily_wau": _q_daily_wau,
         "weekly_top_event_types": _q_weekly_top_event_types,
+        "click_to_purchase_median": _q_click_to_purchase_median,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -7146,6 +7204,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "click_to_purchase_median": """
+            -- funnel latency: nearest preceding click per purchase
+            -- (ASOF), exact global quantile_disc(0.5) of whole-second
+            -- latency; inner-join semantics (unmatched purchases drop)
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            j AS (SELECT (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000
+                      AS lat_s
+                  FROM p ASOF JOIN c
+                    ON p.user_id = c.user_id AND p.ts >= c.ts)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(lat_s, 0.5) AS BIGINT)
+                       AS median_latency_s
+            FROM j
         """,
         "weekly_top_event_types": """
             -- top-2 event types per epoch week by exact weekly cents,
