@@ -2792,6 +2792,74 @@ def _q_weekly_top_event_types(sf_dir: str):
                           ascending=[False, True])
 
 
+def _q_orders_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sample by global (o_totalprice,
+    o_orderkey) rank — the survey-sampling design that guarantees
+    coverage across the whole value distribution (unlike Bernoulli
+    hashing, which is blind to value): global_row_number's range-bucket
+    enumeration, keep rank % 100 == 1."""
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        global_row_number)
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_totalprice"])
+    numbered = global_row_number(ds, "o_totalprice", "o_orderkey",
+                                 alias="rn")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["rn"] % 100 == 1]
+        b["rn"] = b["rn"].astype("int64")
+        return b
+
+    return numbered.map_batches(keep, batch_format="pandas")
+
+
+def _q_priority_price_minmax(sf_dir: str):
+    """Per-priority min-max feature scaling of o_totalprice in exact
+    integer micro ((c − min)·10^6 // (max − min) over cents): the
+    bounded per-group extrema come from one combiner pass and
+    broadcast; constant groups scale to 0 by contract."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from credit_ocr_backend_ray.stages.relational import grouped_stats
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.dropna(subset=["o_totalprice"])
+        return pd.DataFrame({
+            "o_orderkey": f["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": f["o_orderpriority"].to_numpy(),
+            "__c": np.floor(f["o_totalprice"].to_numpy(np.float64)
+                            * 100 + 0.5).astype(np.int64)})
+
+    cds = ds.map_batches(cents, batch_format="pandas")
+    ext = grouped_stats(cds, ["o_orderpriority"], "__c").to_pandas()
+    lut = {k: (int(mn), int(mx)) for k, mn, mx in
+           zip(ext["o_orderpriority"], ext["min___c"], ext["max___c"])}
+    lut_ref = ray.put(lut)
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lut_ref)
+        # constant groups map to 0 by contract (both engines)
+        vals = []
+        for k, c in zip(b["o_orderpriority"], b["__c"]):
+            mn, mx = m[k]
+            vals.append(0 if mx == mn
+                        else (int(c) - mn) * 1_000_000 // (mx - mn))
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "scaled_micro": pd.array(vals, dtype="int64")})
+
+    return cds.map_batches(scale, batch_format="pandas")
+
+
 def _q_order_theil(sf_dir: str):
     """Theil T inequality of o_totalprice with the between-priority
     component (stages/relational.py: theil_index) — the decomposable
@@ -4904,6 +4972,8 @@ _SHOWCASE_ORDER = [
     "daily_wau",
     "weekly_top_event_types",
     "click_to_purchase_median",
+    "orders_systematic_sample",
+    "priority_price_minmax",
     "lang_confusion",
     "lang_id_report",
     "lang_kappa",
@@ -5104,6 +5174,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "daily_wau": _q_daily_wau,
         "weekly_top_event_types": _q_weekly_top_event_types,
         "click_to_purchase_median": _q_click_to_purchase_median,
+        "orders_systematic_sample": _q_orders_systematic_sample,
+        "priority_price_minmax": _q_priority_price_minmax,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
         "lang_confusion": _q_lang_confusion,
@@ -7204,6 +7276,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "orders_systematic_sample": """
+            -- every 100th row of the (o_totalprice, o_orderkey)
+            -- global order
+            SELECT o_orderkey, o_totalprice,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (SELECT o_orderkey, o_totalprice,
+                         row_number() OVER (ORDER BY o_totalprice,
+                                            o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn % 100 = 1
+        """,
+        "priority_price_minmax": """
+            -- per-priority min-max scaling in exact integer micro
+            -- over cents; constant groups scale to 0 by contract
+            WITH q AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS c
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            e AS (SELECT o_orderpriority, min(c) AS mn, max(c) AS mx
+                  FROM q GROUP BY o_orderpriority)
+            SELECT q.o_orderkey, q.o_orderpriority,
+                   CAST(CASE WHEN e.mx > e.mn
+                             THEN (q.c - e.mn) * 1000000
+                                  // (e.mx - e.mn)
+                             ELSE 0 END AS BIGINT) AS scaled_micro
+            FROM q JOIN e USING (o_orderpriority)
         """,
         "click_to_purchase_median": """
             -- funnel latency: nearest preceding click per purchase
