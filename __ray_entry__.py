@@ -2792,6 +2792,29 @@ def _q_weekly_top_event_types(sf_dir: str):
                           ascending=[False, True])
 
 
+def _q_order_price_pctrank(sf_dir: str):
+    """Global percent-rank normalization of o_totalprice — the
+    quantile-normalized feature transform ((rn−1)·10^6 // (n−1) over
+    the (value, key) global order, exact integers, no global sort)."""
+    import pandas as pd
+
+    from credit_ocr_backend_ray.stages.relational import (
+        global_row_number)
+
+    ds = _rp(_t(sf_dir, "orders"),
+             columns=["o_orderkey", "o_totalprice"])
+    numbered = global_row_number(ds, "o_totalprice", "o_orderkey",
+                                 alias="rn").materialize()
+    n = int(numbered.count())
+
+    def pct(b: pd.DataFrame) -> pd.DataFrame:
+        b["pctrank_micro"] = ((b["rn"].astype("int64") - 1)
+                              * 1_000_000 // (n - 1)).astype("int64")
+        return b.drop(columns="rn")
+
+    return numbered.map_batches(pct, batch_format="pandas")
+
+
 def _q_orders_systematic_sample(sf_dir: str):
     """Systematic (every k-th) sample by global (o_totalprice,
     o_orderkey) rank — the survey-sampling design that guarantees
@@ -4973,6 +4996,7 @@ _SHOWCASE_ORDER = [
     "weekly_top_event_types",
     "click_to_purchase_median",
     "orders_systematic_sample",
+    "order_price_pctrank",
     "priority_price_minmax",
     "lang_confusion",
     "lang_id_report",
@@ -5175,6 +5199,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "weekly_top_event_types": _q_weekly_top_event_types,
         "click_to_purchase_median": _q_click_to_purchase_median,
         "orders_systematic_sample": _q_orders_systematic_sample,
+        "order_price_pctrank": _q_order_price_pctrank,
         "priority_price_minmax": _q_priority_price_minmax,
         "price_benford": _q_price_benford,
         "term_label_ig": _q_term_label_ig,
@@ -7276,6 +7301,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b
                  ON b.rn > a.rn AND b.rn <= a.rn + 2
+        """,
+        "order_price_pctrank": """
+            -- exact integer percent-rank over the global
+            -- (o_totalprice, o_orderkey) order
+            SELECT o_orderkey, o_totalprice,
+                   CAST((rn - 1) * 1000000
+                        // (count(*) OVER () - 1) AS BIGINT)
+                       AS pctrank_micro
+            FROM (SELECT o_orderkey, o_totalprice,
+                         row_number() OVER (ORDER BY o_totalprice,
+                                            o_orderkey) AS rn
+                  FROM orders)
         """,
         "orders_systematic_sample": """
             -- every 100th row of the (o_totalprice, o_orderkey)
